@@ -1,0 +1,117 @@
+"""Query registry backing the driver contract (``__spark_entry__.py``).
+
+Each named query carries its Spark callable and (when SQL-expressible) the
+DuckDB oracle SQL right next to it, so the two stay in lockstep — the driver
+hash-compares their results column-by-column after sorting columns by name,
+which is why every computed column is aliased identically on both sides.
+
+Cross-engine determinism rules used throughout the plans:
+
+* **Exact sums over doubles** go through ``decimal(18,4)`` and cast the sum
+  back to double (``dec_sum``): decimal addition is associative, so Spark's
+  partial-aggregation order vs DuckDB's sequential order cannot diverge.
+  Plain double sums differ in the last bits between engines.
+* **Averages** are computed as exact-decimal-sum / count, both sides.
+* **Timestamps never leave a query raw** — group keys become dates or epoch
+  seconds (bigint), sidestepping µs-vs-ns precision mismatches between
+  Spark's TimestampType and DuckDB's TIMESTAMP_NS parquet reads.
+* **Window/rank ties** always get a deterministic tiebreaker key.
+* Counts are ``bigint`` on both sides (DuckDB SUM(int) is HUGEINT — always
+  cast).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# --- cross-engine exact aggregation helpers -------------------------------
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Sum a double column exactly via decimal(18,4); result as double.
+
+    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS alias``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Exact-sum / count average; identical double arithmetic both engines.
+
+    DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x) AS alias``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def dec(col: Column | str, typ: str = "decimal(18,4)") -> Column:
+    """Cast a *source* column to decimal for exact arithmetic.
+
+    Only safe on low-decimal source values (money/qty/rates with ≤4 dp):
+    for those, the double's error (~1e-11) can't straddle a 4dp rounding
+    boundary, so Spark's shortest-string-based cast and DuckDB's exact-binary
+    cast agree. Never cast a *computed* double product/sum to decimal — the
+    two engines round those differently; do the arithmetic in decimal
+    instead (see q1_pricing_summary).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def lsum(col: Column | str, alias: str) -> Column:
+    """Integer sum as bigint (DuckDB twin: CAST(SUM(x) AS BIGINT))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("long").alias(alias)
+
+
+def cnt(alias: str) -> Column:
+    return F.count(F.lit(1)).cast("long").alias(alias)
+
+
+def load_all_plans() -> dict[str, QuerySpec]:
+    """Import every plan module (side effect: registration) and return the
+    registry. This is what ``__spark_entry__.py`` calls."""
+    from youtube_etl_project_spark.plans import (  # noqa: F401
+        relational,
+        scalar_fns,
+        staging_json,
+        upsert_queries,
+        event_windows,
+        approx,
+        text_analysis,
+        dedup_queries,
+        similarity_queries,
+        multimodal_queries,
+    )
+
+    return REGISTRY

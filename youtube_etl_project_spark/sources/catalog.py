@@ -1,0 +1,55 @@
+"""Parquet catalog over a scale-factor directory.
+
+Plain ``spark.read.parquet`` is deliberate: the vectorized Parquet reader +
+Catalyst give predicate pushdown, column pruning, and partition pruning for
+free, and at cluster scale the same call distributes file splits across
+executors (``spark.sql.files.maxPartitionBytes`` controls split size).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor; join
+# builders use this to pick broadcast-hash joins explicitly (AQE would find
+# most of these, but being explicit keeps plans stable).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Set defensively here (not only in session.py): callers may hand us
+        # a foreign SparkSession (e.g. the driver's); the conf is runtime-
+        # settable and required to read TIMESTAMP(NANOS) parquet at all.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader only
+        # exposes as long (spark.sql.legacy.parquet.nanosAsLong, set in
+        # session.py); convert to TimestampType (µs, floor-truncated — the
+        # fixture generator emits µs-granular values so this is lossless).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
