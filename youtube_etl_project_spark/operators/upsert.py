@@ -1,0 +1,162 @@
+"""Mutable-table semantics on plain Parquet (SURVEY §2a J2/J3/A7/S8/S9).
+
+The reference's warehouse layer is MERGE upsert for dims
+(src/snowflake_loader.py:86-104), insert-only MERGE for facts
+(azure-functions/function_app.py:439-482), and DELETE+INSERT refresh for the
+daily aggregate (src/snowflake_loader.py:135-156). Without Delta Lake in
+this environment, those become join-rewrites plus an atomic
+write-to-new-dir-then-swap table convention:
+
+* ``merge_upsert``       — full-outer join, source-wins (J2)
+* ``insert_only_merge``  — target ∪ (source ⟕anti target)  (J3)
+* ``ParquetTable``       — versioned directory with atomic pointer swap,
+                           giving per-write atomicity (the reference's
+                           per-step commit/rollback, FA:294-365)
+* ``overwrite_partitions`` — dynamic partition overwrite = replaceWhere (A7)
+
+Scale notes: both merges shuffle on the merge keys once; when the target is
+bucketed/pre-partitioned by key the join co-locates. Source-side dedup
+(latest_per_key) runs *before* the merge so the wide join never sees
+duplicate keys — same ordering the reference encodes (SL:82 before SL:86).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _presence(df: DataFrame, keys: list[str]) -> DataFrame:
+    # Null-safe presence marker: join keys may legitimately be null-free,
+    # but a literal flag keeps "row exists on this side" unambiguous.
+    return df.withColumn("__present", F.lit(True))
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE ... WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT (source wins).
+
+    Equivalent SQL: full outer join on keys; matched rows take every source
+    column, unmatched keep the target row. Columns = union of both sides'
+    columns (missing side → null).
+    """
+    t = _presence(target, keys).alias("t")
+    s = _presence(source, keys).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}") == F.col(f"t.{k}")
+        cond = c if cond is None else cond & c
+    joined = s.join(t, cond, "full_outer")
+
+    src_present = F.col("s.__present").isNotNull()
+    out_cols = []
+    tcols, scols = set(target.columns), set(source.columns)
+    for c in dict.fromkeys(list(source.columns) + list(target.columns)):
+        if c in scols and c in tcols:
+            out_cols.append(
+                F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        elif c in scols:
+            out_cols.append(F.col(f"s.{c}").alias(c))
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def insert_only_merge(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE with only WHEN NOT MATCHED THEN INSERT (FA:439-482): existing
+    target rows are immutable; only new keys append. Source is deduped on
+    the merge keys first (the reference's SELECT DISTINCT, FA:442)."""
+    new_rows = source.dropDuplicates(keys).join(target, keys, "left_anti")
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def scd_upsert_dim(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    first_seen_col: str = "first_seen_date",
+    last_updated_col: str = "last_updated",
+) -> DataFrame:
+    """Dimension upsert with SCD-lite bookkeeping (reference SL:86-104):
+    matched → source attributes + target's first_seen + fresh last_updated;
+    new → source attributes + today's first_seen."""
+    merged = merge_upsert(
+        target.withColumnRenamed(first_seen_col, "__t_first_seen"),
+        source.withColumn(last_updated_col, F.current_timestamp()),
+        keys,
+    )
+    return merged.withColumn(
+        first_seen_col, F.coalesce(F.col("__t_first_seen"), F.current_date())
+    ).drop("__t_first_seen")
+
+
+class ParquetTable:
+    """Versioned parquet table with atomic pointer swap.
+
+    Layout: ``<root>/v_<uuid>/`` data directories + ``<root>/_CURRENT`` text
+    pointer. Writes land in a fresh directory and the pointer flips last, so
+    readers never observe partial data — the parquet stand-in for Delta's
+    ACID commit (SURVEY §4 transaction row; reference FA:294-365 semantics).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer)
+
+    def current_path(self) -> str | None:
+        if not self.exists():
+            return None
+        with open(self._pointer) as f:
+            return os.path.join(self.root, f.read().strip())
+
+    def read(self) -> DataFrame:
+        path = self.current_path()
+        if path is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        return self.spark.read.parquet(path)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, version)
+        df.write.mode("errorifexists").parquet(out)
+        old = self.current_path()
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer)  # atomic commit
+        if old and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def truncate(self) -> None:
+        """S9: TRUNCATE TABLE — commit an empty version preserving schema."""
+        if self.exists():
+            self.write(self.read().limit(0))
+
+
+def overwrite_partitions(
+    table: ParquetTable, df: DataFrame, partition_col: str
+) -> None:
+    """A7: replaceWhere-style refresh — replace exactly the partitions
+    present in ``df``, keep the rest (the DELETE today + INSERT pattern,
+    SL:136-155, made atomic by the version swap)."""
+    if not table.exists():
+        table.write(df)
+        return
+    current = table.read()
+    fresh_keys = df.select(partition_col).distinct()
+    kept = current.join(F.broadcast(fresh_keys), partition_col, "left_anti")
+    table.write(kept.unionByName(df.select(*current.columns)))

@@ -1,1 +1,96 @@
-"""Placeholder — filled in by build plan."""
+"""Oracle-checked window queries over ``events`` (SURVEY §2b X6).
+
+DuckDB has no window-assignment operator, so the oracles derive the same
+windows arithmetically: tumbling/sliding starts are epoch-aligned bucket
+arithmetic; sessions are the classic gaps-and-islands rewrite. All window
+keys are epoch-second bigints (see operators/windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import windows as W
+from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.sources import load_table
+
+# events.value summed exactly via decimal; 6dp scale (see registry.dec docs)
+_VAL_SUM = "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+        SELECT CAST(FLOOR(EPOCH(ts)/3600) AS BIGINT)*3600 AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {_VAL_SUM} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="X6: tumbling 1h window per event_type",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling(ev, "ts", "1 hour", "event_type").agg(
+        cnt("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+        SELECT CAST(FLOOR(EPOCH(ts)/1800) AS BIGINT)*1800 - off*1800 AS window_start,
+               COUNT(*) AS n_events,
+               {_VAL_SUM} AS sum_value
+        FROM events, (VALUES (0), (1)) AS offs(off)
+        GROUP BY 1
+    """,
+    doc="X6: sliding 1h/30m window — every event lands in exactly two "
+        "windows; the oracle materializes both via the offset trick",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.sliding(ev, "ts", "1 hour", "30 minutes").agg(
+        cnt("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    doc="X6: session window (30min gap) per user — F.session_window in Spark "
+        "(merge while diff < gap, half-open [start, last+gap)); "
+        "gaps-and-islands in the oracle",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(cnt("n_events"))
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+        "n_events",
+    )

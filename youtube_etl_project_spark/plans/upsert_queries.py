@@ -1,1 +1,72 @@
-"""Placeholder — filled in by build plan."""
+"""Oracle-checked queries for the merge operators (SURVEY §2a J2/J3).
+
+The engine-side implementations live in ``operators/upsert.py``; here they
+run on derived target/source DataFrames built from the fixture tables so
+DuckDB can compute the equivalent result relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.upsert import (
+    insert_only_merge,
+    merge_upsert,
+)
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "merge_upsert_dim",
+    oracle="""
+        SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+               COALESCE(s.c_name, t.c_name) AS c_name,
+               CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                    ELSE t.c_acctbal END AS c_acctbal
+        FROM (SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal
+              FROM customer WHERE c_custkey % 2 = 0) s
+        FULL OUTER JOIN
+             (SELECT c_custkey, c_name, c_acctbal
+              FROM customer WHERE c_custkey % 3 <> 0) t
+        ON s.c_custkey = t.c_custkey
+    """,
+    doc="J2: MERGE upsert (matched→update, not matched→insert; SL:86-104) "
+        "as a full-outer join-rewrite on plain parquet",
+)
+def merge_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    target = customer.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    source = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    return merge_upsert(target, source, ["c_custkey"])
+
+
+@register(
+    "merge_insert_only",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0
+    """,
+    doc="J3: insert-only MERGE — target rows immutable, only new keys append "
+        "(FA:439-482); left-anti + unionByName",
+)
+def merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    # Source overlaps target with *different* values — the merge must keep
+    # target's originals and insert only the unmatched keys.
+    source = orders.select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    return insert_only_merge(target, source, ["o_orderkey"])

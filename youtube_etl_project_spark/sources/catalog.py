@@ -32,6 +32,10 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Engine contract: timestamp semantics are UTC. Pin the session zone at
+    # runtime so plans built on a foreign SparkSession (e.g. the driver's)
+    # get the same instants, window alignment, and to_date boundaries.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Set defensively here (not only in session.py): callers may hand us
         # a foreign SparkSession (e.g. the driver's); the conf is runtime-
