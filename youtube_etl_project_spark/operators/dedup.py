@@ -1,0 +1,244 @@
+"""Deduplication family (SURVEY §2b X1/X2): exact, MinHash+LSH, SimHash,
+n-gram Jaccard — the LLM-training-pipeline dedup stack.
+
+Everything here is native Column expressions (xxhash64, array lambdas) — no
+MLlib vector conversions, no Python UDFs — so signatures/bands compute
+map-side inside codegen and the only shuffles are the band-bucket join (LSH)
+or the shingle self-join (exact Jaccard). That is the 100 TB shape: LSH cost
+scales with matching candidate pairs, not n².
+
+Design notes per operator:
+
+* exact_dedup: content-hash (sha2 of canonicalized row) groupBy — one
+  shuffle on the hash; or key-based latest/first-wins via window.
+* minhash_lsh_pairs: per-row k-shingles → n_hashes minhash signature (one
+  xxhash64 per seed per shingle, map-side) → b bands × r rows → explode
+  bands → self-join on (band, band_hash) → exact-Jaccard verify on the
+  candidates only. Deterministic: fixed integer seeds.
+* simhash: 64-bit fingerprint; per-bit majority vote over token hashes,
+  computed as a 64-element array fold. Near-dup = small Hamming distance,
+  found via band buckets on hash prefixes.
+* ngram_jaccard_pairs: exact all-pairs Jaccard via shingle explode +
+  self-join (the oracle-checkable baseline; quadratic in colliding docs —
+  use minhash_lsh_pairs at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(tokens: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) from a token array; empty
+    array when the document has fewer than k tokens."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+    )
+    return F.when(F.size(t) >= k, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash(*cols: Column | str) -> Column:
+    """Canonical row fingerprint: sha2-256 over a '|'-joined projection
+    (the hash-groupBy exact-dedup key)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha2(F.concat_ws("|", *[c.cast("string") for c in cs]), 256)
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep exactly one row per key, deterministically (first under
+    ``order_by``). W1-style window — never ``dropDuplicates`` when
+    downstream results must be reproducible, since that keeps an arbitrary
+    row per key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
+    """n_hashes-wide minhash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed_i). Pure map-side; one long per hash function."""
+    seeds = F.array(*[F.lit(seed * 1_000_003 + i) for i in range(n_hashes)])
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(shingles, lambda sh: F.xxhash64(sh, s))
+        ),
+    )
+
+
+def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Docs
+    agreeing on any band collide in the bucket join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(signature, b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Candidate generation cost ∝ bucket collisions (b·n rows through one
+    shuffle); verification touches candidates only.
+    """
+    rows_per_band = n_hashes // n_bands
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(toks, shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.withColumn(
+        "bands", lsh_bands(minhash_signature(F.col("shingles"), n_hashes, seed),
+                           n_bands, rows_per_band)
+    )
+    banded = sig.select(
+        "doc", "shingles", F.explode("bands").alias("b")
+    ).select("doc", "shingles", "b.band_id", "b.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard via explode + equi-self-join —
+    the ground-truth twin of minhash_lsh_pairs. Cost ∝ co-occurring shingle
+    pairs; at 100 TB use the LSH variant and keep this for sampled audits."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(toks, shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = base.select("doc", F.size("shingles").alias("n_sh"))
+    exploded = base.select("doc", F.explode("shingles").alias("sh"))
+
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc"))
+        .join(sb, F.col("id_b") == F.col("sb.doc"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens: Column, seed: int = 7) -> Column:
+    """64-bit SimHash: bit i set iff the majority of token hashes have bit i
+    set. Expressed as a 64-wide array fold over per-token xxhash64 — all
+    map-side, one long out."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    n = F.size(hashes)
+
+    def bit_vote(i: int) -> Column:
+        ones = F.size(
+            F.filter(
+                hashes,
+                lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        # majority of tokens set this bit (ties → 0)
+        return F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out + F.shiftleft(bit_vote(i), i)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

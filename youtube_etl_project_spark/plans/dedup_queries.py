@@ -1,1 +1,115 @@
-"""Placeholder — filled in by build plan."""
+"""Dedup queries (SURVEY §2b X1/X2) — exact keyed, content-hash, exact
+n-gram Jaccard (oracle-checked), MinHash-LSH and SimHash (rows-only: their
+xxhash64 signatures have no DuckDB twin; tests/test_dedup.py asserts the
+LSH candidates against the exact-Jaccard ground truth instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import dedup
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "dedup_exact_keyed",
+    oracle="""
+        SELECT user_id, event_type, event_id, value
+        FROM (
+            SELECT user_id, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="X1: deterministic first-wins exact dedup on a key set (window, "
+        "never dropDuplicates — that keeps an arbitrary row)",
+)
+def dedup_exact_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_dedup(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+@register(
+    "dedup_content_hash",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT sha256(text)) AS n_distinct
+        FROM documents
+    """,
+    doc="X1: content-hash exact dedup accounting (hash-groupBy)",
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(dedup.content_hash("text")).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="X2 (exact baseline): all-pairs 3-gram shingle Jaccard ≥ 0.5 via "
+        "shingle explode + equi-self-join — ground truth for the LSH path",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                     threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
+    doc="X2: banded MinHash-LSH candidate generation + exact-Jaccard verify "
+        "(≥0.5). The scalable near-dup path: cost ∝ bucket collisions. "
+        "tests/test_dedup.py checks candidates ⊆/≈ exact ground truth",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
+        threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based bits
+    doc="X2: 64-bit SimHash fingerprints (near-dup via small Hamming "
+        "distance); deterministic, rows-only check",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    return docs.select("doc_id", dedup.simhash64(toks).alias("simhash"))

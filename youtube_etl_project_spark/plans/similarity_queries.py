@@ -1,1 +1,100 @@
-"""Placeholder — filled in by build plan."""
+"""Similarity-search queries (SURVEY §2b X3) over ``embeddings``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import similarity
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+_N_QUERIES = 10  # fixed, small query set → broadcastable at any sf
+_DIM = 64
+
+
+@register(
+    "embed_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   list_inner_product(qv, cv) /
+                   (sqrt(list_inner_product(qv, qv)) *
+                    sqrt(list_inner_product(cv, cv))) AS cos
+            FROM q CROSS JOIN c
+            WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+               ROUND(cos, 6) AS cosine
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+    doc="X3: exact brute-force cosine top-5 for a broadcast query set — "
+        "left-fold double dot product matches DuckDB's sequential "
+        "list_inner_product bit-for-bit",
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return similarity.brute_force_topk(queries, candidates, k=5)
+
+
+@register(
+    "embed_lsh_ann",
+    oracle=None,  # hyperplanes derive from xxhash64 — no DuckDB twin
+    doc="X3 scale path: random-hyperplane LSH bucketing + within-bucket "
+        "top-k (bucket equi-join instead of cross product); "
+        "tests/test_similarity.py measures recall vs brute force",
+)
+def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return similarity.lsh_topk(queries, candidates, dim=_DIM, k=5, n_planes=6)
+
+
+@register(
+    "embed_centroid_by_label",
+    oracle="""
+        SELECT label,
+               CAST(pos AS INTEGER) AS pos,
+               CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(val)
+                   AS centroid
+        FROM (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS pos,
+                   unnest(embedding::DOUBLE[]) AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
+    doc="X3 support: per-label centroid (elementwise mean) via posexplode + "
+        "group — the building block for IVF coarse quantization",
+)
+def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("val")
+            ).alias("centroid")
+        )
+    )

@@ -1,1 +1,143 @@
-"""Placeholder — filled in by build plan."""
+"""Text-analysis queries (SURVEY §2b X4) over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.config import LANG_STOPWORDS
+from youtube_etl_project_spark.operators import textops
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    doc="X4: whitespace token count + BPE-ish subword estimate (ceil(len/4) "
+        "per word)",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.bpe_ish_token_estimate("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id, n_chars, n_tokens,
+               n_chars / n_tokens AS avg_token_len,
+               n_stop / n_tokens AS stopword_ratio
+        FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(string_split(text,' '), x -> x <> ''))
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains(['the','a','of','and','to'], x)))
+                        AS BIGINT) AS n_stop
+            FROM documents
+        )
+        WHERE n_tokens > 0
+    """,
+    doc="X4: quality features — length, avg token length, stopword ratio "
+        "(cheap web-corpus quality filters)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textops.quality_features("text")
+    return (
+        docs.select(
+            "doc_id",
+            feats["n_chars"].alias("n_chars"),
+            feats["n_tokens"].alias("n_tokens"),
+            feats["avg_token_len"].alias("avg_token_len"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def _langid_oracle() -> str:
+    def hits(words: list[str]) -> str:
+        arr = ",".join(f"'{w}'" for w in words)
+        return (
+            "CAST(len(list_filter(string_split(text,' '), "
+            f"x -> list_contains([{arr}], x))) AS INTEGER)"
+        )
+
+    langs = list(LANG_STOPWORDS)
+    score_cols = ",\n".join(
+        f"{hits(LANG_STOPWORDS[lang])} AS s_{lang}" for lang in langs
+    )
+    # fixed preference order on ties = dict order (en > es > de > fr)
+    case = f"'{langs[-1]}'"
+    for i in range(len(langs) - 2, -1, -1):
+        conds = " AND ".join(
+            f"s_{langs[i]} >= s_{langs[j]}" for j in range(i + 1, len(langs))
+        )
+        case = f"CASE WHEN {conds} THEN '{langs[i]}' ELSE {case} END"
+    return f"""
+        SELECT doc_id, {case} AS lang_guess,
+               s_en, s_es, s_de, s_fr
+        FROM (SELECT doc_id, {score_cols} FROM documents)
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="X4: stopword-hit language-ID heuristic with deterministic argmax",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens("text")
+    scores = textops.lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        textops.lang_guess(toks).alias("lang_guess"),
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_STOPWORDS],
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id, sha256(text) AS fp_sha256, md5(text) AS fp_md5
+        FROM documents
+    """,
+    doc="X4: exact-content document fingerprints (sha256/md5 hex)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.fingerprint_sha("text").alias("fp_sha256"),
+        F.md5("text").alias("fp_md5"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=None,  # xxhash64 token hashes are not reproducible in DuckDB
+    doc="X4: polynomial rolling hash over tokens (Rabin-Karp) — order-"
+        "sensitive content fingerprint; rows-only check",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.rolling_hash("text").alias("rhash")
+    )
