@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization, no driver collect); the first query's session/JIT warmup is
+excluded via a throwaway warmup run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship + the heaviest representative per operator
+# family (scan-agg, join-agg, window, top-k, explode, merge, windows,
+# dedup/LSH, similarity, text, multimodal UDF).
+HEADLINE = [
+    "flagship_daily_agg",
+    "q1_pricing_summary",
+    "join_fact_dim",
+    "agg_refresh_daily",
+    "window_latest_per_key",
+    "topk_per_group",
+    "explode_tokens",
+    "merge_insert_only",
+    "events_sliding_window",
+    "events_session_window",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+    "text_langid",
+    "multimodal_decode",
+    "percentile_value",
+]
+
+
+def main() -> None:
+    from youtube_etl_project_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("flagship_daily_agg")  # warmup: JVM/JIT + parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Similarity search: brute-force exactness, LSH recall, self-similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import similarity
+from youtube_etl_project_spark.sources import load_table
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<float>")
+    row = df.select(similarity.cosine(F.col("v"), F.col("v")).alias("c")).collect()[0]
+    assert abs(row.c - 1.0) < 1e-12
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),  # closest to 0
+            (2, [0.0, 1.0]),  # orthogonal
+            (3, [1.0, 0.01]),  # very close
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    out = [
+        (r.neighbor_id, r.rank)
+        for r in similarity.brute_force_topk(q, c, k=3).orderBy("rank").collect()
+    ]
+    assert out == [(3, 1), (1, 2), (2, 3)]
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, c, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            q, c, dim=64, k=5, n_planes=4, n_tables=8
+        ).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.5, f"ANN recall collapsed: {recall}"
+    # every ANN hit shares the bucket, so results are a subset of candidates
+    assert all(pair[0] != pair[1] for pair in ann)

@@ -17,12 +17,16 @@ def _c(col: Column | str) -> Column:
 
 
 def safe_long(col: Column | str, default: int = 0) -> Column:
-    """Null-safe cast to long with default (reference F5)."""
-    return F.coalesce(_c(col).cast("long"), F.lit(default).cast("long"))
+    """Null/malformed-safe cast to long with default (reference F5).
+
+    try_cast, not cast: Spark 4 runs ANSI mode by default, where a malformed
+    string cast throws — the reference's posture is degrade-to-default.
+    """
+    return F.coalesce(_c(col).try_cast("long"), F.lit(default).cast("long"))
 
 
 def safe_double(col: Column | str, default: float = 0.0) -> Column:
-    return F.coalesce(_c(col).cast("double"), F.lit(default).cast("double"))
+    return F.coalesce(_c(col).try_cast("double"), F.lit(default).cast("double"))
 
 
 def safe_str(col: Column | str, default: str = "UNKNOWN") -> Column:

@@ -75,22 +75,41 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataF
 # X2: MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
-    """n_hashes-wide minhash signature: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i). Pure map-side; one long per hash function."""
-    seeds = F.array(*[F.lit(seed * 1_000_003 + i) for i in range(n_hashes)])
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(shingles, lambda sh: F.xxhash64(sh, s))
-        ),
+def minhash_signature_df(
+    base: DataFrame,
+    id_col: str = "doc",
+    shingles_col: str = "shingles",
+    n_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Minhash signatures as n_hashes flat long columns ``h0..h{n-1}``.
+
+    Shape matters here: explode shingles → one xxhash64 per seed as a plain
+    column → min-aggregate per doc. Flat columns stay in whole-stage codegen
+    and each hash is computed exactly once; the tempting nested form
+    (transform(seeds, s -> array_min(transform(shingles, ...)))) gets
+    re-evaluated per downstream reference in the interpreted higher-order
+    path — measured 30x slower. One shuffle, on the doc id.
+    """
+    sh = base.select(F.col(id_col).alias("doc"), F.explode(shingles_col).alias("sh"))
+    hashed = sh.select(
+        "doc",
+        *[
+            F.xxhash64("sh", F.lit(seed * 1_000_003 + i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
 
 
-def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
-    """Band the signature: array of (band_id, band_hash) structs. Docs
+def lsh_band_rows(
+    sig: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band_id, band_hash) rows from flat signature columns — docs
     agreeing on any band collide in the bucket join."""
-    return F.array(
+    bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -98,9 +117,7 @@ def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
                     F.concat_ws(
                         ",",
                         *[
-                            F.element_at(signature, b * rows_per_band + r + 1).cast(
-                                "string"
-                            )
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
                             for r in range(rows_per_band)
                         ],
                     )
@@ -108,6 +125,9 @@ def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
             )
             for b in range(n_bands)
         ]
+    )
+    return sig.select("doc", F.explode(bands).alias("b")).select(
+        "doc", "b.band_id", "b.band_hash"
     )
 
 
@@ -139,14 +159,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         word_shingles(toks, shingle_k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = base.withColumn(
-        "bands", lsh_bands(minhash_signature(F.col("shingles"), n_hashes, seed),
-                           n_bands, rows_per_band)
-    )
-    banded = sig.select(
-        "doc", "shingles", F.explode("bands").alias("b")
-    ).select("doc", "shingles", "b.band_id", "b.band_hash")
 
+    sig = minhash_signature_df(base, "doc", "shingles", n_hashes, seed)
+    banded = lsh_band_rows(sig, n_bands, rows_per_band)
+
+    # Candidate pairs travel as bare (id_a, id_b) through dedup — never
+    # shuffle the shingle arrays per-candidate (that was a multi-GB shuffle
+    # at 5k docs); arrays re-attach via two joins against the doc-level base.
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -156,17 +175,18 @@ def minhash_lsh_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
     return (
-        candidates.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
@@ -237,6 +257,37 @@ def simhash64(tokens: Column, seed: int = 7) -> Column:
     for i in range(64):
         out = out + F.shiftleft(bit_vote(i), i)
     return out
+
+
+def simhash64_df(
+    docs: DataFrame, id_col: str, text_col: str, seed: int = 7
+) -> DataFrame:
+    """DataFrame-level SimHash: explode tokens → hash once → 64 bit-count
+    aggregates → fold back to one long. Same result as ``simhash64`` but
+    each token hashes exactly once (the expression form re-evaluates the
+    hash array per bit — fine for ad-hoc columns, wrong shape for a corpus
+    scan). Returns (id, n_tokens, simhash). One shuffle on the doc id."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    tok_rows = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("t"))
+    hashed = tok_rows.select("doc", F.xxhash64("t", F.lit(seed)).alias("h"))
+    agg = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n_tokens"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        sim = sim + F.shiftleft(bit.cast("long"), i)
+    return agg.select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        sim.alias("simhash"),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

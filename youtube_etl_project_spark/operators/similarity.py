@@ -74,24 +74,29 @@ def brute_force_topk(
     )
 
 
+def hyperplane_components(dim: int, plane_id: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane, precomputed driver-side
+    (sha256-derived). Literal arrays keep the Catalyst expression tree tiny —
+    building the components as per-row hash expressions made plan
+    compilation/evaluation the bottleneck (measured ~30x slowdown)."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.sha256(f"{seed}:{plane_id}:{j}".encode()).digest()[0]
+        out.append(1.0 if h & 1 else -1.0)
+    return out
+
+
 def hyperplane(dim: int, plane_id: int, seed: int = 42) -> Column:
-    """Deterministic pseudo-random hyperplane: component j is a signed unit
-    derived from xxhash64(plane_id, j, seed) — reproducible across runs and
-    engines that share xxhash64."""
     return F.array(
-        *[
-            F.when(
-                F.xxhash64(F.lit(plane_id), F.lit(j), F.lit(seed))
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for j in range(dim)
-        ]
+        *[F.lit(v) for v in hyperplane_components(dim, plane_id, seed)]
     )
 
 
-def lsh_bucket_key(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+def lsh_bucket_key(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
     """Sign-bit bucket key over n_planes random hyperplanes → a long in
     [0, 2^n_planes). Map-side only."""
     key = F.lit(0).cast("long")
@@ -103,36 +108,55 @@ def lsh_bucket_key(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> 
     return key
 
 
+def _table_keys(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """Array of per-table bucket structs: (table, key). Multi-table LSH —
+    candidates union over tables — is what buys recall on weakly-clustered
+    vectors; each table uses an independent hyperplane set."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_key(vec, dim, n_planes, seed + 7919 * t).alias("key"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     query_id: str = "query_id",
     cand_id: str = "neighbor_id",
     vec: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: score only candidates sharing the query's LSH bucket.
+    """ANN top-k: score only candidates that share ≥1 LSH bucket with the
+    query across n_tables hash tables.
 
-    Recall < 1 by construction (use multiple hash tables / fewer planes to
-    trade cost for recall); at scale the bucket equi-join shuffles each side
-    once on the bucket key instead of materializing the cross product.
+    Recall < 1 by construction; raise n_tables (cost ∝ n_tables exploded
+    rows through the bucket join) or lower n_planes to trade cost for
+    recall. At scale the bucket equi-join shuffles each side once on
+    (table, key) instead of materializing the cross product.
     """
     q = queries.select(
         F.col(query_id),
         F.col(vec).alias("__qv"),
-        lsh_bucket_key(F.col(vec), dim, n_planes, seed).alias("__bucket"),
+        F.explode(_table_keys(F.col(vec), dim, n_planes, n_tables, seed)).alias("__b"),
     )
     c = candidates.select(
         F.col(cand_id),
         F.col(vec).alias("__cv"),
-        lsh_bucket_key(F.col(vec), dim, n_planes, seed).alias("__bucket"),
+        F.explode(_table_keys(F.col(vec), dim, n_planes, n_tables, seed)).alias("__b"),
     )
     scored = (
-        q.join(c, "__bucket")
+        q.join(c, "__b")
         .filter(F.col(query_id) != F.col(cand_id))
+        .dropDuplicates([query_id, cand_id])
         .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy(query_id).orderBy(

@@ -111,5 +111,4 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
-    return docs.select("doc_id", dedup.simhash64(toks).alias("simhash"))
+    return dedup.simhash64_df(docs, "doc_id", "text").select("doc_id", "simhash")

@@ -65,7 +65,9 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return similarity.lsh_topk(queries, candidates, dim=_DIM, k=5, n_planes=6)
+    return similarity.lsh_topk(
+        queries, candidates, dim=_DIM, k=5, n_planes=4, n_tables=8
+    )
 
 
 @register(

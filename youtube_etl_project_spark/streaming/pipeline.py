@@ -1,0 +1,112 @@
+"""Incremental / streaming pipeline (SURVEY §2a T1-T3, §2b X6 streaming).
+
+The reference's "streaming" is a daily cron micro-batch with an incremental
+source predicate (function_app.py:540-541, 71). Spark-first that is a file
+source under Structured Streaming with ``Trigger.AvailableNow``: each run
+drains exactly the new files (exactly-once via checkpoint), which subsumes
+both the cron trigger and the publishedAfter predicate — new data is new
+files under the date-partitioned raw root.
+
+* ``incremental_load``: readStream over raw JSON → foreachBatch → the same
+  batch merge/upsert stages as pipeline.load_day. foreachBatch is the
+  streaming-native place for MERGE-shaped sinks.
+* ``windowed_event_stream``: watermarked tumbling-window aggregate over an
+  events-shaped stream — the standard late-data-tolerant rollup; the same
+  ``F.window`` builder the batch plans use (operators/windows.py).
+
+Scale: file-source listing is incremental (no full re-list per batch with
+``maxFilesPerTrigger`` / cleanSource), state is bounded by the watermark,
+and every batch reuses the batch operators — one code path, two triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def incremental_load(
+    spark: SparkSession,
+    raw_glob: str,
+    element_schema: T.StructType,
+    checkpoint_dir: str,
+    on_batch,
+) -> StreamingQuery:
+    """AvailableNow drain of new JSON files; each micro-batch is handed to
+    ``on_batch(df, batch_id)`` — typically a closure over pipeline.load_day's
+    merge stages. Exactly-once per file via the checkpoint."""
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("value", T.StringType()),
+                ]
+            )
+        )
+        .format("text")
+        .option("wholetext", "true")
+        .load(raw_glob)
+        .select(
+            F.explode(
+                F.from_json("value", T.ArrayType(element_schema), {"mode": "PERMISSIVE"})
+            ).alias("record")
+        )
+        .select("record.*")
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    *keys: str,
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum — works on a streaming OR batch
+    DataFrame (watermark is a no-op in batch), so tests can assert the batch
+    result and production can run it on readStream unchanged."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.window(ts_col, window).alias("window"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_events_stream_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    output_dir: str,
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """End-to-end streaming rollup: parquet file source → watermarked window
+    agg → parquet append sink, drained with AvailableNow (the reference's
+    daily-cron semantics, minus the cron)."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_stream(src, ts_col, "1 hour", "2 hours", "event_type")
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
