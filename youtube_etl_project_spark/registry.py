@@ -112,6 +112,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         dedup_queries,
         similarity_queries,
         multimodal_queries,
+        sql_interface,
     )
 
     return REGISTRY
