@@ -40,6 +40,10 @@ HEADLINE = [
     "text_langid",
     "multimodal_decode",
     "percentile_value",
+    "rollup_hierarchy",
+    "range_join_events",
+    "salted_skew_join",
+    "conditional_agg",
 ]
 
 

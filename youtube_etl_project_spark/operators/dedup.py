@@ -28,6 +28,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition ahead of CPU-heavy per-row work.
+
+    Small dimension-sized inputs often arrive as a single parquet file →
+    one partition → single-threaded signature/shingle computation (measured:
+    7s single-task vs sub-second spread across 32). One cheap shuffle of the
+    narrow input buys full parallelism for everything downstream; on a real
+    cluster with many input splits this is a no-op cost-wise.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
@@ -155,7 +169,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).alias("doc"),
         word_shingles(toks, shingle_k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -202,28 +216,34 @@ def ngram_jaccard_pairs(
     the ground-truth twin of minhash_lsh_pairs. Cost ∝ co-occurring shingle
     pairs; at 100 TB use the LSH variant and keep this for sampled audits."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).alias("doc"),
         word_shingles(toks, shingle_k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sizes = base.select("doc", F.size("shingles").alias("n_sh"))
-    exploded = base.select("doc", F.explode("shingles").alias("sh"))
+    # Join on 64-bit shingle hashes, not strings: same intersection counts
+    # (collision odds ~2^-64), smaller shuffle, cheaper compares. n_sh rides
+    # along each exploded row so union sizes come out of the pair groupBy
+    # directly — no post-aggregation size joins (and no base re-execution).
+    exploded = base.select(
+        "doc",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+    )
 
     l, r = exploded.alias("l"), exploded.alias("r")
     inter = (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
         .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("l.n_sh")).alias("n_a"),
+            F.first(F.col("r.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.doc"))
-        .join(sb, F.col("id_b") == F.col("sb.doc"))
-        .withColumn(
+        inter.withColumn(
             "jaccard",
-            F.col("n_inter")
-            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -268,7 +288,9 @@ def simhash64_df(
     hash array per bit — fine for ad-hoc columns, wrong shape for a corpus
     scan). Returns (id, n_tokens, simhash). One shuffle on the doc id."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    tok_rows = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("t"))
+    tok_rows = spread(docs).select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("t")
+    )
     hashed = tok_rows.select("doc", F.xxhash64("t", F.lit(seed)).alias("h"))
     agg = hashed.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -113,6 +113,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         similarity_queries,
         multimodal_queries,
         sql_interface,
+        advanced_rel,
     )
 
     return REGISTRY

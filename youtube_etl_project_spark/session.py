@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # bucketed-table support without polluting the repo: warehouse +
+        # derby metastore under /tmp (derby home only applies to the first
+        # JVM in a process — fine for tests/bench)
+        .config("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/derby")
+        .config("spark.sql.sources.bucketing.enabled", "true")
     )
     if master or not SparkSession.getActiveSession():
         builder = builder.master(master or f"local[{cpus}]")

