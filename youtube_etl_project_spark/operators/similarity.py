@@ -123,6 +123,126 @@ def _table_keys(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) 
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    vec: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means-lite coarse quantizer (the IVF training step).
+
+    Seeds = the k lowest-id vectors; ``iters`` Lloyd rounds, each a single
+    assign-and-average DataFrame pass (posexplode → mean per (cell, pos)).
+    Only the K×dim centroid matrix ever reaches the driver — that is the
+    *model*, not the data, so the collect is legitimate at any scale.
+    """
+    seeds = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec)
+        .collect()
+    )
+    centroids = [list(map(float, r[0])) for r in seeds]
+    for _ in range(iters):
+        assigned = vectors.withColumn(
+            "__cell", nearest_centroid(F.col(vec), centroids)
+        )
+        rows = (
+            assigned.select("__cell", F.posexplode(vec).alias("pos", "val"))
+            .groupBy("__cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        fresh: dict[int, list[float]] = {}
+        for r in rows:
+            fresh.setdefault(r["__cell"], [0.0] * dim)[r["pos"]] = float(r["m"])
+        centroids = [fresh.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), as a Column over literal
+    centroid arrays — map-side assignment, no join."""
+
+    def sqdist(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best_idx = F.lit(0)
+    best_d = sqdist(centroids[0])
+    for i in range(1, len(centroids)):
+        d = sqdist(centroids[i])
+        closer = d < best_d
+        best_idx = F.when(closer, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return best_idx.cast("int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: candidates pre-bucketed by nearest centroid; each query
+    probes its n_probe closest cells and scores only those candidates.
+    The cell equi-join replaces the cross product — the other classic ANN
+    scale path besides hyperplane LSH."""
+    c = candidates.withColumn("__cell", nearest_centroid(F.col(vec), centroids))
+
+    def cdist(c_: list[float], qv: Column) -> Column:
+        lit = F.array(*[F.lit(x) for x in c_])
+        return F.aggregate(
+            F.zip_with(qv, lit, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(
+                cdist(centroids[i], F.col(vec)).alias("d"), F.lit(i).alias("cell")
+            )
+            for i in range(len(centroids))
+        ]
+    )
+    q = queries.withColumn(
+        "__probes",
+        F.transform(
+            F.slice(F.array_sort(dists), 1, n_probe), lambda s: s.getField("cell")
+        ),
+    ).select(query_id, F.col(vec).alias("__qv"), F.explode("__probes").alias("__cell"))
+
+    scored = (
+        q.join(c.select(cand_id, F.col(vec).alias("__cv"), "__cell"), "__cell")
+        .filter(F.col(query_id) != F.col(cand_id))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            cand_id,
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -71,6 +71,23 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_ivf_ann",
+    oracle=None,  # data-derived centroids; pinned by tests/test_ivf.py
+    doc="X3 scale path #2: IVF — k-means-lite coarse quantizer (2 Lloyd "
+        "rounds, only the K×dim model reaches the driver), cell equi-join, "
+        "n_probe cells per query; recall=1.0 at n_probe=K in tests",
+)
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.kmeans_centroids(emb, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return similarity.ivf_topk(queries, candidates, centroids, k=5, n_probe=3)
+
+
+@register(
     "embed_centroid_by_label",
     oracle="""
         SELECT label,

@@ -114,6 +114,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         multimodal_queries,
         sql_interface,
         advanced_rel,
+        advanced2,
     )
 
     return REGISTRY
