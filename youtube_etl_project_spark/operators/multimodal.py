@@ -70,4 +70,7 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    # Production note: with a real (CPU-bound) decoder, repartition first
+    # (operators.dedup.spread) so batches spread across executors; for the
+    # stub the extra payload shuffle costs more than the decode.
     return df.select(id_col, "payload").mapInPandas(batches, DECODE_SCHEMA)

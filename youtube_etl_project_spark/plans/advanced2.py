@@ -66,7 +66,6 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension (one job, cached by Spark plan)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -74,14 +73,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(cnt("tf"))
-    df = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # corpus size as a broadcast 1-row dimension, not a driver .count() —
+    # keeps the whole computation one lazy plan
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
         )
         .filter(F.col("tf") >= 3)
         .select("doc_id", "term", "tf", "tfidf")
@@ -112,6 +112,31 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+        SELECT o_orderkey, measure, CAST(val AS DOUBLE) AS val
+        FROM (
+            SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+            FROM orders
+        )
+    """,
+    doc="Unpivot (wide → long) via stack — the inverse of pivot",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', CAST(o_totalprice AS DOUBLE), "
+            "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, val)"
+        ),
     )
 
 
