@@ -61,7 +61,10 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run("flagship_daily_agg")  # warmup: JVM/JIT + parquet footer cache
+    # warmup: JVM/JIT + parquet footer cache + Python UDF worker pool (the
+    # first pandas_udf in a session pays ~5s of worker spin-up)
+    run("flagship_daily_agg")
+    run("multimodal_decode")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
