@@ -292,15 +292,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     """,
-    doc="J3 core: left-anti join (insert-only MERGE's NOT MATCHED, FA:439-482)",
+    doc="J3 core: left-anti join (insert-only MERGE's NOT MATCHED, "
+        "FA:439-482); status filter keeps the result non-empty at every sf",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
     return customer.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        pending, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

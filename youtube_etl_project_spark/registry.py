@@ -115,6 +115,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         sql_interface,
         advanced_rel,
         advanced2,
+        advanced3,
     )
 
     return REGISTRY
