@@ -1,0 +1,188 @@
+"""Training-corpus pipeline wave (SURVEY §2b X1/X2/X4 extensions): the ops a
+large-scale LLM-data pipeline runs *after* near-dup pair detection — cluster
+assignment via connected components, deterministic train/test splits,
+stratified sampling, and PII scrubbing.
+
+All four are oracle-checked. The connected-components oracle is a DuckDB
+recursive CTE computing min-reachable-id transitive closure — feasible at
+sf0.01; the Spark side is iterative min-label propagation
+(operators/graph.py) that scales to billions of edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import dedup, graph
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+# Shared DuckDB CTE producing the exact 3-gram Jaccard ≥ 0.5 near-dup pairs
+# (same semantics as the `dedup_ngram_jaccard` oracle in dedup_queries.py).
+_PAIRS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+"""
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ),
+        cc AS (SELECT n AS doc_id, MIN(m) AS root FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               COALESCE(cc.root, d.doc_id) AS cluster_id,
+               CAST(COALESCE(cc.root, d.doc_id) = d.doc_id AS BIGINT)
+                   AS is_canonical
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """,
+    doc="X2 end-to-end: near-dup pairs → connected components → per-doc "
+        "cluster id + keep-the-min-id survivor flag. Transitive closure "
+        "matters: A~B, B~C must collapse A,B,C even without an A~C pair. "
+        "Oracle = DuckDB recursive CTE; Spark = iterative min-label "
+        "propagation (operators/graph.py)",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+        .cast("long")
+        .alias("is_canonical"),
+    )
+
+
+@register(
+    "train_test_split_hash",
+    oracle="""
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+                    THEN 'test' ELSE 'train' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Deterministic hash split (~16% test): md5-hex prefix compare — "
+        "stable across runs, engines, partitionings, and data order; no "
+        "seed state to ship to executors. The standard leakage-free split "
+        "for training corpora",
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+        < "29",
+        "test",
+    ).otherwise("train")
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+        SELECT lang, doc_id, n_chars
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    doc="Stratified sampling: exact per-stratum quota (20 docs per lang) by "
+        "ranking on a deterministic hash — unlike sampleBy(), quota is "
+        "exact and reproducible. One shuffle on the stratum key; at scale "
+        "rank within partitions first to pre-prune (TopK pattern)",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\d{3}[-.]\d{3,4}[-.]\d{4}', '<PHONE>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails
+        FROM documents
+    """,
+    doc="X4: PII scrubbing pass — regex redaction of emails/phone shapes "
+        "plus a redaction count for corpus QA. Pure JVM regexp_replace, "
+        "whole-stage codegen, no UDF",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+    )

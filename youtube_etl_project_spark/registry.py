@@ -116,6 +116,8 @@ def load_all_plans() -> dict[str, QuerySpec]:
         advanced_rel,
         advanced2,
         advanced3,
+        corpus_pipeline,
+        analytics2,
     )
 
     return REGISTRY
