@@ -1,0 +1,95 @@
+"""Physical-plan audit across the whole registry — the 100 TB design gates
+as executable assertions:
+
+* no row-at-a-time Python UDFs anywhere (BatchEvalPython);
+* Arrow/pandas execution only in the operators that genuinely need Python
+  (multimodal decode, dense linear algebra);
+* dimension joins are broadcast in the star-schema queries;
+* predicates reach the parquet scan (PushedFilters).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from youtube_etl_project_spark.registry import load_all_plans
+
+# Queries allowed to run Python at all — each is vectorized (ArrowEvalPython
+# / MapInPandas), never row-at-a-time, and each is Python for a reason:
+# numpy matmul (similarity/IVF) or the stubbed binary decode (multimodal).
+ARROW_ALLOWED = {
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+    "embed_ivf_ann",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+}
+
+_ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in load_all_plans().items():
+        out[name] = _plan(spec.fn(spark, sf_dir))
+    return out
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_python_only_where_vectorized_and_justified(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if any(op in p for op in _ARROW_OPS) and n not in ARROW_ALLOWED
+    ]
+    assert not offenders, f"unexpected Python stages in: {offenders}"
+
+
+def test_star_schema_queries_broadcast_their_dims(plans):
+    for name in (
+        "flagship_daily_agg",
+        "join_fact_dim",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q10_returned_revenue",
+        "tpch_q18_large_orders",
+    ):
+        assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_fact_filters_push_to_parquet_scan(plans):
+    for name in ("filter_kind", "filter_date_incremental", "filter_notnull"):
+        plan = plans[name]
+        assert "PushedFilters: [" in plan, name
+        pushed = [
+            line for line in plan.splitlines() if "PushedFilters" in line
+        ]
+        assert any(
+            "[]" not in line for line in pushed
+        ), f"{name}: no predicate reached the scan"
+
+
+def test_whole_stage_codegen_everywhere(plans):
+    # every relational query should have at least one codegen span; a plan
+    # with none is running fully interpreted
+    missing = [
+        n
+        for n, p in plans.items()
+        if "WholeStageCodegen" not in p and n not in ARROW_ALLOWED
+    ]
+    assert not missing, f"no codegen span in: {missing}"

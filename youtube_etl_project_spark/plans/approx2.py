@@ -1,0 +1,79 @@
+"""Wave 6 analytics: per-group z-score normalization (exact, windowed) and
+mergeable HLL sketches (the map-side-combinable distinct-count shape that
+replaces exact countDistinct at 100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "zscore_by_type",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, event_type, value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY event_type) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))
+                            * CAST(value AS DECIMAL(28,10)))
+                        OVER (PARTITION BY event_type) AS DOUBLE) AS s2,
+                   COUNT(value) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_id, event_type,
+               ROUND((value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+        FROM stats
+    """,
+    doc="Per-group z-score normalization — the feature-scaling pass. "
+        "Mean/variance come from decimal-exact sum and sum-of-squares "
+        "(never STDDEV built-ins: their accumulation order differs between "
+        "engines), derived per row via an unordered window partition — one "
+        "shuffle on the group key, no join-back",
+)
+def zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    d6 = F.col("value").cast("decimal(18,6)")
+    d10 = F.col("value").cast("decimal(28,10)")
+    s1 = F.sum(d6).over(w).cast("double")
+    s2 = F.sum(d10 * d10).over(w).cast("double")
+    n = F.count("value").over(w)
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return ev.select("event_id", "event_type", F.round(z, 6).alias("z"))
+
+
+@register(
+    "approx_hll_sketch_merge",
+    oracle=None,  # Apache DataSketches HLL binary — no DuckDB twin;
+    # tests/test_approx_sketch.py pins estimates and error vs exact
+    doc="X7 scale path: per-day HLL sketches of distinct users, merged "
+        "with hll_union_agg into a total estimate. Sketches are mergeable "
+        "partial aggregates — map-side combine + rollup reuse without "
+        "re-scanning raw data, the only distinct-count shape that "
+        "composes across 100 TB of daily partitions",
+)
+def approx_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_distinct"),
+        "exact_distinct",
+    )
+    total = daily.agg(
+        F.lit(None).cast("date").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return per_day.unionByName(total)

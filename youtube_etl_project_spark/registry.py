@@ -118,6 +118,8 @@ def load_all_plans() -> dict[str, QuerySpec]:
         advanced3,
         corpus_pipeline,
         analytics2,
+        analytics3,
+        approx2,
     )
 
     return REGISTRY

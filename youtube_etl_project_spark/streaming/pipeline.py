@@ -89,6 +89,41 @@ def windowed_event_stream(
     )
 
 
+def deduped_event_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    *keys: str,
+) -> DataFrame:
+    """Exactly-once-per-key ingestion dedup for at-least-once sources
+    (retried API pages, replayed files): keep the first arrival of each key,
+    dropping redelivered copies that arrive within the watermark horizon.
+
+    Streaming uses ``dropDuplicatesWithinWatermark`` — state per key is
+    evicted once the watermark passes it, so memory is bounded by (event
+    rate × watermark), not corpus size; that is the only safe shape at
+    100 TB/day ingest. Batch twin: plain dropDuplicates, same columns.
+    """
+    cols = list(keys) or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)
+
+
+def enriched_event_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (slowly
+    changing) dimension snapshot. The static side is broadcast — no
+    per-batch shuffle of the stream, no streaming state; the planner
+    re-reads the dim per batch so dim updates are picked up without
+    restarting the query."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_events_stream_availablenow(
     spark: SparkSession,
     source_dir: str,
