@@ -44,6 +44,10 @@ HEADLINE = [
     "range_join_events",
     "salted_skew_join",
     "conditional_agg",
+    "dedup_cluster_lsh",
+    "corpus_filter_funnel",
+    "zscore_by_type",
+    "tpch_q10_returned_revenue",
 ]
 
 

@@ -43,18 +43,21 @@ def connected_components(
     internally. Nodes appearing only as isolated points must be unioned by
     the caller (left-join the full entity table against this result).
     """
+    # Checkpoint the raw edges FIRST: the input is typically the tail of an
+    # expensive pipeline (LSH or all-pairs Jaccard), and every downstream
+    # branch below references it — without this cut the pair pipeline
+    # re-executes once per branch (measured 4x at sf0.1).
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.union(edges.select(F.col("b"), F.col("a")))
         .distinct()
-    )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
 
     for _ in range(max_iter):
         # min label among neighbors: edges(a,b) ⋈ labels(b) → min per a

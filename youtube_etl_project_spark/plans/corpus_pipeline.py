@@ -186,3 +186,101 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_emails"),
     )
+
+
+@register(
+    "doc_embedding_join",
+    oracle="""
+        SELECT d.doc_id, d.lang, e.label,
+               ROUND(sqrt(list_inner_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])), 6)
+                   AS l2_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Text ⋈ vector modality join (doc_id = vec_id): per-doc L2 norm via "
+        "a sequential double fold — same accumulation order as DuckDB's "
+        "list_inner_product, so no rounding slack needed beyond display. "
+        "The join key is the shared id — at scale both tables bucket on it",
+)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(
+        ed, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        docs.join(
+            emb.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+        ).select(
+            "doc_id", "lang", "label",
+            F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        )
+    )
+
+
+@register(
+    "text_bigram_top",
+    oracle="""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), bi AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bi GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+    doc="X4: corpus-wide top-50 bigram frequencies — zip_with a shifted "
+        "token array (no per-index slicing), explode, count, "
+        "deterministically tie-broken top-k. The n-gram LM / contamination "
+        "screening primitive",
+)
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # concat propagates the null padding from zip_with's shorter side; the
+    # slice keeps exactly the size-1 real bigrams
+    paired = F.zip_with(
+        t,
+        F.slice(t, 2, F.size(t)),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bigrams = F.when(F.size(t) >= 2, F.slice(paired, 1, F.size(t) - 1))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_cluster_lsh",
+    oracle=None,  # LSH candidates are xxhash64-seeded; tests/test_graph_lsh.py
+    # pins the refinement property against the exact-pair clustering
+    doc="X2 at 100 TB: the production dedup path — MinHash-LSH candidate "
+        "pairs (cost ∝ collisions, not n²) → connected components → "
+        "cluster id + survivor flag. Same output contract as "
+        "dedup_cluster_cc, which is its exact-pair oracle twin",
+)
+def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
+        threshold=0.5,
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+        .cast("long")
+        .alias("is_canonical"),
+    )
