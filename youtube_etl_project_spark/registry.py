@@ -120,6 +120,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         approx2,
+        sequences,
     )
 
     return REGISTRY
