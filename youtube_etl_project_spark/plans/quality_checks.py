@@ -1,0 +1,100 @@
+"""Wave 9: declarative data-quality constraint suite (the Deequ/dbt-test
+shape) — each check is a tiny aggregate; the union reports violation counts
+per named constraint. At scale each check is one pass over the relevant
+table (Catalyst merges same-table checks into shared scans), and the output
+is a handful of rows regardless of input size."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "dq_checks",
+    oracle="""
+        SELECT 'orders_custkey_not_null' AS check_name,
+               COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'events_event_id_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'orders_custkey_in_customer', COUNT(*)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NULL
+        UNION ALL
+        SELECT 'events_value_in_range',
+               COUNT(*) FILTER (WHERE value < 0 OR value > 10000)
+        FROM events
+        UNION ALL
+        SELECT 'documents_lang_in_domain',
+               COUNT(*) FILTER (WHERE lang NOT IN
+                   ('en', 'de', 'fr', 'es', 'zh'))
+        FROM documents
+    """,
+    doc="Constraint suite over the warehouse: not-null, uniqueness, "
+        "referential integrity (anti-join), range, and domain checks, "
+        "reported as violation counts per named check — the engine-side "
+        "equivalent of the reference's defensive extraction guarantees "
+        "(SURVEY §2a error-handling semantics)",
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    not_null = check(
+        "orders_custkey_not_null",
+        orders.agg(
+            F.count_if(F.col("o_custkey").isNull()).alias("violations")
+        ),
+    )
+    unique = check(
+        "events_event_id_unique",
+        events.agg(
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+                "violations"
+            )
+        ),
+    )
+    ref_integrity = check(
+        "orders_custkey_in_customer",
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    in_range = check(
+        "events_value_in_range",
+        events.agg(
+            F.count_if(
+                (F.col("value") < 0) | (F.col("value") > 10000)
+            ).alias("violations")
+        ),
+    )
+    domain = check(
+        "documents_lang_in_domain",
+        docs.agg(
+            F.count_if(
+                ~F.col("lang").isin("en", "de", "fr", "es", "zh")
+            ).alias("violations")
+        ),
+    )
+    return (
+        not_null.unionByName(unique)
+        .unionByName(ref_integrity)
+        .unionByName(in_range)
+        .unionByName(domain)
+    )

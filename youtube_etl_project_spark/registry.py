@@ -121,6 +121,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         analytics3,
         approx2,
         sequences,
+        quality_checks,
     )
 
     return REGISTRY

@@ -124,6 +124,46 @@ def enriched_event_stream(
     return events.join(F.broadcast(dim), on, how)
 
 
+def interval_joined_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: right-side events within
+    ``within`` after the left event, per key (the attribution/sessionize
+    shape — view→click within 30 min).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can size and evict the join state — without
+    the time bound, stream-stream state grows forever. Works identically on
+    batch DataFrames (watermark no-op, same interval predicate), so tests
+    assert streamed == batch twin.
+    """
+    l = left.select(
+        F.col(key).alias("k"), F.col(ts_col).alias("l_ts")
+    )
+    r = right.select(
+        F.col(key).alias("r_k"), F.col(ts_col).alias("r_ts")
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("k").alias(key),
+        F.unix_timestamp("l_ts").alias("left_ts"),
+        F.unix_timestamp("r_ts").alias("right_ts"),
+    )
+
+
 def run_events_stream_availablenow(
     spark: SparkSession,
     source_dir: str,
