@@ -122,6 +122,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         approx2,
         sequences,
         quality_checks,
+        analytics4,
     )
 
     return REGISTRY
