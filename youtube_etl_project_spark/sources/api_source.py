@@ -1,0 +1,117 @@
+"""Custom Python DataSource: the reference's API-scan surface as a native
+Spark source (SURVEY §2a S1-S4).
+
+The reference scans a paginated HTTP API per (region, keyword) combination
+(reference: ``src/youtube_collector.py:150-200`` search pagination,
+``src/config.py:42-44`` region × keyword fan-out). Spark-first, that scan
+IS a data source: each (region, keyword) page range becomes an
+``InputPartition``, so the fan-out parallelizes across executors, the
+schema is declared once, and downstream queries compose with the whole
+DataFrame surface (filters on the partition columns prune at planning
+time inside ``partitions()``).
+
+No network in this environment, so the fetch is a deterministic synthetic
+generator (seeded by region/keyword/offset) behind the same interface a
+real HTTP client would implement — swap ``_fetch_page`` for a requests
+call and nothing else changes. This is the idiomatic Spark 4 shape for
+"read from an API at scale": pagination state lives in partitions, not in
+a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DEFAULT_REGIONS = ("US", "IN", "GB", "PK", "CA")
+DEFAULT_KEYWORDS = ("music", "news", "sports", "gaming", "tech", "food")
+
+SCHEMA = (
+    "video_id string, region string, keyword string, title string, "
+    "views bigint, likes bigint, comments bigint"
+)
+
+
+def _h(*parts: object) -> int:
+    raw = "|".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+
+
+def _fetch_page(
+    region: str, keyword: str, offset: int, page_size: int
+) -> list[tuple]:
+    """Deterministic stand-in for one API page (replace with HTTP client)."""
+    rows = []
+    for i in range(offset, offset + page_size):
+        seed = _h(region, keyword, i)
+        rows.append(
+            (
+                f"vid_{seed % 10**12:012d}",
+                region,
+                keyword,
+                f"{keyword} video {i} ({region})",
+                seed % 1_000_000,
+                (seed // 7) % 50_000,
+                (seed // 11) % 5_000,
+            )
+        )
+    return rows
+
+
+class YouTubeApiPartition(InputPartition):
+    def __init__(self, region: str, keyword: str, offset: int, size: int):
+        self.region = region
+        self.keyword = keyword
+        self.offset = offset
+        self.size = size
+
+
+class YouTubeApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.regions: Sequence[str] = tuple(
+            (options.get("regions") or ",".join(DEFAULT_REGIONS)).split(",")
+        )
+        self.keywords: Sequence[str] = tuple(
+            (options.get("keywords") or ",".join(DEFAULT_KEYWORDS)).split(",")
+        )
+        self.per_combo = int(options.get("resultsPerCombo", "10"))
+        # API page limit: the reference chunks requests at 50 ids
+        # (src/youtube_collector.py:181); same bound per partition here
+        self.page_size = min(int(options.get("pageSize", "50")), 50)
+
+    def partitions(self) -> list[YouTubeApiPartition]:
+        parts = []
+        for r in self.regions:
+            for k in self.keywords:
+                for off in range(0, self.per_combo, self.page_size):
+                    parts.append(
+                        YouTubeApiPartition(
+                            r, k, off, min(self.page_size, self.per_combo - off)
+                        )
+                    )
+        return parts
+
+    def read(self, partition: YouTubeApiPartition) -> Iterator[tuple]:
+        yield from _fetch_page(
+            partition.region,
+            partition.keyword,
+            partition.offset,
+            partition.size,
+        )
+
+
+class YouTubeApiStubDataSource(DataSource):
+    """Register with ``spark.dataSource.register(YouTubeApiStubDataSource)``
+    then ``spark.read.format("youtube_api_stub").option(...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "youtube_api_stub"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> YouTubeApiReader:
+        return YouTubeApiReader(self.options)
