@@ -1,0 +1,217 @@
+"""Empirical scaling probe: replicate the sf0.1 fixtures 1x/4x/16x and
+measure headline-operator runtimes, to verify near-linear scaling (the
+local stand-in for "would this survive 100x?").
+
+Replication is structure-preserving, not naive row duplication:
+
+* documents: per-replica token remapping (every token gets a replica
+  suffix) — replicas share no shingles, so the TRUE near-dup pair count
+  scales linearly with corpus size instead of quadratically, and measured
+  LSH growth reflects the algorithm, not an artifact of cloned text.
+* embeddings: per-replica deterministic scalar perturbation + id offset.
+* events: id/user offsets + replica time shift (horizontal user growth).
+* orders/lineitem/customer: key-offset replicas (star-schema integrity
+  kept; nation/region/part/supplier dims unchanged).
+
+Usage:  python tools/scale_probe.py [> SCALE.md]
+Data is built once under /tmp/scale_probe/repN and reused.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+ROOT = "/tmp/scale_probe"
+REPS = (1, 4, 16)
+
+PROBE_QUERIES = (
+    "flagship_daily_agg",
+    "q1_pricing_summary",
+    "window_latest_per_key",
+    "events_session_window",
+    "funnel_conversion",
+    "text_langid",
+    "dedup_minhash_lsh",
+    "dedup_cluster_lsh",
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+)
+
+COPY_TABLES = ("region", "nation", "part", "supplier")
+
+
+def _build_replica(spark: SparkSession, rep: int, out: str) -> None:
+    from youtube_etl_project_spark.sources import load_table
+
+    os.makedirs(out, exist_ok=True)
+
+    def done(name: str) -> str:
+        return os.path.join(out, f"{name}.parquet")
+
+    for t in COPY_TABLES:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(done(t))
+
+    docs = load_table(spark, SRC, "documents")
+    n_docs = docs.count()
+    doc_parts = []
+    for r in range(rep):
+        toks = F.split(F.col("text"), " ")
+        remapped = F.array_join(
+            F.transform(toks, lambda x: F.concat(x, F.lit(f"~{r}"))), " "
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + r * n_docs).alias("doc_id"),
+                remapped.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_all(doc_parts).write.mode("overwrite").parquet(done("documents"))
+
+    emb = load_table(spark, SRC, "embeddings")
+    n_emb = emb.count()
+    emb_parts = [
+        emb.select(
+            (F.col("vec_id") + r * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.0 + r * 0.001)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        for r in range(rep)
+    ]
+    _union_all(emb_parts).write.mode("overwrite").parquet(done("embeddings"))
+
+    ev = load_table(spark, SRC, "events")
+    n_ev, n_users = ev.count(), 10_000_000
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + r * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + r * n_users).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for r in range(rep)
+    ]
+    # events.parquet upstream is TIMESTAMP(NANOS); writing TimestampType
+    # back out is fine — load_table handles both
+    _union_all(ev_parts).write.mode("overwrite").parquet(done("events"))
+
+    cust = load_table(spark, SRC, "customer")
+    n_cust = cust.count()
+    _union_all(
+        [
+            cust.select(
+                (F.col("c_custkey") + r * n_cust).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+            for r in range(rep)
+        ]
+    ).write.mode("overwrite").parquet(done("customer"))
+
+    orders = load_table(spark, SRC, "orders")
+    n_ord = orders.count()
+    _union_all(
+        [
+            orders.select(
+                (F.col("o_orderkey") + r * n_ord).alias("o_orderkey"),
+                (F.col("o_custkey") + r * n_cust).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+            for r in range(rep)
+        ]
+    ).write.mode("overwrite").parquet(done("orders"))
+
+    li = load_table(spark, SRC, "lineitem")
+    _union_all(
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + r * n_ord)
+            for r in range(rep)
+        ]
+    ).write.mode("overwrite").parquet(done("lineitem"))
+
+
+def _union_all(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from youtube_etl_project_spark.registry import load_all_plans
+    from youtube_etl_project_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans = load_all_plans()
+
+    dirs = {}
+    for rep in REPS:
+        d = os.path.join(ROOT, f"rep{rep}")
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+            print(f"building rep{rep}...", file=sys.stderr)
+            _build_replica(spark, rep, d)
+        dirs[rep] = d
+
+    # warmup (JIT + python workers) on the smallest replica
+    for q in PROBE_QUERIES:
+        plans[q].fn(spark, dirs[REPS[0]]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    for rep in REPS:
+        for q in PROBE_QUERIES:
+            # best-of-2: this host shows transient 10x stalls (GC/noisy
+            # neighbor); the min is the reproducible algorithmic cost
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                plans[q].fn(spark, dirs[rep]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            results[q][rep] = best
+            print(f"rep{rep} {q} {best:.2f}s", file=sys.stderr)
+
+    print("# SCALE — measured scaling of headline operators")
+    print()
+    print(
+        "Structure-preserving fixture replication at 1x/4x/16x of sf0.1\n"
+        "(see `tools/scale_probe.py`; disjoint token/key spaces per replica\n"
+        "so duplicate structure and join fan-out stay linear). `t16/t1` near\n"
+        "16 means linear in data; well below 16 means fixed overhead still\n"
+        "dominates at this size; well above means super-linear — a scale\n"
+        "bug. local[32], single JVM."
+    )
+    print()
+    print("| query | t(1x) s | t(4x) s | t(16x) s | t16/t1 |")
+    print("|---|---|---|---|---|")
+    for q in PROBE_QUERIES:
+        r = results[q]
+        ratio = r[16] / r[1] if r[1] > 0 else float("nan")
+        print(
+            f"| {q} | {r[1]:.2f} | {r[4]:.2f} | {r[16]:.2f} | {ratio:.1f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -309,26 +309,41 @@ def lsh_topk(
     """
     keys_udf = _table_keys_vectorized(dim, n_planes, n_tables, seed)
 
-    def with_buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
-        keyed = df.select(
-            F.col(id_out), F.col(vec).alias(vec_out), keys_udf(vec).alias("__ks")
-        )
+    def bucket_ids(df: DataFrame, id_out: str) -> DataFrame:
+        # ids + bucket keys ONLY — the 64-float vectors never enter the
+        # bucket join or the pair dedup (measured 12x blow-up at 80k
+        # candidates when they did: every exploded row, join row, and
+        # dropDuplicates shuffle carried two dense arrays)
+        keyed = df.select(F.col(id_out), keys_udf(vec).alias("__ks"))
         return keyed.select(
-            id_out,
-            vec_out,
-            F.posexplode("__ks").alias("__table", "__key"),
+            id_out, F.posexplode("__ks").alias("__table", "__key")
         ).select(
             id_out,
-            vec_out,
-            F.struct(F.col("__table").alias("table"), F.col("__key").alias("key")).alias("__b"),
+            F.struct(
+                F.col("__table").alias("table"), F.col("__key").alias("key")
+            ).alias("__b"),
         )
 
-    q = with_buckets(queries, query_id, "__qv")
-    c = with_buckets(candidates, cand_id, "__cv")
-    scored = (
-        q.join(c, "__b")
+    # query side is small by contract → broadcast: the candidate side never
+    # shuffles for the bucket join, only the bare id pairs do (for dedup)
+    pairs = (
+        F.broadcast(bucket_ids(queries, query_id))
+        .join(bucket_ids(candidates, cand_id), "__b")
         .filter(F.col(query_id) != F.col(cand_id))
+        .select(query_id, cand_id)
         .dropDuplicates([query_id, cand_id])
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+            ),
+            query_id,
+        )
+        .join(
+            candidates.select(F.col(cand_id), F.col(vec).alias("__cv")),
+            cand_id,
+        )
         .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy(query_id).orderBy(
