@@ -42,6 +42,14 @@ PROBE_QUERIES = (
     "dedup_cluster_lsh",
     "embed_cosine_topk",
     "embed_lsh_ann",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_ivf_ann",
+    "text_tfidf",
+    "range_join_events",
+    "asof_join_events",
+    "retention_cohorts",
+    "multimodal_decode",
 )
 
 COPY_TABLES = ("region", "nation", "part", "supplier")
