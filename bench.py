@@ -48,6 +48,7 @@ HEADLINE = [
     "corpus_filter_funnel",
     "zscore_by_type",
     "tpch_q10_returned_revenue",
+    "embed_ivf_ann",
 ]
 
 
