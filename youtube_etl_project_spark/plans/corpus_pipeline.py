@@ -284,3 +284,103 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_canonical"),
     )
+
+
+@register(
+    "decontaminate_overlap",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), bench AS (
+            SELECT DISTINCT unnest(shingles) AS s
+            FROM sh WHERE source = 'src0'
+        ), corpus AS (
+            SELECT doc_id, unnest(shingles) AS s
+            FROM sh WHERE source <> 'src0'
+        )
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.s = b.s
+        GROUP BY c.doc_id
+        HAVING COUNT(*) >= 8
+    """,
+    doc="Benchmark decontamination: flag corpus docs sharing >= 8 distinct "
+        "3-gram shingles with a held-out set (source='src0' stands in for "
+        "the eval benchmark). Asymmetric overlap join on shingle ids — the "
+        "blocklist side dedups to distinct shingles first, so cost scales "
+        "with corpus shingles x hit rate, not corpus x benchmark",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    sh = dedup.spread(docs).select(
+        "doc_id",
+        "source",
+        dedup.word_shingle_ids(toks, 3).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 8)
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents
+        ), ordered AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR((cum - 1) / 2048) AS BIGINT) AS bin_id
+        FROM ordered
+    """,
+    doc="Sequence packing for training batches: deterministic order "
+        "(longest first, id tiebreak), running token count, bin = "
+        "cumsum div budget (2048). The window is a single global sort — "
+        "at 100 TB shard first (pack per partition) since bins need not "
+        "be globally contiguous; the per-shard plan is this exact query",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    )
+    w = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("cum") - 1) / 2048).alias("bin_id"),
+        )
+    )
