@@ -219,3 +219,67 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
         .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter-scan-aggregate — every predicate "
+        "reaches the parquet scan (PushedFilters), no join, no shuffle "
+        "beyond the scalar-aggregate gather; the query whose runtime IS "
+        "the scan throughput",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", "decimal(8,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+        SELECT ROUND(
+                 CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4))))
+                        AS DOUBLE), 6) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    doc="TPC-H Q14 shape: conditional revenue share after a broadcast "
+        "dim join — CASE inside the aggregate, one pass, one scalar out",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "decimal(8,4)"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(28,8)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_share")
+        )
+    )
