@@ -92,12 +92,12 @@ register(
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 4)
                    AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                         * (1 - CAST(l_discount AS DECIMAL(8,4)))
-                        * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE)
+                        * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE), 4)
                    AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
                    AS avg_qty,
@@ -120,8 +120,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dec_sum("l_quantity", "sum_qty"),
         dec_sum("l_extendedprice", "sum_base_price"),
-        F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
-        F.sum(price * disc_f * tax_f).cast("double").alias("sum_charge"),
+        # scale-8 decimal sums: round post-cast — DuckDB's int128-scaled
+        # decimal->double conversion can be 1 ULP off Java's correctly-
+        # rounded BigDecimal.doubleValue (seen at sf0.001)
+        F.round(F.sum(price * disc_f).cast("double"), 4).alias("sum_disc_price"),
+        F.round(F.sum(price * disc_f * tax_f).cast("double"), 4).alias("sum_charge"),
         dec_avg("l_quantity", "avg_qty"),
         cnt("count_order"),
     )

@@ -92,8 +92,8 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT label,
                CAST(pos AS INTEGER) AS pos,
-               CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE) / COUNT(val)
-                   AS centroid
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(val), 6) AS centroid
         FROM (
             SELECT label,
                    unnest(range(0, len(embedding))) AS pos,
@@ -111,9 +111,13 @@ def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
-            (
+            # float->decimal(28,9) rounding differs per element between
+            # engines (~1e-9); round the mean so summed drift (seen at
+            # sf0.1 over 320k elements) stays below the comparison
+            F.round(
                 F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
-                / F.count("val")
+                / F.count("val"),
+                6,
             ).alias("centroid")
         )
     )

@@ -18,6 +18,13 @@ Cross-engine determinism rules used throughout the plans:
 * **Window/rank ties** always get a deterministic tiebreaker key.
 * Counts are ``bigint`` on both sides (DuckDB SUM(int) is HUGEINT — always
   cast).
+* **Decimal→double conversion is engine-specific at high scale**: DuckDB's
+  int128-scaled conversion can differ 1 ULP from Java's correctly-rounded
+  BigDecimal.doubleValue (seen on scale-8 sums at sf0.001). Round such
+  sums post-cast (4-6 dp) on both sides.
+* **Float→decimal casts round differently per engine** (~1e-9/element);
+  any mean/ratio derived from decimal sums over float sources must round
+  its output (seen at sf0.1 over 320k elements).
 """
 
 from __future__ import annotations
