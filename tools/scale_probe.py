@@ -100,7 +100,10 @@ def _build_replica(spark: SparkSession, rep: int, out: str) -> None:
     _union_all(emb_parts).write.mode("overwrite").parquet(done("embeddings"))
 
     ev = load_table(spark, SRC, "events")
-    n_ev, n_users = ev.count(), 10_000_000
+    # Derive the replica user-space stride from the data so replicas can
+    # never overlap even if the fixture's user_id range grows.
+    n_ev = ev.count()
+    n_users = int(ev.agg(F.max("user_id")).first()[0]) + 1
     ev_parts = [
         ev.select(
             (F.col("event_id") + r * n_ev).alias("event_id"),

@@ -220,9 +220,16 @@ def nearest_centroid_vectorized(centroids: list[list[float]]):
 
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        x = np.stack(v.to_numpy()).astype(np.float64)  # batch × dim
-        d = -2.0 * (x @ C.T) + c2  # batch × K
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        # NULL embeddings get cell -1 (never probed, so they fall out of the
+        # cell equi-join) instead of blowing up np.stack for the whole batch.
+        arr = v.to_numpy()
+        valid = np.array([e is not None for e in arr])
+        out = np.full(len(arr), -1, dtype="int32")
+        if valid.any():
+            x = np.stack(arr[valid]).astype(np.float64)  # batch × dim
+            d = -2.0 * (x @ C.T) + c2  # batch × K
+            out[valid] = d.argmin(axis=1).astype("int32")
+        return pd.Series(out)
 
     return assign
 

@@ -27,7 +27,8 @@ from youtube_etl_project_spark.sources import load_table
         )
         SELECT event_id, event_type,
                ROUND((value - s1 / n)
-                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+                     / NULLIF(sqrt(GREATEST(s2 - s1 * s1 / n, 0)
+                                   / (n - 1)), 0), 6) AS z
         FROM stats
     """,
     doc="Per-group z-score normalization — the feature-scaling pass. "
@@ -44,7 +45,13 @@ def zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = F.sum(d6).over(w).cast("double")
     s2 = F.sum(d10 * d10).over(w).cast("double")
     n = F.count("value").over(w)
-    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    # Clamp variance at 0: for all-equal groups floating cancellation can
+    # push (s2 - s1²/n) slightly negative — DuckDB's sqrt then *errors*
+    # (hard gate crash) while Spark returns NaN. Zero variance → NULL z on
+    # both engines (NULLIF / when-guard), since ÷0 semantics also differ.
+    var = F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - 1)
+    den = F.sqrt(var)
+    z = F.when(den > 0, (F.col("value") - s1 / n) / den)
     return ev.select("event_id", "event_type", F.round(z, 6).alias("z"))
 
 

@@ -7,8 +7,10 @@ The reference scans a paginated HTTP API per (region, keyword) combination
 IS a data source: each (region, keyword) page range becomes an
 ``InputPartition``, so the fan-out parallelizes across executors, the
 schema is declared once, and downstream queries compose with the whole
-DataFrame surface (filters on the partition columns prune at planning
-time inside ``partitions()``).
+DataFrame surface. Partition *generation* is driven by the ``regions`` /
+``keywords`` options, so callers scope the fan-out up front; the Python
+DataSource API's filter pushdown (``pushFilters``) is not implemented —
+post-scan filters on region/keyword are ordinary Spark filters.
 
 No network in this environment, so the fetch is a deterministic synthetic
 generator (seeded by region/keyword/offset) behind the same interface a
@@ -71,10 +73,18 @@ class YouTubeApiPartition(InputPartition):
 class YouTubeApiReader(DataSourceReader):
     def __init__(self, options: dict):
         self.regions: Sequence[str] = tuple(
-            (options.get("regions") or ",".join(DEFAULT_REGIONS)).split(",")
+            t.strip()
+            for t in (
+                options.get("regions") or ",".join(DEFAULT_REGIONS)
+            ).split(",")
+            if t.strip()
         )
         self.keywords: Sequence[str] = tuple(
-            (options.get("keywords") or ",".join(DEFAULT_KEYWORDS)).split(",")
+            t.strip()
+            for t in (
+                options.get("keywords") or ",".join(DEFAULT_KEYWORDS)
+            ).split(",")
+            if t.strip()
         )
         self.per_combo = int(options.get("resultsPerCombo", "10"))
         # API page limit: the reference chunks requests at 50 ids
