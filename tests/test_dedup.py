@@ -70,3 +70,92 @@ def test_exact_dedup_deterministic_winner(spark):
     )
     out = dedup.exact_dedup(df, ["k"], [F.col("v").asc()])
     assert {(r.k, r.v) for r in out.collect()} == {(1, 3), (2, 1)}
+
+
+def _hot_corpus(spark):
+    """60 docs sharing one boilerplate sentence + 3 true near-dup pairs.
+
+    The boilerplate shingles have df=60 — without a DF cut they alone
+    put every doc pair in the self-join (60·59/2 = 1770 candidate rows
+    per shared shingle)."""
+    boiler = "copyright notice all rights reserved by the publisher"
+    rows = []
+    for i in range(60):
+        body = " ".join(f"tok{i}_{j} word{(i * 7 + j) % 997}" for j in range(12))
+        rows.append((i, f"{boiler} {body}"))
+    # true near-dups: clone docs 0,1,2 with one body token changed
+    for i in range(3):
+        clone = rows[i][1].replace(f"tok{i}_5", "CHANGED")
+        rows.append((100 + i, clone))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_df_cut_bounds_join_and_keeps_true_dupes(spark):
+    docs = _hot_corpus(spark)
+    uncut = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.5)
+    cut = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, threshold=0.5, max_df=10
+    )
+    true_dupes = {(0, 100), (1, 101), (2, 102)}
+    assert true_dupes <= _pairs(cut)
+    # boilerplate-only doc pairs share ~8 of ~30 shingles → below 0.5
+    # either way, but the cut must not ADD spurious pairs
+    assert _pairs(cut) <= _pairs(uncut) | true_dupes
+
+
+def test_df_cut_join_row_bound(spark):
+    # the actual scale claim: candidate join rows collapse under the cut
+    docs = _hot_corpus(spark)
+
+    def join_rows(max_df):
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        base = docs.select(
+            F.col("doc_id").alias("doc"),
+            dedup.word_shingle_ids(toks, 3).alias("shingles"),
+        )
+        ex = base.select("doc", F.explode("shingles").alias("sh"))
+        if max_df:
+            ex = dedup.df_cut(ex, "sh", max_df)
+        l, r = ex.alias("l"), ex.alias("r")
+        return l.join(
+            r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc"))
+        ).count()
+
+    assert join_rows(None) > 10_000  # boilerplate blowup: 63²-ish per shingle
+    assert join_rows(10) < 1_000    # bounded after the cut
+
+
+def test_lsh_bucket_cap_degrades_gracefully(spark):
+    docs = _hot_corpus(spark)
+    capped = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", 3, n_hashes=32, n_bands=8,
+        threshold=0.5, max_df=10, max_bucket=10,
+    )
+    got = _pairs(capped)
+    true_dupes = {(0, 100), (1, 101), (2, 102)}
+    # near-identical clones agree on non-boilerplate bands too → survive cap
+    assert true_dupes & got, "bucket cap killed all true near-dups"
+    # precision still 1.0: every emitted pair is a verified near-dup
+    exact = _pairs(
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5, max_df=10
+        )
+    )
+    assert got <= exact
+
+
+def test_guarded_lsh_inert_on_clean_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plain = _pairs(
+        dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, n_hashes=32, n_bands=8, threshold=0.5
+        )
+    )
+    guarded = _pairs(
+        dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, n_hashes=32, n_bands=8, threshold=0.5,
+            max_df=50, max_bucket=50,
+        )
+    )
+    # caps sit above the clean corpus's max df/bucket size → no-ops
+    assert guarded == plain

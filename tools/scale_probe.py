@@ -52,6 +52,18 @@ PROBE_QUERIES = (
     "multimodal_decode",
 )
 
+# Hot-shingle stress: same replicas but every document carries one shared
+# (NOT replica-remapped) boilerplate sentence, so its shingles' df grows
+# with corpus size — the quadratic-bucket scenario the df/bucket caps
+# exist for. Probed with the guarded queries only; the uncut twins are
+# quadratic here BY DESIGN (pytest test_df_cut_join_row_bound pins the
+# contrast at unit scale).
+HOT_QUERIES = ("dedup_jaccard_dfcut", "dedup_lsh_guarded")
+BOILER = (
+    "standard legal disclaimer all rights reserved unauthorized "
+    "reproduction of this document is strictly prohibited"
+)
+
 COPY_TABLES = ("region", "nation", "part", "supplier")
 
 
@@ -159,6 +171,34 @@ def _build_replica(spark: SparkSession, rep: int, out: str) -> None:
     ).write.mode("overwrite").parquet(done("lineitem"))
 
 
+def _build_hot_replica(spark: SparkSession, rep: int, out: str) -> None:
+    """documents-only fixture: replica-remapped bodies + shared boilerplate
+    prefix (df = full corpus size for its shingles)."""
+    from youtube_etl_project_spark.sources import load_table
+
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, SRC, "documents")
+    n_docs = docs.count()
+    parts = []
+    for r in range(rep):
+        toks = F.split(F.col("text"), " ")
+        remapped = F.array_join(
+            F.transform(toks, lambda x: F.concat(x, F.lit(f"~{r}"))), " "
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * n_docs).alias("doc_id"),
+                F.concat(F.lit(BOILER + " "), remapped).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_all(parts).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+
 def _union_all(parts):
     out = parts[0]
     for p in parts[1:]:
@@ -175,12 +215,18 @@ def main() -> None:
     plans = load_all_plans()
 
     dirs = {}
+    hot_dirs = {}
     for rep in REPS:
         d = os.path.join(ROOT, f"rep{rep}")
         if not os.path.exists(os.path.join(d, "lineitem.parquet")):
             print(f"building rep{rep}...", file=sys.stderr)
             _build_replica(spark, rep, d)
         dirs[rep] = d
+        h = os.path.join(ROOT, f"rep{rep}_hot")
+        if not os.path.exists(os.path.join(h, "documents.parquet")):
+            print(f"building rep{rep}_hot...", file=sys.stderr)
+            _build_hot_replica(spark, rep, h)
+        hot_dirs[rep] = h
 
     # warmup (JIT + python workers) on the smallest replica
     for q in PROBE_QUERIES:
@@ -218,6 +264,41 @@ def main() -> None:
     print("|---|---|---|---|---|")
     for q in PROBE_QUERIES:
         r = results[q]
+        ratio = r[16] / r[1] if r[1] > 0 else float("nan")
+        print(
+            f"| {q} | {r[1]:.2f} | {r[4]:.2f} | {r[16]:.2f} | {ratio:.1f} |"
+        )
+
+    hot_results: dict[str, dict[int, float]] = {q: {} for q in HOT_QUERIES}
+    for rep in REPS:
+        for q in HOT_QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                plans[q].fn(spark, hot_dirs[rep]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            hot_results[q][rep] = best
+            print(f"rep{rep}_hot {q} {best:.2f}s", file=sys.stderr)
+
+    print()
+    print("## Hot-shingle fixture (df/bucket caps under stress)")
+    print()
+    print(
+        "Same corpus but every document shares one boilerplate sentence —\n"
+        "its shingles' document frequency equals the corpus size, the\n"
+        "quadratic-bucket case for shingle self-joins and LSH bands. The\n"
+        "guarded operators (df ≤ 50 cut, bucket ≤ 50 cap) must stay\n"
+        "near-linear here; their uncut twins are quadratic on this fixture\n"
+        "by construction (contrast pinned at unit scale by\n"
+        "`tests/test_dedup.py::test_df_cut_join_row_bound`)."
+    )
+    print()
+    print("| query | t(1x) s | t(4x) s | t(16x) s | t16/t1 |")
+    print("|---|---|---|---|---|")
+    for q in HOT_QUERIES:
+        r = hot_results[q]
         ratio = r[16] / r[1] if r[1] > 0 else float("nan")
         print(
             f"| {q} | {r[1]:.2f} | {r[4]:.2f} | {r[16]:.2f} | {ratio:.1f} |"

@@ -25,8 +25,33 @@ Design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def df_cut(
+    exploded: DataFrame, item_col: str, max_df: int
+) -> DataFrame:
+    """Drop items whose document frequency exceeds ``max_df`` from an
+    exploded (doc, item) frame.
+
+    The standard web-scale dedup guard (C4/RefinedWeb-style): a single
+    boilerplate shingle shared by m documents contributes m·(m-1)/2 rows to
+    any self-join on the item — one hot shingle at 100 TB is a quadratic
+    bucket. Ultra-common shingles carry no near-dup signal (they match
+    *everything*), so cutting them bounds join cost with negligible recall
+    loss. One window count over the item key — rides the same shuffle
+    partitioning the self-join needs anyway.
+
+    Rows are assumed distinct per (doc, item) — true for shingle sets —
+    so ``count(*)`` over the item partition IS the document frequency.
+    """
+    w = Window.partitionBy(item_col)
+    return (
+        exploded.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -123,8 +148,14 @@ def minhash_signature_df(
     shingles_col: str = "shingles",
     n_hashes: int = 32,
     seed: int = 42,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Minhash signatures as n_hashes flat long columns ``h0..h{n-1}``.
+
+    ``max_df`` applies :func:`df_cut` to the exploded shingles before
+    hashing, so ultra-common shingles neither shape the signature nor
+    inflate the verify sets — the cut then holds end-to-end (bands AND
+    exact-Jaccard verify see the same filtered shingle space).
 
     Shape matters here: explode shingles → one xxhash64 per seed as a plain
     column → min-aggregate per doc. Flat columns stay in whole-stage codegen
@@ -134,6 +165,8 @@ def minhash_signature_df(
     path — measured 30x slower. One shuffle, on the doc id.
     """
     sh = base.select(F.col(id_col).alias("doc"), F.explode(shingles_col).alias("sh"))
+    if max_df is not None:
+        sh = df_cut(sh, "sh", max_df)
     hashed = sh.select(
         "doc",
         F.col("sh").alias("sh_id"),
@@ -193,12 +226,26 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     threshold: float = 0.6,
     seed: int = 42,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Candidate generation cost ∝ bucket collisions (b·n rows through one
     shuffle); verification touches candidates only.
+
+    Hot-key guards for the 100 TB path (both off by default so the sf-scale
+    oracle/recall checks see the full space):
+
+    * ``max_df`` — shingle document-frequency cut (:func:`df_cut`) before
+      signatures: boilerplate shingles stop dragging near-identical
+      signatures together AND stop inflating the verify sets.
+    * ``max_bucket`` — drop (band_id, band_hash) buckets larger than this
+      before the self-join. A bucket of m docs emits m·(m-1)/2 candidate
+      pairs; one boilerplate-driven hot band at corpus scale is a
+      quadratic blowup. Docs agreeing on any *other* band still pair, so
+      recall degrades gracefully (pinned by tests/test_dedup.py).
     """
     rows_per_band = n_hashes // n_bands
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
@@ -207,8 +254,16 @@ def minhash_lsh_pairs(
         word_shingle_ids(toks, shingle_k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
 
-    sig = minhash_signature_df(base, "doc", "shingles", n_hashes, seed)
+    sig = minhash_signature_df(base, "doc", "shingles", n_hashes, seed,
+                               max_df=max_df)
     banded = lsh_band_rows(sig.drop("sh_set"), n_bands, rows_per_band)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
 
     # Candidate pairs travel as bare (id_a, id_b) through dedup — never
     # shuffle the shingle arrays per-candidate; the doc-level hashed
@@ -245,10 +300,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs shingle Jaccard via explode + equi-self-join —
     the ground-truth twin of minhash_lsh_pairs. Cost ∝ co-occurring shingle
-    pairs; at 100 TB use the LSH variant and keep this for sampled audits."""
+    pairs; at 100 TB use the LSH variant and keep this for sampled audits.
+
+    ``max_df`` bounds the self-join: shingles in more than max_df documents
+    are dropped from the shingle *sets* (numerator and denominator alike,
+    so Jaccard stays a true set similarity over the filtered space) before
+    pairing. Without it one hot shingle shared by m docs costs m²/2 join
+    rows — the named scale-killer of this baseline.
+    """
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     base = spread(docs).select(
         F.col(id_col).alias("doc"),
@@ -263,6 +326,13 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
     )
+    if max_df is not None:
+        # After the cut the pre-computed n_sh is stale — recount the
+        # surviving shingles per doc (window over doc: no join-back, and
+        # docs losing every shingle drop out, matching the oracle).
+        exploded = df_cut(exploded.drop("n_sh"), "sh", max_df).withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
 
     l, r = exploded.alias("l"), exploded.alias("r")
     inter = (

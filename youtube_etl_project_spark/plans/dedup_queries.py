@@ -89,6 +89,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_dfcut",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), rare AS (
+            SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 5
+        ), kept AS (
+            SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="X2 scale guard: exact shingle Jaccard with a document-frequency "
+        "cut (df ≤ 5) — boilerplate shingles leave the sets before the "
+        "self-join, bounding the hot-shingle quadratic blowup; Jaccard is "
+        "recomputed over the filtered space on both engines",
+)
+def dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                     threshold=0.5, max_df=5)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
     doc="X2: banded MinHash-LSH candidate generation + exact-Jaccard verify "
@@ -100,6 +143,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
         threshold=0.5,
+    )
+
+
+@register(
+    "dedup_lsh_guarded",
+    oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
+    doc="X2 production posture: MinHash-LSH with BOTH hot-key guards on "
+        "(shingle df ≤ 50, band bucket ≤ 50). On clean corpora the caps "
+        "are inert (sf0.1 max shingle df = 25 — results identical to "
+        "dedup_minhash_lsh, pinned by tests/test_dedup.py); on "
+        "boilerplate-heavy corpora they bound the band self-join. This is "
+        "the configuration to run at 100 TB",
+)
+def dedup_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
+        threshold=0.5, max_df=50, max_bucket=50,
     )
 
 
