@@ -159,3 +159,27 @@ def test_guarded_lsh_inert_on_clean_corpus(spark, sf_dir):
     )
     # caps sit above the clean corpus's max df/bucket size → no-ops
     assert guarded == plain
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_distance=3
+        ).collect()
+    }
+    # brute force: cross join on the same fingerprints
+    sig = dedup.simhash64_df(docs, "doc_id", "text")
+    l = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("a"))
+    r = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("b"))
+    brute = {
+        (row.id_a, row.id_b): row.h
+        for row in l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", dedup.hamming64(F.col("a"), F.col("b")))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    # pigeonhole banding is exact: identical pair set AND distances
+    assert got == brute
+    assert got, "fixture should contain at least one near-dup pair"

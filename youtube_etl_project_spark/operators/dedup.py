@@ -419,3 +419,81 @@ def simhash64_df(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ d over 64-bit SimHashes —
+    *exact* (recall 1.0), via pigeonhole banding instead of all-pairs.
+
+    Split the fingerprint into d+1 disjoint bit bands: any two hashes
+    within distance d have all d differing bits confined to ≤ d bands, so
+    they agree exactly on at least one band. Bucket-join on
+    (band_id, band_bits), verify ``bit_count(xor) ≤ d`` on candidates only
+    (the classic Manku/Jain/Sarma'07 web-dedup layout). Cost ∝ band
+    collisions, not n²; ``max_bucket`` drops degenerate hot buckets (e.g.
+    a band that is all-zero for most short docs) at a bounded recall loss.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_bands = max_distance + 1
+    width = 64 // n_bands
+    sig = simhash64_df(docs, id_col, text_col, seed).select(
+        F.col(id_col).alias("doc"), "simhash"
+    ).localCheckpoint(eager=True)  # referenced by bands + both verify sides
+
+    def band_bits(i: int) -> Column:
+        length = width if i < n_bands - 1 else 64 - width * (n_bands - 1)
+        mask = (1 << length) - 1
+        return F.shiftrightunsigned("simhash", i * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        band_bits(i).alias("bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band_id", "b.bits")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_id", "bits")
+        bands = (
+            bands.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+
+    l, r = bands.alias("l"), bands.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sig.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -147,6 +147,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-based fingerprints have no DuckDB twin;
+    # tests/test_dedup.py pins exact parity with brute-force Hamming
+    doc="X2: near-dup pairs at Hamming distance ≤ 3 over 64-bit SimHash "
+        "via pigeonhole banding (4 disjoint 16-bit bands — a pair within "
+        "distance 3 must agree exactly on ≥ 1 band). Bucket equi-join + "
+        "verify on candidates only: exact recall without the n² cross "
+        "product (Manku et al. WWW'07 layout)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_distance=3)
+
+
+@register(
     "dedup_lsh_guarded",
     oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
     doc="X2 production posture: MinHash-LSH with BOTH hot-key guards on "
