@@ -19,13 +19,17 @@ from youtube_etl_project_spark.registry import load_all_plans
 
 # Queries allowed to run Python at all — each is vectorized (ArrowEvalPython
 # / MapInPandas), never row-at-a-time, and each is Python for a reason:
-# numpy matmul (similarity/IVF) or the stubbed binary decode (multimodal).
+# numpy matmul (similarity/IVF), the stubbed binary decode (multimodal), or
+# real BPE merge application (inherently iterative string algorithm — no
+# Column-expression equivalent; Arrow-batched with an LRU word cache).
 ARROW_ALLOWED = {
     "embed_cosine_topk",
     "embed_lsh_ann",
     "embed_ivf_ann",
     "multimodal_decode",
     "multimodal_frame_sample",
+    "text_token_count_bpe",
+    "pack_sequences_bpe",
 }
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -141,3 +141,72 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", textops.rolling_hash("text").alias("rhash")
     )
+
+
+# Trained merge tables are model artifacts keyed by corpus dir — training
+# is deterministic, so caching is purely a speed-up (tests/bench call the
+# same plan repeatedly).
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _corpus_merges(spark: SparkSession, sf_dir: str) -> list:
+    from youtube_etl_project_spark.functions import bpe
+
+    if sf_dir not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_CACHE[sf_dir] = bpe.fit_corpus_bpe(
+            docs, "text", "doc_id", sample=128, n_merges=200
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=None,  # real BPE (trained merges + greedy rank application) has
+    # no SQL twin; tests/test_bpe.py pins exact counts on known strings and
+    # the count invariants (<= bytes, >= pretokens, deterministic)
+    doc="X4: REAL byte-level BPE token count — merges trained "
+        "deterministically on a 128-doc corpus sample (the model artifact; "
+        "only the merge list reaches the driver), applied via an "
+        "Arrow-vectorized pandas UDF with an LRU word cache. This is the "
+        "count pack_sequences_bpe budgets on, so a 2048-token bin means "
+        "2048 actual tokens",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    counter = bpe.token_count_udf(_corpus_merges(spark, sf_dir))
+    from youtube_etl_project_spark.operators.dedup import spread
+
+    return spread(docs).select(
+        "doc_id", counter(F.col("text")).alias("n_tokens_bpe")
+    )
+
+
+@register(
+    "pack_sequences_bpe",
+    oracle=None,  # bins derive from the trained-BPE counts above
+    doc="Sequence packing on REAL BPE token counts (same longest-first "
+        "running-sum layout as pack_sequences, budget 2048): token budgets "
+        "now mean actual tokenizer output, not whitespace counts",
+)
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from youtube_etl_project_spark.functions import bpe
+    from youtube_etl_project_spark.operators.dedup import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    counter = bpe.token_count_udf(_corpus_merges(spark, sf_dir))
+    sized = spread(docs).select(
+        "doc_id", counter(F.col("text")).alias("n_tokens_bpe")
+    )
+    w = Window.orderBy(
+        F.col("n_tokens_bpe").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sized.withColumn("cum", F.sum("n_tokens_bpe").over(w)).select(
+        "doc_id",
+        "n_tokens_bpe",
+        F.floor((F.col("cum") - 1) / 2048).alias("bin_id"),
+    )
