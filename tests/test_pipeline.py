@@ -134,3 +134,37 @@ def test_enrich_videos_matches_reference_semantics(spark):
     assert out["v2"].final_sentiment == "POSITIVE"
     assert out["v2"].classification_method == "CATEGORY_BASED"
     assert out["v2"].engagement_rate == 0.0
+
+
+def test_run_day_distributed_sink_end_to_end(spark, tmp_path):
+    """run_day's default path: distributed jsonl sink -> splittable staging
+    read -> warehouse. No fixture array files, no driver collect."""
+    import glob
+
+    from youtube_etl_project_spark.pipeline import run_day
+    from youtube_etl_project_spark.testkit import make_channel, make_video
+
+    videos = spark.createDataFrame(
+        [
+            make_video("v1", "ch1", category_id=1, title="amazing great",
+                       tags=["launch"]),
+            make_video("v2", "ch2", category_id=20, title="whatever",
+                       tags=["misc"]),
+        ]
+    )
+    channels = spark.createDataFrame(
+        [make_channel("ch1"), make_channel("ch2", channel_country="GB")]
+    )
+    raw_root = str(tmp_path / "raw")
+    counts = run_day(
+        spark, videos, channels, raw_root, str(tmp_path / "wh"), DAY
+    )
+    assert counts["fact_videos"] == 2
+    assert counts["dim_channels"] == 2
+    assert counts["agg_daily"] >= 1
+    # the sink wrote executor part files under the date path, not a
+    # driver-assembled array file
+    parts = glob.glob(f"{raw_root}/2024/03/02/videos_spark/part-*")
+    assert parts, "expected distributed part files in the raw sink"
+    arrays = glob.glob(f"{raw_root}/2024/03/02/*.json")
+    assert not arrays, "reference-shaped array fixtures are test-only now"

@@ -59,3 +59,54 @@ def test_overwrite_partitions_replaces_only_named(spark, tmp_path):
     overwrite_partitions(t, fresh, "d")
     rows = sorted(map(tuple, t.read().collect()))
     assert rows == [("2024-01-01", "US", 1), ("2024-01-02", "GB", 99)]
+
+
+def test_crash_between_write_and_swap(spark, tmp_path, monkeypatch):
+    """Kill the writer after the data write but before the pointer swap:
+    readers must still see the old version, a re-run must converge, and
+    vacuum must reclaim the orphaned directory."""
+    import os
+
+    from youtube_etl_project_spark.operators import upsert as upsert_mod
+
+    t = ParquetTable(spark, str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1, "old")], "k int, v string"))
+    committed = t.current_path()
+
+    real_replace = os.replace
+
+    def crash_on_commit(src, dst, *a, **kw):
+        if dst.endswith("_CURRENT"):
+            raise OSError("simulated crash before pointer swap")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(upsert_mod.os, "replace", crash_on_commit)
+    try:
+        t.write(spark.createDataFrame([(2, "new")], "k int, v string"))
+        raise AssertionError("write should have crashed at the swap")
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    # pointer untouched -> readers see the old committed version
+    assert t.current_path() == committed
+    assert [(r.k, r.v) for r in t.read().collect()] == [(1, "old")]
+    # the crashed write left a full-but-uncommitted version dir
+    orphans = [
+        d for d in os.listdir(t.root)
+        if d.startswith("v_")
+        and os.path.join(t.root, d) != committed
+    ]
+    assert len(orphans) == 1
+
+    # re-run converges
+    t.write(spark.createDataFrame([(2, "new")], "k int, v string"))
+    assert [(r.k, r.v) for r in t.read().collect()] == [(2, "new")]
+
+    # vacuum reclaims every non-current dir (the orphan; the pre-crash
+    # version was already GC'd inline by the successful write)
+    t.vacuum()
+    left = [d for d in os.listdir(t.root) if d.startswith("v_")]
+    assert os.path.join(t.root, left[0]) == t.current_path()
+    assert len(left) == 1
+    assert [(r.k, r.v) for r in t.read().collect()] == [(2, "new")]

@@ -146,6 +146,22 @@ class ParquetTable:
         if self.exists():
             self.write(self.read().limit(0))
 
+    def vacuum(self) -> None:
+        """GC stale version directories: anything but the committed version.
+
+        A writer that dies between the data write and the pointer swap
+        leaves a complete-but-uncommitted ``v_*`` directory — invisible to
+        readers (the pointer never moved: crash-safety proven by
+        ``tests/test_upsert.py::test_crash_between_write_and_swap``), but
+        leaking disk. Single-writer assumption as documented for write();
+        call between loads, never concurrently with one.
+        """
+        cur = self.current_path()
+        for name in os.listdir(self.root):
+            p = os.path.join(self.root, name)
+            if name.startswith("v_") and os.path.isdir(p) and p != cur:
+                shutil.rmtree(p, ignore_errors=True)
+
 
 def overwrite_partitions(
     table: ParquetTable, df: DataFrame, partition_col: str

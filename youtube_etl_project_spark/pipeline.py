@@ -46,6 +46,7 @@ from youtube_etl_project_spark.sources.staging import (
     date_path,
     latest_per_key,
     read_json_array_files,
+    read_json_line_files,
     route_files,
 )
 
@@ -99,18 +100,26 @@ class Warehouse:
         self.agg_daily = ParquetTable(self.spark, f"{self.root}/agg_daily_by_region")
 
 
-def load_day(wh: Warehouse, raw_root: str, day: _date) -> dict[str, int]:
+def load_day(
+    wh: Warehouse, raw_root: str, day: _date, file_format: str = "array"
+) -> dict[str, int]:
     """The 5-stage daily load (SL:20-40). Returns per-stage row counts.
 
     Stages 1-3 raise on failure (fatal); stages 4-5 log and continue
     (non-fatal) — the reference's semantics (FA:304-355).
+
+    ``file_format``: ``"array"`` reads the reference-shaped one-JSON-array-
+    per-file layout (wholetext — one file per task); ``"jsonl"`` reads the
+    line-delimited layout the distributed sink writes (files split across
+    executors — the at-scale default ``run_day`` uses).
     """
     counts: dict[str, int] = {}
     day_glob = date_path(raw_root, day) + "/*"
+    reader = read_json_line_files if file_format == "jsonl" else read_json_array_files
 
     # -- stage 1: staging with lineage (S6/F11; fatal) ---------------------
     staged_v = route_files(
-        read_json_array_files(wh.spark, day_glob, schemas.VIDEO_SCHEMA), "videos_"
+        reader(wh.spark, day_glob, schemas.VIDEO_SCHEMA), "videos_"
     )
     stg = staged_v.select("raw_json", "load_timestamp", "file_name", "record")
     wh.stg_videos.write(stg.drop("record"))
@@ -118,7 +127,7 @@ def load_day(wh: Warehouse, raw_root: str, day: _date) -> dict[str, int]:
 
     # -- stage 2: channel dim upsert (W1 dedup → J2 MERGE; fatal) ----------
     staged_c = route_files(
-        read_json_array_files(wh.spark, day_glob, schemas.CHANNEL_SCHEMA),
+        reader(wh.spark, day_glob, schemas.CHANNEL_SCHEMA),
         "channels_",
     )
     channels = (
@@ -203,18 +212,16 @@ def run_day(
 ) -> dict[str, int]:
     """Full §3.3 composition: enrich → date-partitioned raw sink → load.
 
-    The raw sink writes reference-shaped JSON array files (via the test
-    harness format) — in production the collector's output; here the seam
-    between extract and load."""
-    from youtube_etl_project_spark.testkit import write_json_array_file
+    The raw sink is the distributed line-delimited JSON writer
+    (``json_sink.write_day_entity``): executors write part files in
+    parallel, nothing reaches the driver, and the loader reads the same
+    date path back with the splittable jsonl reader. Reference-shaped
+    JSON-*array* fixtures (one array per file, YC:205-232) are a test
+    concern — ``testkit.write_json_array_file`` at test call sites, loaded
+    with ``load_day(..., file_format="array")``."""
+    from youtube_etl_project_spark.sources.json_sink import write_day_entity
 
-    enriched = enrich_videos(videos_raw)
-    vrows = [r.asDict(recursive=True) for r in enriched.collect()]
-    crows = [r.asDict(recursive=True) for r in channels_raw.collect()]
-    # NOTE: driver-side collect here only materializes the *sample fixture*
-    # sink format (one JSON array per file, matching YC:205-232). The
-    # scalable sink is sources/json_sink.write_date_partitioned.
-    write_json_array_file(raw_root, day, "videos", vrows)
-    write_json_array_file(raw_root, day, "channels", crows)
+    write_day_entity(enrich_videos(videos_raw), raw_root, day, "videos")
+    write_day_entity(channels_raw, raw_root, day, "channels")
     wh = Warehouse(spark, warehouse_root)
-    return load_day(wh, raw_root, day)
+    return load_day(wh, raw_root, day, file_format="jsonl")

@@ -56,8 +56,9 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_lsh_ann",
     oracle=None,  # hyperplanes derive from xxhash64 — no DuckDB twin
     doc="X3 scale path: random-hyperplane LSH bucketing + within-bucket "
-        "top-k (bucket equi-join instead of cross product); "
-        "tests/test_similarity.py measures recall vs brute force",
+        "top-k (bucket equi-join instead of cross product). Defaults "
+        "(4 planes × 16 tables) sit at recall@10 = 0.92 vs brute force "
+        "(RECALL.md sweep; pinned ≥ 0.9 by tests/test_recall_defaults.py)",
 )
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -66,7 +67,7 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return similarity.lsh_topk(
-        queries, candidates, dim=_DIM, k=5, n_planes=4, n_tables=8
+        queries, candidates, dim=_DIM, k=5, n_planes=4, n_tables=16
     )
 
 
@@ -75,7 +76,9 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # data-derived centroids; pinned by tests/test_ivf.py
     doc="X3 scale path #2: IVF — k-means-lite coarse quantizer (2 Lloyd "
         "rounds, only the K×dim model reaches the driver), cell equi-join, "
-        "n_probe cells per query; recall=1.0 at n_probe=K in tests",
+        "n_probe cells per query. Default n_probe=4 of K=8 is the "
+        "recall@10 = 0.9 knee (RECALL.md); recall=1.0 at n_probe=K in "
+        "tests",
 )
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -84,7 +87,7 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return similarity.ivf_topk(queries, candidates, centroids, k=5, n_probe=3)
+    return similarity.ivf_topk(queries, candidates, centroids, k=5, n_probe=4)
 
 
 @register(

@@ -30,6 +30,19 @@ def write_date_partitioned(
     )
 
 
+def write_day_entity(df: DataFrame, raw_root: str, day, entity: str) -> str:
+    """Distributed raw sink for one (day, entity): line-delimited JSON under
+    the reference's ``raw/YYYY/MM/DD/<entity>_spark/`` date path — executors
+    write part files in parallel, nothing is collected. The directory name
+    keeps the ``<entity>_`` token so filename-LIKE routing (S5/P4) works
+    unchanged; ``staging.read_json_line_files`` is the matching reader."""
+    from youtube_etl_project_spark.sources.staging import date_path
+
+    path = f"{date_path(raw_root, day)}/{entity}_spark"
+    df.write.mode("overwrite").json(path)
+    return path
+
+
 def write_run_metadata(df: DataFrame, path: str) -> None:
     """Run-summary sink (reference YC:221-228): counts + configs, one row."""
     df.coalesce(1).write.mode("overwrite").json(path)

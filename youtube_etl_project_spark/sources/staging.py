@@ -62,6 +62,34 @@ def read_json_array_files(
     )
 
 
+def read_json_line_files(
+    spark: SparkSession, path_glob: str, element_schema: T.StructType
+) -> DataFrame:
+    """Line-delimited twin of ``read_json_array_files`` — same staging shape
+    (record, file_name, raw_json, load_timestamp), but one JSON object per
+    line, so files SPLIT across executors mid-file. This is the scalable
+    default the distributed sink (json_sink/pipeline.run_day) writes; the
+    array reader stays for reference-shaped fixtures."""
+    raw = (
+        spark.read.text(path_glob)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(
+            F.col("value").alias("raw_json"),
+            F.input_file_name().alias("file_name"),
+        )
+    )
+    return (
+        raw.select(
+            F.from_json(
+                "raw_json", element_schema, {"mode": "PERMISSIVE"}
+            ).alias("record"),
+            "file_name",
+        )
+        .withColumn("raw_json", F.to_json("record"))
+        .withColumn("load_timestamp", F.current_timestamp())
+    )
+
+
 def route_files(staged: DataFrame, name_token: str) -> DataFrame:
     """Filename-LIKE routing (``METADATA$FILENAME LIKE '%videos_%'`` —
     SL:59,80)."""
