@@ -31,7 +31,34 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# (session id, sf_dir, table) → DataFrame. Returning the SAME DataFrame
+# object per table lets a caller persist it once and have every subsequent
+# plan over that table hit the cache — bench.py uses this to share scan
+# cost across queries (the driver contract still holds: queries get only
+# (spark, sf_dir)). DataFrames are immutable, so memoizing is semantics-
+# free; nothing is persisted unless a caller explicitly asks (cache_tables).
+_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # applicationId is stable per SparkContext and changes on restart, so a
+    # stopped-and-recreated session can never hit a stale entry
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _MEMO:
+        _MEMO[key] = _load_table(spark, sf_dir, name)
+    return _MEMO[key]
+
+
+def cache_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Persist + materialize the shared table DataFrames (bench/interactive
+    use: pay each scan once instead of per query)."""
+    for n in names:
+        load_table(spark, sf_dir, n).cache().count()
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Engine contract: timestamp semantics are UTC. Pin the session zone at
     # runtime so plans built on a foreign SparkSession (e.g. the driver's)
     # get the same instants, window alignment, and to_date boundaries.
