@@ -1,0 +1,96 @@
+"""Real-format decode kernel: genuine PNG/BMP/GIF/WAV files built
+byte-by-byte (stdlib only) must decode to their true dimensions / frame
+counts, end-to-end through the Arrow mapInPandas path."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+from youtube_etl_project_spark.operators import multimodal
+
+
+def make_png(w: int, h: int) -> bytes:
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        raw = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + raw
+            + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    scanlines = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_bmp(w: int, h: int) -> bytes:
+    row = (b"\x00\x00\xff" * w + b"\x00" * 3)[: (w * 3 + 3) & ~3]
+    pixels = row * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return header + pixels
+
+
+def make_gif(w: int, h: int, frames: int) -> bytes:
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+    out += b"\x00\x00\x00\xff\xff\xff"  # 2-entry global color table
+    for _ in range(frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x02" + b"\x02\x4c\x01" + b"\x00"  # minimal LZW data
+    return out + b"\x3b"
+
+
+def make_wav(n_frames: int) -> bytes:
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(b"\x00\x01\x02\x03" * n_frames)
+    return bio.getvalue()
+
+
+def test_kernel_parses_real_formats():
+    assert multimodal._decode_image_bytes(make_png(640, 360)) == (640, 360, 1)
+    assert multimodal._decode_image_bytes(make_bmp(17, 9)) == (17, 9, 1)
+    assert multimodal._decode_image_bytes(make_gif(32, 16, 4)) == (32, 16, 4)
+    w, h, n = multimodal._decode_image_bytes(make_wav(123))
+    assert (w, h, n) == (0, 0, 123)
+
+
+def test_kernel_falls_back_deterministically_on_unknown():
+    jpegish = b"\xff\xd8\xff\xe0" + b"x" * 100
+    out1 = multimodal._decode_image_bytes(jpegish)
+    out2 = multimodal._decode_image_bytes(jpegish)
+    assert out1 == out2
+    assert all(v >= 1 for v in out1)
+
+
+def test_decode_features_end_to_end_real_bytes(spark):
+    rows = [
+        (1, make_png(100, 50)),
+        (2, make_bmp(8, 4)),
+        (3, make_gif(20, 10, 3)),
+        (4, make_wav(55)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.n_frames)
+        for r in multimodal.decode_features(df).collect()
+    }
+    assert got == {
+        1: (100, 50, 1),
+        2: (8, 4, 1),
+        3: (20, 10, 3),
+        4: (0, 0, 55),
+    }
