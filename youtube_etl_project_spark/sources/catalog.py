@@ -41,6 +41,11 @@ _MEMO: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Re-pin the session confs on EVERY call (memo hit or miss): they are
+    # runtime state of the session, not of the cached DataFrame.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # applicationId is stable per SparkContext and changes on restart, so a
     # stopped-and-recreated session can never hit a stale entry
     key = (spark.sparkContext.applicationId, sf_dir, name)
