@@ -55,3 +55,21 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall collapsed: {recall}"
     # every ANN hit shares the bucket, so results are a subset of candidates
     assert all(pair[0] != pair[1] for pair in ann)
+
+
+def test_cosine_pairs_lsh_vs_exact(spark, sf_dir):
+    from youtube_etl_project_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert lsh <= exact  # verify step -> precision 1.0
+    assert exact, "fixture should contain cosine>=0.4 pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"embedding-pair LSH recall collapsed: {recall}"

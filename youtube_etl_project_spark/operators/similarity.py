@@ -396,3 +396,69 @@ def lsh_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine ≥
+    threshold) via self cross-join — the oracle-checkable baseline of the
+    X2 embedding-dedup mode (quadratic by design; ``cosine_pairs_lsh`` is
+    the scale path, same contract)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucket self-join.
+
+    Candidates = id pairs sharing ≥1 (table, key) bucket — cost ∝ bucket
+    collisions, not n²; the dense vectors never travel with the exploded
+    bucket rows (same discipline as ``lsh_topk``). Verification computes
+    the exact cosine on candidates only → precision 1.0; recall at the
+    default 4 planes × 16 tables is ≈ 1-(1-p^4)^16 with p = 1-θ/π
+    (≈ 0.94 at cosine 0.4), pinned by tests/test_similarity.py.
+    """
+    keys_udf = _table_keys_vectorized(dim, n_planes, n_tables, seed)
+    keyed = vectors.select(F.col(id_col).alias("id"), keys_udf(vec).alias("__ks"))
+    buckets = keyed.select(
+        "id", F.posexplode("__ks").alias("__table", "__key")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__table") == F.col("r.__table"))
+            & (F.col("l.__key") == F.col("r.__key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

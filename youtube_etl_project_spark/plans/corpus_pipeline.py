@@ -93,6 +93,50 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_star",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ),
+        cc AS (SELECT n AS doc_id, MIN(m) AS root FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               COALESCE(cc.root, d.doc_id) AS cluster_id,
+               CAST(COALESCE(cc.root, d.doc_id) = d.doc_id AS BIGINT)
+                   AS is_canonical
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """,
+    doc="X2: same contract as dedup_cluster_cc but clustered with the "
+        "alternating large-star/small-star algorithm (Kiveris et al.) — "
+        "O(log n) rounds regardless of graph diameter, the variant to run "
+        "when near-dup chains can be long. Identical oracle (the two "
+        "algorithms must agree exactly)",
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    labels = graph.connected_components_star(pairs, src="id_a", dst="id_b")
+    return docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+        .cast("long")
+        .alias("is_canonical"),
+    )
+
+
+@register(
     "train_test_split_hash",
     oracle="""
         SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'

@@ -147,6 +147,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embed_cosine",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_inner_product(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) /
+                     (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[])) *
+                      sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]))), 6)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) /
+              (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                       a.embedding::DOUBLE[])) *
+               sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]))) >= 0.4
+    """,
+    doc="X2 embedding mode (exact baseline): all-pairs cosine ≥ 0.4 over "
+        "the embedding column — the semantic near-dup ground truth. "
+        "Left-fold double dot matches DuckDB's sequential "
+        "list_inner_product bit-for-bit; quadratic by design, "
+        "dedup_embed_cosine_lsh is the scale path",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "dedup_embed_cosine_lsh",
+    oracle=None,  # hyperplane buckets are hash-derived; recall/precision
+    # pinned vs the exact twin by tests/test_similarity.py
+    doc="X2 embedding mode at scale: hyperplane-LSH bucket self-join "
+        "(4 planes × 16 tables) + exact-cosine verify on candidates only "
+        "— precision 1.0, recall ≈ 0.94 at cosine 0.4, cost ∝ bucket "
+        "collisions instead of n²",
+)
+def dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
+
+
+@register(
     "dedup_simhash_pairs",
     oracle=None,  # xxhash64-based fingerprints have no DuckDB twin;
     # tests/test_dedup.py pins exact parity with brute-force Hamming
