@@ -26,6 +26,7 @@ ARROW_ALLOWED = {
     "embed_cosine_topk",
     "embed_lsh_ann",
     "embed_ivf_ann",
+    "dedup_embed_cosine_lsh",  # hyperplane-LSH bucket keys: numpy matmul
     "multimodal_decode",
     "multimodal_frame_sample",
     "text_token_count_bpe",
