@@ -81,6 +81,10 @@ def test_star_schema_queries_broadcast_their_dims(plans):
         "tpch_q5_local_supplier",
         "tpch_q10_returned_revenue",
         "tpch_q18_large_orders",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q19_disjunctive_revenue",
     ):
         assert "BroadcastHashJoin" in plans[name], name
 

@@ -210,3 +210,62 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_bpe",
         F.floor((F.col("cum") - 1) / 2048).alias("bin_id"),
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ), vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tok
+        ), total AS (
+            SELECT CAST(SUM(tf) AS BIGINT) AS n FROM vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(LN(CAST(n AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(LN(CAST(tf AS DOUBLE)), 6)
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*), 4) AS surprisal
+        FROM tok JOIN vocab USING (tok), total
+        GROUP BY doc_id, n
+    """,
+    doc="X4: unigram-LM surprisal per document (CCNet-style quality "
+        "scoring): mean -ln p(token) under the corpus's own unigram "
+        "distribution, computed as ln(N) - mean(ln tf). Plan: explode to "
+        "tokens, shuffle-agg the term frequencies, join tokens back to "
+        "their tf (AQE picks broadcast when the vocabulary fits), one "
+        "final per-doc aggregate. Cross-engine: each ln(tf) is rounded to "
+        "6dp and summed in the exact decimal domain so Spark's partial "
+        "aggregation cannot diverge from the oracle's sequential sum; "
+        "libm-vs-JVM ln differences die in the rounding.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.functions.text import tokens
+    from youtube_etl_project_spark.registry import cnt
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(cnt("tf"))
+    total = vocab.agg(F.sum("tf").cast("long").alias("n"))
+    lg = F.round(F.log(F.col("tf").cast("double")), 6).cast("decimal(18,6)")
+    return (
+        tok.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "n")
+        .agg(
+            cnt("n_tokens"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.sum(lg).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("surprisal"),
+        )
+        .select("doc_id", "n_tokens", "surprisal")
+    )

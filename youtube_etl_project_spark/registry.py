@@ -130,6 +130,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         sequences,
         quality_checks,
         analytics4,
+        tpch2,
     )
 
     return REGISTRY
