@@ -84,3 +84,34 @@ def approx_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct"),
     )
     return per_day.unionByName(total)
+
+
+@register(
+    "approx_cms_token_counts",
+    oracle=None,  # xxhash64-seeded counters — no DuckDB twin;
+    # tests/test_cms.py pins the overcount-only invariant, the error
+    # bound, and sketch mergeability
+    doc="X7 frequency twin of the HLL sketch: count-min sketch (4 × 2048 "
+        "xxhash64 counters, kept as a cell DataFrame, never collected) "
+        "over document tokens; outputs the exact top-50 tokens with "
+        "their exact and CM-estimated counts side by side. Build is one "
+        "explode + groupBy shuffle; estimates broadcast-join the probe "
+        "cells — the mergeable-partial-aggregate frequency shape for "
+        "100 TB corpora",
+)
+def approx_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.functions.text import tokens
+    from youtube_etl_project_spark.operators import sketches
+    from youtube_etl_project_spark.registry import cnt
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    sketch = sketches.cms_build(tok, "tok")
+    top = (
+        tok.groupBy("tok")
+        .agg(cnt("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+    est = sketches.cms_estimate(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select("tok", "exact_count", "cms_count")
