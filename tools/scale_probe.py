@@ -50,6 +50,9 @@ PROBE_QUERIES = (
     "asof_join_events",
     "retention_cohorts",
     "multimodal_decode",
+    "text_unigram_surprisal",
+    "approx_cms_token_counts",
+    "tpch_q13_order_count_dist",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

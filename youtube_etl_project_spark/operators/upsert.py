@@ -176,3 +176,77 @@ def overwrite_partitions(
     fresh_keys = df.select(partition_col).distinct()
     kept = current.join(F.broadcast(fresh_keys), partition_col, "left_anti")
     table.write(kept.unionByName(df.select(*current.columns)))
+
+
+def scd2_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension MERGE: history-preserving upsert.
+
+    ``target`` carries row versions (``valid_from``, ``valid_to`` with NULL
+    valid_to = current); ``source`` carries one row per key with an
+    ``effective`` date column. Semantics (the standard warehouse SCD2
+    contract, generalizing the reference's SCD-lite dim merge SL:86-104):
+
+    * current row whose ``attrs`` differ from the source → closed
+      (``valid_to`` = effective date) AND a new current version inserted;
+    * current row with identical ``attrs`` → untouched (idempotent);
+    * key only in source → new current version (``valid_from`` = effective);
+    * closed history rows → passed through untouched, never re-joined.
+
+    Plan shape: history splits off by a ``valid_to IS NULL`` filter (no
+    join); current rows full-outer join the key-deduped source ONCE on the
+    keys — the only shuffle; attribute comparison is a null-safe struct
+    equality (``eqNullSafe``), so NULL attr values compare stably. Source
+    must be pre-deduped to one row per key (use latest_per_key first),
+    matching the ordering contract of ``merge_upsert``.
+    """
+    current = target.filter(F.col(valid_to).isNull())
+    history = target.filter(F.col(valid_to).isNotNull())
+
+    t = current.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}") == F.col(f"t.{k}")
+        cond = c if cond is None else cond & c
+    joined = t.join(s, cond, "full_outer")
+    t_here = F.col(f"t.{keys[0]}").isNotNull()
+    s_here = F.col(f"s.{keys[0]}").isNotNull()
+    changed = ~F.struct(*[F.col(f"t.{a}") for a in attrs]).eqNullSafe(
+        F.struct(*[F.col(f"s.{a}") for a in attrs])
+    )
+
+    out_cols = list(dict.fromkeys(keys + attrs + [valid_from, valid_to]))
+
+    # 1. surviving current rows: unchanged-matched or source-absent
+    keep = joined.filter(t_here & (~s_here | ~changed)).select(
+        *[F.col(f"t.{c}").alias(c) for c in out_cols]
+    )
+    # 2. closed-out versions of changed rows
+    closed = joined.filter(t_here & s_here & changed).select(
+        *[F.col(f"t.{k}").alias(k) for k in keys],
+        *[F.col(f"t.{a}").alias(a) for a in attrs],
+        F.col(f"t.{valid_from}").alias(valid_from),
+        F.col(f"s.{effective}").cast("date").alias(valid_to),
+    ).select(*out_cols)
+    # 3. fresh current versions: changed keys + brand-new keys
+    fresh = joined.filter(s_here & (~t_here | changed)).select(
+        *[F.col(f"s.{k}").alias(k) for k in keys],
+        *[F.col(f"s.{a}").alias(a) for a in attrs],
+        F.col(f"s.{effective}").cast("date").alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+    ).select(*out_cols)
+
+    return (
+        history.select(*out_cols)
+        .unionByName(keep)
+        .unionByName(closed)
+        .unionByName(fresh)
+    )

@@ -139,3 +139,57 @@ def covariance_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") - 1
     )
     return agg.select("l_returnflag", F.round(covar, 6).alias("covar"))
+
+
+@register(
+    "events_gap_fill_ffill",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS day_total
+            FROM events
+            WHERE event_type = 'purchase' AND value > 250
+            GROUP BY 1
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(
+                       MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+            FROM daily
+        )
+        SELECT s.day, d.day_total,
+               last_value(d.day_total IGNORE NULLS)
+                   OVER (ORDER BY s.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled
+        FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    doc="Calendar gap-fill + forward-fill: generate the date spine with "
+        "sequence() between the observed bounds, left-join the sparse "
+        "daily aggregate, carry the last observation forward with "
+        "last(ignorenulls) over an ordered frame. The spine and window "
+        "run at DAY cardinality (the aggregate shrinks events first), so "
+        "the global order-by is over hundreds of rows even at 100 TB of "
+        "events; gap days keep a NULL day_total next to their filled value",
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.registry import dec_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum("value", "day_total")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            "day_total",
+            F.last("day_total", ignorenulls=True).over(w).alias("filled"),
+        )
+    )

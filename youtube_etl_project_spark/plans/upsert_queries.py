@@ -70,3 +70,53 @@ def merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
     )
     return insert_only_merge(target, source, ["o_orderkey"])
+
+
+@register(
+    "scd2_upsert_customers",
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+                   DATE '2001-06-01' AS eff
+            FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment,
+               DATE '2000-01-01' AS valid_from,
+               CASE WHEN s.c_custkey IS NOT NULL THEN s.eff END AS valid_to
+        FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, eff AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM src
+    """,
+    doc="J2 extension: type-2 SCD MERGE (history-preserving upsert) — "
+        "changed keys get their current version closed (valid_to = "
+        "effective date) plus a fresh open version; unchanged rows pass "
+        "through untouched. Target = customers as of 2000-01-01; source = "
+        "every 10th customer with a shifted balance effective 2001-06-01. "
+        "One key-shuffle full-outer join; history rows never re-join",
+)
+def scd2_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.upsert import scd2_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    target = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2000-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    source = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2001-06-01").cast("date").alias("eff"),
+    )
+    return scd2_upsert(
+        target,
+        source,
+        keys=["c_custkey"],
+        attrs=["c_acctbal", "c_mktsegment"],
+        effective="eff",
+    )
