@@ -87,3 +87,54 @@ def test_new_key_inserts_current(spark):
     assert len(row) == 1
     assert row[0]["valid_from"] == date(2001, 1, 1)
     assert row[0]["valid_to"] is None
+
+
+# -- property: random change streams agree with a pure-Python SCD2 model ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_KEYS = st.integers(min_value=1, max_value=3)
+_VALS = st.sampled_from(["a", "b", "c"])
+# a batch = one row per key (SCD2's pre-deduped-source contract)
+_BATCH = st.dictionaries(_KEYS, _VALS, min_size=1, max_size=3)
+
+
+def _model_apply(table, batch, eff):
+    """Pure-Python SCD2: table = {key: [(val, from, to), ...]}."""
+    for k, v in batch.items():
+        versions = table.setdefault(k, [])
+        current = next((i for i, r in enumerate(versions) if r[2] is None), None)
+        if current is None:
+            versions.append((v, eff, None))
+        elif versions[current][0] != v:
+            cv, cf, _ = versions[current]
+            versions[current] = (cv, cf, eff)
+            versions.append((v, eff, None))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_BATCH, min_size=1, max_size=3))
+def test_scd2_agrees_with_python_model(batches):
+    import tests.conftest as _c  # session fixture not injectable under @given
+    from youtube_etl_project_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    sdf = spark.createDataFrame(
+        [], "id int, val string, valid_from date, valid_to date"
+    )
+    model: dict = {}
+    for i, batch in enumerate(batches):
+        eff = date(2001, 1, 1 + i)  # strictly increasing effective dates
+        sdf = _apply(spark, sdf, [(k, v, eff) for k, v in batch.items()])
+        # localCheckpoint: chained full-outer joins otherwise re-execute
+        # the whole lineage per iteration (the operators/graph.py rule)
+        sdf = sdf.localCheckpoint(eager=True)
+        _model_apply(model, batch, eff)
+    got = sorted(
+        (r["id"], r["val"], r["valid_from"], r["valid_to"])
+        for r in sdf.collect()
+    )
+    want = sorted(
+        (k, v, f, t) for k, vs in model.items() for (v, f, t) in vs
+    )
+    assert got == want
