@@ -40,3 +40,29 @@ def salted_join(
     )
     out = salted_big.join(replicated_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_cold_split_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    weight: str,
+    hot_k: int = 1024,
+) -> DataFrame:
+    """Inner equi-join split by key frequency: the ``hot_k`` heaviest
+    small-side rows (by ``weight``) broadcast — their big-side rows never
+    shuffle — while the cold tail takes the normal shuffle join, whose
+    worst reducer key is now bounded by the (hot_k+1)-th weight.
+
+    The Zipf-shaped complement to ``salted_join``: salting spreads a known
+    hot key S ways; the frequency split removes the head of the
+    distribution from the shuffle entirely, which is the right tool when
+    the small side carries the frequencies anyway (e.g. a vocabulary with
+    term counts joined back to an exploded token table — 'the' would
+    otherwise pin one reducer). Semantics identical to ``big.join(small,
+    key)``: hot and cold partitions of the small side are disjoint and
+    cover it, so the union is exactly the inner join.
+    """
+    hot = small.orderBy(F.col(weight).desc(), F.col(key).asc()).limit(hot_k)
+    cold = small.join(F.broadcast(hot.select(key)), key, "left_anti")
+    return big.join(F.broadcast(hot), key).unionByName(big.join(cold, key))

@@ -238,14 +238,18 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scoring): mean -ln p(token) under the corpus's own unigram "
         "distribution, computed as ln(N) - mean(ln tf). Plan: explode to "
         "tokens, shuffle-agg the term frequencies, join tokens back to "
-        "their tf (AQE picks broadcast when the vocabulary fits), one "
-        "final per-doc aggregate. Cross-engine: each ln(tf) is rounded to "
+        "their tf via the hot/cold frequency split (the 1024 heaviest "
+        "vocabulary terms broadcast — Zipf's head never pins a reducer; "
+        "the cold tail shuffle-joins with its per-key row count bounded "
+        "by the 1025th tf), one final per-doc aggregate. Cross-engine: "
+        "each ln(tf) is rounded to "
         "6dp and summed in the exact decimal domain so Spark's partial "
         "aggregation cannot diverge from the oracle's sequential sum; "
         "libm-vs-JVM ln differences die in the rounding.",
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.functions.text import tokens
+    from youtube_etl_project_spark.operators.skew import hot_cold_split_join
     from youtube_etl_project_spark.registry import cnt
 
     docs = load_table(spark, sf_dir, "documents")
@@ -256,7 +260,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("tf").cast("long").alias("n"))
     lg = F.round(F.log(F.col("tf").cast("double")), 6).cast("decimal(18,6)")
     return (
-        tok.join(vocab, "tok")
+        hot_cold_split_join(tok, vocab, key="tok", weight="tf")
         .join(F.broadcast(total))
         .groupBy("doc_id", "n")
         .agg(
