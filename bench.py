@@ -49,6 +49,7 @@ HEADLINE = [
     "zscore_by_type",
     "tpch_q10_returned_revenue",
     "embed_ivf_ann",
+    "text_dup_trigram_fraction",
 ]
 
 

@@ -53,6 +53,7 @@ PROBE_QUERIES = (
     "text_unigram_surprisal",
     "approx_cms_token_counts",
     "tpch_q13_order_count_dist",
+    "text_dup_trigram_fraction",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

@@ -131,6 +131,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         quality_checks,
         analytics4,
         tpch2,
+        text_repetition,
     )
 
     return REGISTRY
