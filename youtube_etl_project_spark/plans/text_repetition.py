@@ -30,6 +30,13 @@ def _ngram_array(toks, n: int):
     Built with 1-based ``element_at`` over ``sequence(1, size-n+1)``;
     guarded by CASE because Spark's ``sequence(1, k)`` is *descending* for
     k < 1 (it would fabricate indices, not return empty).
+
+    ``toks`` MUST be a materialized column reference, not the tokenizer
+    expression itself: codegen re-evaluates an expression argument inside
+    every ``element_at`` lambda call, so passing ``split(...)`` directly
+    costs O(n_tokens) split() evaluations per row — measured 20x (12.9s →
+    0.65s at sf0.1) against projecting the array first. ``_exploded``
+    below does it right.
     """
     k = F.size(toks) - (n - 1)
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -37,6 +44,16 @@ def _ngram_array(toks, n: int):
     )
     return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), gram)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _exploded(docs: DataFrame, n: int, alias: str, *carry: str) -> DataFrame:
+    """(doc_id, *carry, <alias>=exploded word n-gram) — the token array is
+    projected to a named column first (see ``_ngram_array``'s codegen
+    note), then exploded flat before aggregation."""
+    toks = tokens(F.lower(F.col("text")))
+    return docs.select("doc_id", *carry, toks.alias("__toks")).select(
+        "doc_id", *carry, F.explode(_ngram_array(F.col("__toks"), n)).alias(alias)
     )
 
 
@@ -78,10 +95,7 @@ def _ngram_array(toks, n: int):
 )
 def text_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    ex = docs.select(
-        "doc_id", "n_chars", F.explode(_ngram_array(toks, 2)).alias("bigram")
-    )
+    ex = _exploded(docs, 2, "bigram", "n_chars")
     counts = ex.groupBy("doc_id", "n_chars", "bigram").agg(cnt("bigram_count"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("bigram_count").desc(), F.col("bigram").asc()
@@ -138,8 +152,7 @@ def text_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_dup_trigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    ex = docs.select("doc_id", F.explode(_ngram_array(toks, 3)).alias("trigram"))
+    ex = _exploded(docs, 3, "trigram")
     counts = ex.groupBy("doc_id", "trigram").agg(cnt("c"))
     dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("long")
     tot = F.sum("c").cast("long")

@@ -132,6 +132,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         analytics4,
         tpch2,
         text_repetition,
+        tpch3,
     )
 
     return REGISTRY
