@@ -294,6 +294,102 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a new ``batch`` against an existing ``corpus``
+    plus within the batch itself — the corpus NEVER self-joins. This is
+    the daily-crawl-vs-historical-index shape: re-deduplicating 100 TB
+    because 0.1 TB arrived is the classic accidental quadratic, and
+    ``minhash_lsh_pairs`` over the union does exactly that.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, where at
+    least one side is a batch doc (batch-batch pairs ordered id_a < id_b;
+    batch-corpus pairs carry the batch id in id_a). Ids must be disjoint
+    across the two frames.
+
+    Scale shape: the batch's band rows are orders of magnitude smaller
+    than the corpus's, so the batch side is explicitly broadcast into the
+    batch⋈corpus band join — the corpus band index streams map-side
+    against it, no corpus shuffle at all. In production the corpus's
+    (signature, bands, shingle-set) index is the thing you materialize
+    once (``minhash_signature_df`` output written as a table) and only
+    append the batch's rows to per increment; equivalence with the
+    full-recompute answer is pinned by tests/test_incremental_dedup.py:
+    incremental(A, B) == pairs of full(A ∪ B) touching B.
+
+    Parameters mirror :func:`minhash_lsh_pairs`; ``max_bucket`` caps hot
+    corpus-side buckets (a boilerplate band shared by m corpus docs would
+    otherwise fan every colliding batch doc out m ways).
+    """
+    rows_per_band = n_hashes // n_bands
+
+    def _sig(docs: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        )
+        base = spread(docs).select(
+            F.col(id_col).alias("doc"),
+            word_shingle_ids(toks, shingle_k).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        return minhash_signature_df(base, "doc", "shingles", n_hashes, seed)
+
+    sig_b = _sig(batch)
+    sig_c = _sig(corpus)
+    bands_b = lsh_band_rows(sig_b.drop("sh_set"), n_bands, rows_per_band)
+    bands_c = lsh_band_rows(sig_c.drop("sh_set"), n_bands, rows_per_band)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_id", "band_hash")
+        bands_c = (
+            bands_c.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+
+    bb = (
+        bands_b.alias("l")
+        .join(
+            bands_b.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+    )
+    bc = (
+        F.broadcast(bands_b.alias("l"))
+        .join(
+            bands_c.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+    )
+    candidates = bb.unionByName(bc).dropDuplicates(["id_a", "id_b"])
+
+    sig_all = sig_b.unionByName(sig_c)
+    a = sig_b.select(F.col("doc").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sig_all.select(
+        F.col("doc").alias("id_b"), F.col("sh_set").alias("sh_b")
+    )
+    return (
+        candidates.join(F.broadcast(a), "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

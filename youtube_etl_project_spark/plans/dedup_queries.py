@@ -238,3 +238,35 @@ def dedup_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash64_df(docs, "doc_id", "text").select("doc_id", "simhash")
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=None,  # xxhash64-seeded signatures; equivalence with the full
+    # recompute is pinned by tests/test_incremental_dedup.py
+    doc="X2 incremental: near-dup pairs of a new batch (~10% of documents "
+        "by deterministic md5 split) against the already-indexed corpus "
+        "plus within-batch — the corpus never self-joins, and the batch's "
+        "band rows broadcast so the corpus band index streams map-side "
+        "with no corpus shuffle. The operational answer to 'a day of "
+        "crawl arrived; which of its docs are dups?' without re-running "
+        "dedup over 100 TB",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+        )
+        < "1a"
+    )
+    return dedup.incremental_minhash_pairs(
+        docs.filter(~is_batch),
+        docs.filter(is_batch),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=32,
+        n_bands=8,
+        threshold=0.5,
+    )
