@@ -197,24 +197,36 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="X3 support: symmetric int8 quantization (per-vector max-abs scale, "
         "floor(x*s+0.5) explicit half-up rounding — deterministic across "
         "engines, unlike ROUND on ties) — 4× memory cut for ANN candidate "
-        "storage. Pure higher-order array functions, no UDF",
+        "storage. Pure higher-order array functions, no UDF. scale and the "
+        "quantized array are materialized through named projections before "
+        "re-use: referencing the array_max fold inside the quantize lambda "
+        "would re-evaluate it per element (O(d²)/row at production dims)",
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ed = F.transform("embedding", lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(ed, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / mx
+    staged = emb.select("vec_id", ed.alias("ed")).select(
+        "vec_id",
+        "ed",
+        (
+            F.lit(127.0)
+            / F.array_max(F.transform("ed", lambda x: F.abs(x)))
+        ).alias("scale"),
+    )
     q = F.transform(
-        ed,
+        "ed",
         lambda x: F.greatest(
             F.lit(-127).cast("long"),
-            F.least(F.lit(127).cast("long"), F.floor(x * scale + F.lit(0.5))),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x * F.col("scale") + F.lit(0.5)),
+            ),
         ),
     )
     zero = F.lit(0).cast("long")
-    return emb.select(
+    return staged.select("vec_id", "scale", q.alias("q")).select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.aggregate(q, zero, lambda acc, x: acc + x).alias("q_sum"),
-        F.aggregate(q, zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("q", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
     )
