@@ -61,3 +61,33 @@ def test_incremental_empty_batch(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_corpus_index_path_matches_direct(spark, sf_dir, tmp_path):
+    from youtube_etl_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+        )
+        < "1a"
+    )
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    # persist the index and run from the parquet round-trip, as production
+    # would — must match recomputing signatures from the corpus text
+    path = str(tmp_path / "idx")
+    dedup.lsh_index(corpus, "doc_id", "text").write.parquet(path)
+    via_index = _norm(
+        dedup.incremental_minhash_pairs(
+            None, batch, "doc_id", "text",
+            corpus_index=spark.read.parquet(path), **PARAMS,
+        ).collect()
+    )
+    direct = _norm(
+        dedup.incremental_minhash_pairs(
+            corpus, batch, "doc_id", "text", **PARAMS
+        ).collect()
+    )
+    assert via_index == direct

@@ -294,8 +294,34 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one row per doc with its
+    hashed shingle set and flat minhash columns ``h0..h{n-1}`` — plain
+    parquet-writable columns. At 100 TB this table is what you
+    materialize once and append each day's batch rows to;
+    :func:`incremental_minhash_pairs` accepts it as ``corpus_index`` so
+    arriving batches never re-shingle the corpus. See
+    examples/incremental_dedup.py for the day-over-day loop.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        word_shingle_ids(toks, shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    return minhash_signature_df(base, "doc", "shingles", n_hashes, seed)
+
+
 def incremental_minhash_pairs(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     id_col: str,
     text_col: str,
@@ -305,6 +331,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.6,
     seed: int = 42,
     max_bucket: int | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a new ``batch`` against an existing ``corpus``
     plus within the batch itself — the corpus NEVER self-joins. This is
@@ -320,10 +347,10 @@ def incremental_minhash_pairs(
     Scale shape: the batch's band rows are orders of magnitude smaller
     than the corpus's, so the batch side is explicitly broadcast into the
     batch⋈corpus band join — the corpus band index streams map-side
-    against it, no corpus shuffle at all. In production the corpus's
-    (signature, bands, shingle-set) index is the thing you materialize
-    once (``minhash_signature_df`` output written as a table) and only
-    append the batch's rows to per increment; equivalence with the
+    against it, no corpus shuffle at all. In production pass
+    ``corpus_index`` (a persisted :func:`lsh_index` table; ``corpus``
+    is then ignored and may be None) so the corpus is never re-shingled
+    — only its flat index columns are scanned; equivalence with the
     full-recompute answer is pinned by tests/test_incremental_dedup.py:
     incremental(A, B) == pairs of full(A ∪ B) touching B.
 
@@ -334,17 +361,15 @@ def incremental_minhash_pairs(
     rows_per_band = n_hashes // n_bands
 
     def _sig(docs: DataFrame) -> DataFrame:
-        toks = F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-        )
-        base = spread(docs).select(
-            F.col(id_col).alias("doc"),
-            word_shingle_ids(toks, shingle_k).alias("shingles"),
-        ).filter(F.size("shingles") > 0)
-        return minhash_signature_df(base, "doc", "shingles", n_hashes, seed)
+        return lsh_index(docs, id_col, text_col, shingle_k, n_hashes, seed)
 
     sig_b = _sig(batch)
-    sig_c = _sig(corpus)
+    if corpus_index is not None:
+        sig_c = corpus_index
+    elif corpus is not None:
+        sig_c = _sig(corpus)
+    else:
+        raise ValueError("need corpus or corpus_index")
     bands_b = lsh_band_rows(sig_b.drop("sh_set"), n_bands, rows_per_band)
     bands_c = lsh_band_rows(sig_c.drop("sh_set"), n_bands, rows_per_band)
     if max_bucket is not None:
