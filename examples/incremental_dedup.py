@@ -63,11 +63,10 @@ def main() -> None:
     ).localCheckpoint(eager=True)  # referenced twice below
     n_batch = batch.count()
 
-    # a batch doc is a duplicate if it pairs with the corpus, or with an
-    # earlier (smaller-id) batch doc
-    dup_ids = pairs.select(
-        F.greatest("id_a", "id_b").alias("doc_id")
-    ).distinct()
+    # a batch doc is a duplicate if it pairs with the corpus (the operator
+    # puts the batch id in id_a for those), or is the larger id of a
+    # batch-batch pair
+    dup_ids = dedup.batch_duplicate_ids(pairs, batch.select("doc_id"))
     fresh = batch.join(dup_ids, "doc_id", "left_anti")
     n_fresh = fresh.count()
     print(

@@ -54,6 +54,8 @@ PROBE_QUERIES = (
     "approx_cms_token_counts",
     "tpch_q13_order_count_dist",
     "text_dup_trigram_fraction",
+    "dedup_incremental_lsh",
+    "events_range_frame_1h",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

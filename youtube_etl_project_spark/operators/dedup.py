@@ -415,6 +415,27 @@ def incremental_minhash_pairs(
     )
 
 
+def batch_duplicate_ids(
+    pairs: DataFrame, batch_ids: DataFrame
+) -> DataFrame:
+    """Which batch docs to drop, given :func:`incremental_minhash_pairs`
+    output: every batch doc paired with a corpus doc (those pairs carry
+    the batch id in ``id_a``), plus the larger id of each batch-batch
+    pair (keep-first-by-id survivor rule). ``batch_ids`` is a one-column
+    (doc_id) frame; returns the same shape. NOT ``greatest(id_a, id_b)``:
+    a corpus id larger than its batch partner would wrongly shield the
+    duplicate batch doc."""
+    ids = batch_ids.select(F.col(batch_ids.columns[0]).alias("doc_id"))
+    b = ids.withColumnRenamed("doc_id", "id_b")
+    bb = pairs.join(b, "id_b", "left_semi")
+    bc = pairs.join(b, "id_b", "left_anti")
+    return (
+        bb.select(F.greatest("id_a", "id_b").alias("doc_id"))
+        .unionByName(bc.select(F.col("id_a").alias("doc_id")))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

@@ -94,3 +94,47 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("sw.start")).alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "events_range_frame_1h",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="X6: value-based (RANGE) window frame — per event, the trailing "
+        "hour's event count and exact-decimal value sum for the same "
+        "user. RANGE frames need no tiebreaker: peers (equal ts_s) are "
+        "included wholesale on both engines, so the frame is "
+        "deterministic by definition. One shuffle+sort on (user_id, "
+        "ts_s) serves both aggregates; at scale this is the sliding-"
+        "lookback primitive (rate limiting, rolling spend, burst "
+        "detection) that tumbling windows cannot express",
+)
+def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )

@@ -185,3 +185,74 @@ def run_events_stream_availablenow(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    corpus_out: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_params,
+) -> StreamingQuery:
+    """Streaming near-dup dedup against a persisted LSH index: parquet
+    file source of arriving documents → foreachBatch → per micro-batch
+    run :func:`operators.dedup.incremental_minhash_pairs` with
+    ``corpus_index`` = the index table, drop duplicate docs
+    (:func:`operators.dedup.batch_duplicate_ids`), append survivors to
+    ``corpus_out`` and their :func:`operators.dedup.lsh_index` rows to
+    ``index_path``.
+
+    foreachBatch rather than a stateful operator because the "state" —
+    the corpus LSH index — must outlive the query, be shared with the
+    batch path, and stay columnar-scannable; per-key streaming state is
+    the wrong home for a corpus-sized index. Each micro-batch's cost is
+    O(|batch| + touched index buckets), never O(|corpus|); exactly-once
+    per input file via the checkpoint, so a re-run cannot double-insert
+    survivors.
+    """
+    from youtube_etl_project_spark.operators import dedup as dd
+
+    sig_params = {
+        k: v for k, v in lsh_params.items()
+        if k in ("shingle_k", "n_hashes", "seed")
+    }
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # read twice below
+        try:
+            idx = s.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            idx, have_index = None, False
+        if have_index:
+            pairs = dd.incremental_minhash_pairs(
+                None, batch, id_col, text_col,
+                corpus_index=idx, **lsh_params,
+            )
+        else:  # first batch ever: only within-batch dedup
+            pairs = dd.incremental_minhash_pairs(
+                batch.limit(0), batch, id_col, text_col, **lsh_params
+            )
+        dup = dd.batch_duplicate_ids(pairs, batch.select(id_col))
+        fresh = batch.join(dup, batch[id_col] == dup["doc_id"], "left_anti")
+        fresh = fresh.localCheckpoint(eager=True)  # two appends below
+        fresh.write.mode("append").parquet(corpus_out)
+        dd.lsh_index(fresh, id_col, text_col, **sig_params).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
