@@ -31,3 +31,13 @@ def test_lsh_clustering_refines_exact_clustering(spark, sf_dir):
     lsh_nontrivial = sum(1 for d, c in lsh.items() if d != c)
     if exact_nontrivial:
         assert lsh_nontrivial >= 0.8 * exact_nontrivial
+
+
+def test_incremental_cluster_equiv(spark, sf_dir):
+    inc = load_all_plans()["dedup_cluster_incremental"].fn
+    full = load_all_plans()["dedup_cluster_lsh"].fn
+    a = {(r.doc_id, r.cluster_id, r.is_canonical)
+         for r in inc(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.cluster_id, r.is_canonical)
+         for r in full(spark, sf_dir).collect()}
+    assert a == b

@@ -211,3 +211,79 @@ def connected_components_star(
     return nodes.join(stars, "id", "left").select(
         "id", F.coalesce("m", "id").alias("cluster_id")
     )
+
+
+def incremental_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    new_ids: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Update ``(id, cluster_id)`` labels when new edges arrive, without
+    re-clustering the corpus — contract-and-solve:
+
+    1. map each new-edge endpoint to its representative (its old
+       cluster_id if known, else itself — a new node),
+    2. run :func:`connected_components` on the contracted edge set, whose
+       size is ∝ |new edges|, never ∝ |corpus|,
+    3. join the representative relabeling back onto ``old_labels``
+       (map-side: the contracted component table is touched-clusters
+       sized) and label arriving nodes (isolated ones become
+       singletons).
+
+    PRECONDITION: ``old_labels`` must use min-member-id labels (what the
+    CC functions in this module emit). Then the contracted minimum equals
+    the global minimum, and the result is identical to re-running CC on
+    the full old∪new edge set — pinned by
+    tests/test_incremental_components.py, including the case where one
+    new edge bridges (merges) two existing corpus clusters.
+
+    ``new_ids``: optional one-column frame of ALL arriving node ids, so
+    edge-less newcomers get singleton labels; endpoints of ``new_edges``
+    are included automatically.
+    """
+    edges = new_edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)  # referenced for both endpoint maps
+
+    lab = old_labels.select("id", "cluster_id")
+    amap = lab.select(
+        F.col("id").alias("a"), F.col("cluster_id").alias("rep_a")
+    )
+    bmap = lab.select(
+        F.col("id").alias("b"), F.col("cluster_id").alias("rep_b")
+    )
+    contracted = (
+        edges.join(amap, "a", "left")
+        .join(bmap, "b", "left")
+        .select(
+            F.coalesce("rep_a", "a").alias("src"),
+            F.coalesce("rep_b", "b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    comp = connected_components(contracted)  # (id=rep, cluster_id=new)
+    relabel = comp.select(
+        F.col("id").alias("cluster_id"), F.col("cluster_id").alias("new_cl")
+    )
+
+    out_old = old_labels.join(relabel, "cluster_id", "left").select(
+        "id", F.coalesce("new_cl", "cluster_id").alias("cluster_id")
+    )
+
+    arrivals = edges.select(F.col("a").alias("id")).unionByName(
+        edges.select(F.col("b").alias("id"))
+    )
+    if new_ids is not None:
+        arrivals = arrivals.unionByName(
+            new_ids.select(F.col(new_ids.columns[0]).alias("id"))
+        )
+    arrivals = arrivals.distinct().join(
+        lab.select("id"), "id", "left_anti"
+    )
+    out_new = (
+        arrivals.join(comp, "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
+    return out_old.unionByName(out_new)

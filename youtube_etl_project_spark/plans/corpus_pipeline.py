@@ -428,3 +428,54 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("cum") - 1) / 2048).alias("bin_id"),
         )
     )
+
+
+@register(
+    "dedup_cluster_incremental",
+    oracle=None,  # xxhash64-seeded pairs; tests/test_incremental_components.py
+    # pins the operator, and test_graph_lsh.py::test_incremental_cluster_equiv
+    # pins this query's output against dedup_cluster_lsh's full recompute
+    doc="X2 incremental, end-to-end: the corpus's stored cluster labels + "
+        "an arriving batch → incremental LSH pairs (no corpus self-join) → "
+        "contract-and-solve component update (CC runs on a graph sized by "
+        "the new pairs, relabeling joins map-side) → same (doc_id, "
+        "cluster_id, is_canonical) contract as dedup_cluster_lsh, and "
+        "identical output to re-running it from scratch — per-day cost "
+        "O(batch), not O(corpus)",
+)
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+        )
+        < "1a"
+    )
+    corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    lsh = dict(shingle_k=3, n_hashes=32, n_bands=8, threshold=0.5)
+
+    # day-0 state: the corpus's labels (stored in production, rebuilt here)
+    old_pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", **lsh)
+    old_labels = graph.connected_components(
+        old_pairs, src="id_a", dst="id_b"
+    )
+
+    new_pairs = dedup.incremental_minhash_pairs(
+        corpus, batch, "doc_id", "text", **lsh
+    )
+    labels = graph.incremental_components(
+        old_labels,
+        new_pairs,
+        new_ids=batch.select("doc_id"),
+        src="id_a",
+        dst="id_b",
+    )
+    return docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id"))
+        .cast("long")
+        .alias("is_canonical"),
+    )
