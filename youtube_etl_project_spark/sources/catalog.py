@@ -80,10 +80,16 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.py); convert to TimestampType (µs, floor-truncated — the
         # fixture generator emits µs-granular values so this is lossless).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Newer Spark reads TIMESTAMP(NANOS) parquet natively as
+            # TIMESTAMP_NTZ (µs-truncated). Engine contract is TimestampType
+            # (LTZ); with the session zone pinned to UTC above the cast is
+            # instant-preserving, and watermarks/windows require LTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
