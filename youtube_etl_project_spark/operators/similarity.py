@@ -462,3 +462,76 @@ def cosine_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.9,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings coarsely, compare cosines only
+    WITHIN clusters, drop all but one survivor per near-dup group.
+
+    Extension-stack X2/X3 composition (reference has no embedding dedup;
+    SURVEY §2b): the pipeline that prunes semantically-redundant training
+    data where MinHash (lexical) misses paraphrases.
+
+    Plan shape / 100 TB posture:
+
+    1. k-means-lite coarse quantizer (``kmeans_centroids`` — only the K×dim
+       centroid *model* reaches the driver) + Arrow-vectorized assignment.
+    2. Within-cell exact cosine pairs: self-join keyed on cell, so candidate
+       cost is Σ|cell|², never n². At cluster scale pick k ∝ √n (SemDeDup
+       itself uses k=50k on LAION) so cells stay ~thousands of rows; cells
+       are the shuffle key, so k also bounds parallelism — k ≫ executors.
+    3. Connected components over the pair graph (``operators/graph.py``);
+       survivor = min id per component (deterministic, seed-free).
+
+    The assigned frame is localCheckpoint'ed: it is referenced three times
+    (both join sides + the output), and an un-checkpointed multi-referenced
+    frame re-runs the kmeans assignment UDF per reference (module-docstring
+    rule measured on the LSH→CC path).
+
+    Returns ``(id, cell, cluster_id, is_kept)`` for every input vector —
+    ``is_kept=0`` rows are the semantic duplicates to drop.
+    """
+    from . import graph
+
+    cents = kmeans_centroids(vectors, vec=vec, k=k, iters=iters, id_col=id_col)
+    assigned = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec).alias("__v"))
+        .withColumn("cell", nearest_centroid_vectorized(cents)(F.col("__v")))
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    b = assigned.select(
+        F.col("cell").alias("__cell_b"),
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("__cell_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        assigned.select("id", "cell")
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "id") == F.col("id"))
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )

@@ -133,6 +133,8 @@ def load_all_plans() -> dict[str, QuerySpec]:
         tpch2,
         text_repetition,
         tpch3,
+        dedup2,
+        analytics5,
     )
 
     return REGISTRY
