@@ -31,6 +31,7 @@ ARROW_ALLOWED = {
     "multimodal_frame_sample",
     "text_token_count_bpe",
     "pack_sequences_bpe",
+    "embed_pca_project",  # PCA apply: (x-mean)@W numpy matmul per batch
 }
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -535,3 +535,113 @@ def semantic_dedup(
             .alias("is_kept"),
         )
     )
+
+
+def pca_moments(
+    vectors: DataFrame, vec: str = "embedding"
+) -> tuple[int, "list[float]", "list[list[float]]"]:
+    """Distributed PCA training, step 1: the sufficient statistics.
+
+    One Arrow ``mapInPandas`` pass emits per-partition partials
+    ``(n, Σx, ΣxxT)``; only those d + d² numbers per partition reach the
+    driver (model-sized, like ``kmeans_centroids`` — never the data). The
+    driver reduces partials and returns ``(n, mean, covariance)``.
+
+    Same pattern a 1000-executor cluster wants: the shuffle-free moment
+    pass is embarrassingly parallel and the reduce payload is O(d²)
+    regardless of row count.
+    """
+    import numpy as np
+
+    def partials(it):
+        import numpy as np  # noqa: F811 — runs on the worker
+
+        n = 0
+        s = None
+        o = None
+        for pdf in it:
+            col = pdf[vec].to_numpy()
+            col = [e for e in col if e is not None]
+            if not col:
+                continue
+            x = np.stack(col).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            o = x.T @ x if o is None else o + x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "o": [o.ravel().tolist()]}
+            )
+
+    rows = (
+        vectors.select(vec)
+        .mapInPandas(partials, "n long, s array<double>, o array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    o = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        o += np.asarray(r["o"]).reshape(d, d)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    return n, mean.tolist(), cov.tolist()
+
+
+def pca_components(cov: "list[list[float]]") -> tuple[list, list]:
+    """Driver-side eigendecomposition of the (tiny, d×d) covariance.
+
+    Determinism across runs: float partial-sum order varies between
+    executions, so the covariance is rounded to 9 dp before ``eigh`` and
+    each eigenvector's sign is fixed (largest-|component| positive) —
+    otherwise re-runs could flip signs / jitter in the last ulp.
+    Returns (eigenvalues desc, column-stacked components d×d).
+    """
+    import numpy as np
+
+    c = np.round(np.asarray(cov), 9)
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    for j in range(vecs.shape[1]):
+        i = int(np.abs(vecs[:, j]).argmax())
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return vals.tolist(), vecs.tolist()
+
+
+def pca_project(
+    vectors: DataFrame,
+    mean: "list[float]",
+    components: "list[list[float]]",
+    n_components: int,
+    vec: str = "embedding",
+    out: str = "proj",
+) -> DataFrame:
+    """Apply a trained PCA: ``(x - mean) @ W[:, :k]`` as one numpy matmul
+    per Arrow batch (the dense-linear-algebra rule — same as
+    ``nearest_centroid_vectorized``). Output rounded to 6 dp so re-runs
+    are bit-stable despite float batch boundaries."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.asarray(mean)
+    W = np.asarray(components)[:, :n_components]
+
+    @pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — runs on the worker
+
+        arr = v.to_numpy()
+        valid = np.array([e is not None for e in arr])
+        res = [None] * len(arr)
+        if valid.any():
+            x = np.stack(arr[valid]).astype(np.float64)
+            p = np.round((x - mu) @ W, 6)
+            for slot, row in zip(np.nonzero(valid)[0], p):
+                res[slot] = row.tolist()
+        return pd.Series(res)
+
+    return vectors.withColumn(out, project(F.col(vec)))

@@ -1,0 +1,93 @@
+"""Embedding wave 2: distributed PCA (train-distributed / model-collect /
+apply-vectorized — the dimensionality-reduction step in front of ANN at
+scale) and its oracle-checkable cross-check, per-dimension variance.
+
+The variance query is deliberately the diagonal of the covariance the PCA
+moment pass computes: ``tests/test_pca.py`` asserts the two agree, so the
+Arrow moment kernel is pinned against a DuckDB-verified result even though
+eigenvectors themselves aren't SQL-expressible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "embed_dim_variance",
+    oracle="""
+        WITH vals AS (
+            SELECT u.pos - 1 AS pos, u.v
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+        ), agg AS (
+            SELECT pos,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10)))
+                        AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                 AS DECIMAL(28,10))) AS DOUBLE) AS s2
+            FROM vals GROUP BY pos
+        )
+        SELECT pos,
+               ROUND(GREATEST((s2 - s1 * s1 / n) / n, 0), 6) AS variance
+        FROM agg
+    """,
+    doc="Per-dimension population variance of the embedding column — the "
+        "covariance diagonal of the PCA moment pass, as an oracle-checked "
+        "query. posexplode to (pos, val) flat columns, decimal-domain "
+        "sums (associative → partial-agg order can't diverge from "
+        "DuckDB's sequential sum), variance clamped ≥ 0 before rounding "
+        "(ADVICE r1: float cancellation can go epsilon-negative)",
+)
+def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
+        "pos", F.col("vf").cast("double").alias("v")
+    )
+    agg = vals.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(28,10)")).cast("double").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    return agg.select(
+        "pos",
+        F.round(
+            F.greatest(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / F.col("n"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("variance"),
+    )
+
+
+@register(
+    "embed_pca_project",
+    oracle=None,  # eigenvectors aren't SQL-expressible; the moment pass is
+    # pinned against embed_dim_variance and orthogonality/distance
+    # preservation by tests/test_pca.py
+    doc="X3 scale path: PCA dimensionality reduction 64 → 16 dims before "
+        "ANN indexing. Training = one shuffle-free Arrow moment pass "
+        "emitting O(d²) partials per partition (only the model reaches "
+        "the driver, like kmeans_centroids); eigh on the driver with "
+        "sign-fixed components; application = one numpy matmul per Arrow "
+        "batch. Projections rounded 6 dp for run-to-run stability",
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, mean, cov = similarity.pca_moments(emb)
+    _, comps = similarity.pca_components(cov)
+    return similarity.pca_project(emb, mean, comps, 16).select(
+        "vec_id", "label", "proj"
+    )

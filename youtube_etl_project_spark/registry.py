@@ -135,6 +135,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         tpch3,
         dedup2,
         analytics5,
+        embeddings2,
     )
 
     return REGISTRY
