@@ -50,6 +50,10 @@ HEADLINE = [
     "tpch_q10_returned_revenue",
     "embed_ivf_ann",
     "text_dup_trigram_fraction",
+    "dedup_exact_substring",
+    "dedup_substring_mask",
+    "embed_pca_project",
+    "sessionize_lag_gaps",
 ]
 
 

@@ -56,6 +56,12 @@ PROBE_QUERIES = (
     "text_dup_trigram_fraction",
     "dedup_incremental_lsh",
     "events_range_frame_1h",
+    "dedup_exact_substring",
+    "dedup_substring_mask",
+    "dedup_semantic",
+    "embed_pca_project",
+    "sessionize_lag_gaps",
+    "audience_overlap",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

@@ -161,12 +161,16 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(Σ|cell|², never n²), connected components collapse near-dup "
         "groups, survivor = min id. The semantic complement to MinHash: "
         "catches paraphrases that share no shingles. Emits "
-        "(id, cell, cluster_id, is_kept) for every vector",
+        "(id, cell, cluster_id, is_kept) for every vector. k scales as "
+        "√n (SemDeDup's own regime) so the within-cell join stays "
+        "near-linear as the corpus grows — a fixed k would be quadratic "
+        "by configuration at 100 TB",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
+    k = max(16, int(emb.count() ** 0.5))
     return similarity.semantic_dedup(
-        emb, "vec_id", "embedding", k=16, threshold=0.4
+        emb, "vec_id", "embedding", k=k, threshold=0.4
     )
