@@ -1,0 +1,154 @@
+"""Wave 13: OLS trend fitting per group, character-entropy quality
+scoring, and triangle counting over the near-dup graph.
+
+Cross-engine float discipline: the OLS moments are exact BIGINT sums
+(counts × day ordinals — no floats until the final division), and the
+entropy per-character terms are identical doubles on both engines summed
+in the decimal domain (associative → partial-agg order can't diverge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.plans.corpus_pipeline import _PAIRS_CTE
+from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "trend_slope_by_type",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept
+        FROM m
+    """,
+    doc="Per-group OLS trend: slope/intercept of daily event volume over "
+        "the day ordinal (the 'is this metric growing' query). Moments "
+        "(Σx, Σy, Σxx, Σxy) are exact BIGINT sums — integer arithmetic "
+        "is associative, so Spark's partial aggregation and DuckDB's "
+        "sequential scan agree bit-for-bit; floats appear only in the "
+        "final closed-form division. Two shuffles: daily rollup, then "
+        "5-row moment aggregate",
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ), freq AS (
+            SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY 1
+        )
+        SELECT f.doc_id,
+               ROUND(CAST(SUM(CAST(
+                   -(CAST(f.c AS DOUBLE) / t.n)
+                       * ln(CAST(f.c AS DOUBLE) / t.n)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        FROM freq f JOIN tot t USING (doc_id)
+        GROUP BY f.doc_id
+    """,
+    doc="Character-level Shannon entropy per document (nats) — the cheap "
+        "gibberish/boilerplate detector (near-zero entropy = repeated "
+        "chars, unusually high = random bytes; both are removal signals "
+        "alongside the Gopher repetition filters). Explode to chars, "
+        "count per (doc, char), one -p·ln p term per distinct char summed "
+        "in the decimal domain so engine aggregation order can't diverge",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(28,12)")).cast("double"),
+                6,
+            ).alias("entropy")
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH {_PAIRS_CTE.strip()},
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Triangle count over the near-dup pair graph (a < b < c edge "
+        "orientation makes each triangle appear exactly once) — the "
+        "clustering-coefficient numerator, i.e. 'are near-dup clusters "
+        "cliques or chains?', which decides whether min-label CC "
+        "converges in 2 rounds or needs the star variant. Edge "
+        "orientation by id bounds the join fan-out to the out-degree of "
+        "the smaller endpoint (the standard MapReduce triangle trick)",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    return tri.agg(cnt("n_triangles"))

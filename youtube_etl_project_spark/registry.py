@@ -136,6 +136,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         dedup2,
         analytics5,
         embeddings2,
+        analytics6,
     )
 
     return REGISTRY
