@@ -137,6 +137,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         analytics5,
         embeddings2,
         analytics6,
+        analytics7,
     )
 
     return REGISTRY
