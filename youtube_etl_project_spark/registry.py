@@ -138,6 +138,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         embeddings2,
         analytics6,
         analytics7,
+        sql2,
     )
 
     return REGISTRY
