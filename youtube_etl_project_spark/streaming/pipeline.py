@@ -89,6 +89,36 @@ def windowed_event_stream(
     )
 
 
+def sessionized_event_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    *keys: str,
+) -> DataFrame:
+    """Watermarked session-window aggregation (X6's gap-based variant) on a
+    streaming OR batch DataFrame. Streaming session windows need the
+    watermark to know when a session can no longer grow (no event within
+    ``gap`` AND watermark past session end) — state per open session, not
+    per event, so memory is bounded by concurrent-session count. Batch
+    twin: identical call, watermark no-op; tests assert drain == batch."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("session"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("session.start")).alias("session_start"),
+            F.unix_timestamp(F.col("session.end")).alias("session_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def deduped_event_stream(
     events: DataFrame,
     ts_col: str = "ts",
