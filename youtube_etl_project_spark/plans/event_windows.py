@@ -138,3 +138,41 @@ def events_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@register(
+    "events_sliding_distinct",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+            FROM events
+        ), cov AS (
+            SELECT user_id, (h - k.k) * 3600 AS window_start
+            FROM ev CROSS JOIN LATERAL (
+                SELECT unnest(range(0, 6)) AS k
+            ) AS k(k)
+        )
+        SELECT window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM cov GROUP BY window_start
+    """,
+    doc="Sliding-window distinct users (6 h window, 1 h slide) — the "
+        "'concurrent-audience' metric, and the canonical hard-at-scale "
+        "window op: each event lands in 6 windows, and DISTINCT forbids "
+        "map-side combine of raw counts. Exact twin here (DuckDB "
+        "replicates Spark's epoch-aligned window assignment); at 100 TB "
+        "swap COUNT(DISTINCT) for approx_count_distinct or the HLL-merge "
+        "building block (approx_hll_sketch_merge) which DOES combine "
+        "map-side",
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").cast("long").alias("distinct_users"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "distinct_users",
+        )
+    )

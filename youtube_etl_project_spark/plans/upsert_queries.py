@@ -120,3 +120,68 @@ def scd2_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["c_acctbal", "c_mktsegment"],
         effective="eff",
     )
+
+
+@register(
+    "cdc_apply_latest",
+    oracle="""
+        WITH feed AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+                   CAST(o_orderdate AS DATE) AS d,
+                   CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                             IN ('0', '1') THEN 'D' ELSE 'U' END AS op
+            FROM orders
+        ), ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY d DESC, o_orderkey DESC)
+                       AS rn
+            FROM feed
+        )
+        SELECT o_custkey,
+               o_orderkey AS last_orderkey,
+               CAST(price AS DOUBLE) AS last_price,
+               d AS last_date
+        FROM ranked
+        WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC apply (J2's log-structured twin): treat each order row as a "
+        "change event (op derived md5-deterministically so both engines "
+        "see the same feed, ~12% deletes), keep only the LATEST op per "
+        "key, and drop keys whose latest op is a delete tombstone — the "
+        "snapshot materialization every CDC ingest (Debezium-style) "
+        "needs. One window shuffle on the key; deterministic (date, "
+        "orderkey) ordering",
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    feed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.to_date("o_orderdate").alias("d"),
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+                "0", "1"
+            ),
+            "D",
+        )
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("d"), F.desc("o_orderkey")
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("price").cast("double").alias("last_price"),
+            F.col("d").alias("last_date"),
+        )
+    )
