@@ -152,3 +152,90 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
     )
     return tri.agg(cnt("n_triangles"))
+
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    pair_rows = []
+    for i, a in enumerate(_MEASURES):
+        for b in _MEASURES[i + 1:]:
+            pair_rows.append(f"""
+        SELECT '{a}' AS m_a, '{b}' AS m_b,
+               ROUND((n * s_{a}_{b} - s_{a} * s_{b})
+                     / NULLIF(sqrt(GREATEST(n * s_{a}_{a} - s_{a} * s_{a}, 0))
+                              * sqrt(GREATEST(n * s_{b}_{b} - s_{b} * s_{b}, 0)),
+                              0), 6) AS pearson_r
+        FROM m""")
+    sums = ["COUNT(*) AS n"]
+    for i, a in enumerate(_MEASURES):
+        sums.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(18,4))) AS DOUBLE) AS s_{a}"
+        )
+        for b in _MEASURES[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(28,8))"
+                f" * CAST({b} AS DECIMAL(28,8)))"
+                f" AS DOUBLE) AS s_{a}_{b}"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle=_corr_oracle(),
+    doc="Pairwise Pearson correlation across the four lineitem measures "
+        "(the EDA feature-redundancy screen). ONE scan computes all 4 "
+        "sums + 10 cross-moments as decimal-domain aggregates (associative "
+        "— engine partial-agg order can't diverge); the 6 correlations "
+        "are scalar arithmetic over that 1-row moment table, variance "
+        "terms clamped ≥ 0 before sqrt. The single-pass moment pattern is "
+        "what survives 100 TB — never one pass per pair",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(_MEASURES):
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(18,4)")).cast("double").alias(f"s_{a}")
+        )
+        for b in _MEASURES[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("decimal(28,8)")
+                    * F.col(b).cast("decimal(28,8)")
+                )
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    parts = []
+    for i, a in enumerate(_MEASURES):
+        for b in _MEASURES[i + 1:]:
+            n = F.col("n")
+            num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            va = F.greatest(
+                n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"),
+                F.lit(0.0),
+            )
+            vb = F.greatest(
+                n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"),
+                F.lit(0.0),
+            )
+            parts.append(
+                m.select(
+                    F.lit(a).alias("m_a"),
+                    F.lit(b).alias("m_b"),
+                    F.round(
+                        num / F.nullif(F.sqrt(va) * F.sqrt(vb), F.lit(0.0)), 6
+                    ).alias("pearson_r"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
