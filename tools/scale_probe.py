@@ -62,6 +62,15 @@ PROBE_QUERIES = (
     "embed_pca_project",
     "sessionize_lag_gaps",
     "audience_overlap",
+    "events_sliding_distinct",
+    "events_ewma_daily",
+    "orders_rfm_segments",
+    "cdc_apply_latest",
+    "trend_slope_by_type",
+    "text_char_entropy",
+    "graph_triangle_count",
+    "sql_recursive_dup_paths",
+    "lineitem_corr_matrix",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

@@ -176,8 +176,11 @@ def kmeans_centroids(
     Only the K×dim centroid matrix ever reaches the driver — that is the
     *model*, not the data, so the collect is legitimate at any scale.
     """
+    # NULL vectors can't seed (assignment gives them cell -1 and skips
+    # them); seed from the k lowest-id non-null vectors.
     seeds = (
-        vectors.orderBy(F.col(id_col).asc())
+        vectors.filter(F.col(vec).isNotNull())
+        .orderBy(F.col(id_col).asc())
         .limit(k)
         .select(vec)
         .collect()
