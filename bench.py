@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_substring_mask",
     "embed_pca_project",
     "sessionize_lag_gaps",
+    "events_sliding_distinct",
+    "lineitem_corr_matrix",
 ]
 
 
