@@ -98,3 +98,89 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_id"),
         F.lag("event_id", 2).over(w).alias("lag2_id"),
     )
+
+
+_CHUNK = 32  # tokens per training chunk
+_STRIDE = 24  # new tokens per step (8-token overlap carries context)
+
+
+@register(
+    "chunk_tokens_stride",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), chunks AS (
+            SELECT doc_id, s.s AS s,
+                   array_to_string(
+                       t[1 + s.s * {_STRIDE} :
+                         least(s.s * {_STRIDE} + {_CHUNK}, len(t))],
+                       ' ') AS chunk
+            FROM toks CROSS JOIN LATERAL (
+                SELECT unnest(range(0,
+                    CAST(ceil(CAST(greatest(len(t) - {_CHUNK}, 0) AS DOUBLE)
+                              / {_STRIDE}) AS BIGINT) + 1)) AS s
+            ) AS s(s)
+        )
+        SELECT doc_id,
+               CAST(s AS BIGINT) AS chunk_idx,
+               CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+               chunk
+        FROM chunks
+    """,
+    doc=f"Pretraining chunker: split each document into {_CHUNK}-token "
+        f"windows advancing {_STRIDE} tokens per step (the 8-token overlap "
+        "carries context across chunk boundaries — the standard "
+        "fixed-context chunking every LLM data pipeline runs before "
+        "packing). Chunk starts come from one sequence() per row exploded "
+        "to flat columns; the final partial window is kept (trainers pad "
+        "or pack it). Chunk count is ceil((len-chunk)/stride)+1 on both "
+        "engines",
+)
+def chunk_tokens_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(cast(greatest(size(t) - {_CHUNK}, 0) as double) / {_STRIDE}) as bigint)),"
+                f" s -> array_join(slice(t, 1 + s * {_STRIDE},"
+                f" least(s * {_STRIDE} + {_CHUNK}, size(t)) - s * {_STRIDE}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
+        "chunk",
+    )
+
+
+@register(
+    "corpus_shuffle_hash",
+    oracle="""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('epoch7~' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS shuffle_rank
+        FROM documents
+    """,
+    doc="Seeded global training-order shuffle: rank by md5(seed || id) — "
+        "deterministic, reshufflable per epoch by changing the seed, and "
+        "identical on any engine (no RNG state). At 100 TB this is a "
+        "sort-by-computed-key, i.e. one range-partitioned shuffle, and "
+        "the property that matters — any contiguous worker slice is an "
+        "unbiased sample — comes from the hash, not from a central "
+        "shuffler. Tiebreak on doc_id guards md5 collisions",
+)
+def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch7~"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(key, F.col("doc_id")))
+        .cast("long")
+        .alias("shuffle_rank"),
+    )
