@@ -139,6 +139,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         analytics6,
         analytics7,
         sql2,
+        tpch4,
     )
 
     return REGISTRY
