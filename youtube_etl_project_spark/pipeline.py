@@ -25,7 +25,7 @@ import logging
 from dataclasses import dataclass, field
 from datetime import date as _date
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark import schemas
@@ -117,13 +117,22 @@ def load_day(
     day_glob = date_path(raw_root, day) + "/*"
     reader = read_json_line_files if file_format == "jsonl" else read_json_array_files
 
+    def observed_write(table, df: DataFrame) -> int:
+        """Write + row count in ONE action: an Observation rides the write
+        job instead of re-scanning the table afterwards (each stage's
+        table write IS the full post-stage table here, so observed rows ==
+        table size — and at 100 TB the read-back count the reference does
+        per stage would cost a second full scan per stage)."""
+        obs = Observation()
+        table.write(df.observe(obs, F.count(F.lit(1)).alias("rows")))
+        return int(obs.get["rows"])
+
     # -- stage 1: staging with lineage (S6/F11; fatal) ---------------------
     staged_v = route_files(
         reader(wh.spark, day_glob, schemas.VIDEO_SCHEMA), "videos_"
     )
     stg = staged_v.select("raw_json", "load_timestamp", "file_name", "record")
-    wh.stg_videos.write(stg.drop("record"))
-    counts["staged_videos"] = wh.stg_videos.read().count()
+    counts["staged_videos"] = observed_write(wh.stg_videos, stg.drop("record"))
 
     # -- stage 2: channel dim upsert (W1 dedup → J2 MERGE; fatal) ----------
     staged_c = route_files(
@@ -148,8 +157,10 @@ def load_day(
         merged = channels.withColumn("first_seen_date", F.current_date()).withColumn(
             "last_updated", F.current_timestamp()
         )
-    wh.dim_channels.write(merged.select(*[f.name for f in schemas.DIM_CHANNELS_SCHEMA]))
-    counts["dim_channels"] = wh.dim_channels.read().count()
+    counts["dim_channels"] = observed_write(
+        wh.dim_channels,
+        merged.select(*[f.name for f in schemas.DIM_CHANNELS_SCHEMA]),
+    )
 
     # -- stage 3: fact insert-only merge (P7 typed extract → J3; fatal) ----
     facts = (
@@ -164,12 +175,14 @@ def load_day(
         .select(*[f.name for f in schemas.FACT_VIDEOS_SCHEMA])
     )
     if wh.fact_videos.exists():
-        wh.fact_videos.write(
-            insert_only_merge(wh.fact_videos.read(), facts, ["video_id"])
+        counts["fact_videos"] = observed_write(
+            wh.fact_videos,
+            insert_only_merge(wh.fact_videos.read(), facts, ["video_id"]),
         )
     else:
-        wh.fact_videos.write(facts.dropDuplicates(["video_id"]))
-    counts["fact_videos"] = wh.fact_videos.read().count()
+        counts["fact_videos"] = observed_write(
+            wh.fact_videos, facts.dropDuplicates(["video_id"])
+        )
 
     # -- stage 4: aggregate refresh (J1+A1 → A7 replaceWhere; non-fatal) ---
     try:
