@@ -115,3 +115,78 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine LEFT JOIN daily USING (d)
         """,
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events
+        WHERE value >= 250.0 AND event_type IN ('view', 'click')
+        GROUP BY event_type
+    """,
+    doc="Parameterized spark.sql (named-parameter binding, the injection-"
+        "safe replacement for the reference's f-string SQL assembly — "
+        "its param fan-out interpolates region/keyword strings directly). "
+        "Parameters bind as typed literals in the plan, so Catalyst still "
+        "constant-folds and pushes the predicate to the scan",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.sql import register_catalog
+
+    register_catalog(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events
+        WHERE value >= :min_value AND event_type IN (:t1, :t2)
+        GROUP BY event_type
+        """,
+        args={"min_value": 250.0, "t1": "view", "t2": "click"},
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        CROSS JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) AS t
+        WHERE c.c_acctbal > 9900
+    """,
+    doc="LATERAL correlated subquery: top-2 orders per (high-balance) "
+        "customer written as a per-row dependent subquery instead of a "
+        "window — the SQL surface ORMs and analysts reach for. Spark "
+        "decorrelates the LATERAL LIMIT into the same ranked-window plan "
+        "O3 uses, so the 'per-row subquery' never actually executes "
+        "per row",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.sql import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) AS t
+        WHERE c.c_acctbal > 9900
+        """,
+    )
