@@ -110,3 +110,44 @@ def test_crash_between_write_and_swap(spark, tmp_path, monkeypatch):
     assert os.path.join(t.root, left[0]) == t.current_path()
     assert len(left) == 1
     assert [(r.k, r.v) for r in t.read().collect()] == [(2, "new")]
+
+
+def test_time_travel_reads_previous_versions(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "tt"), keep_versions=3)
+    for i in range(4):
+        t.write(spark.range(i, i + 10).toDF("id"))
+    # current + two back retained; three back pruned
+    assert t.read_version(0).agg({"id": "min"}).collect()[0][0] == 3
+    assert t.read_version(1).agg({"id": "min"}).collect()[0][0] == 2
+    assert t.read_version(2).agg({"id": "min"}).collect()[0][0] == 1
+    assert len(t.history()) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_version(3)
+
+
+def test_default_retention_keeps_only_current(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "one"))
+    t.write(spark.range(5).toDF("id"))
+    t.write(spark.range(7).toDF("id"))
+    assert len(t.history()) == 1
+    assert t.read().count() == 7
+    import os
+
+    dirs = [d for d in os.listdir(t.root) if d.startswith("v_")]
+    assert len(dirs) == 1  # old version pruned eagerly
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "vr"), keep_versions=2)
+    t.write(spark.range(1).toDF("id"))
+    t.write(spark.range(2).toDF("id"))
+    # orphan dir (simulated crashed writer) must go; history must stay
+    os.makedirs(os.path.join(t.root, "v_orphan"))
+    t.vacuum()
+    assert not os.path.exists(os.path.join(t.root, "v_orphan"))
+    assert len(t.history()) == 2
+    assert t.read_version(1).count() == 1

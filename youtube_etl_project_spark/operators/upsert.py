@@ -100,19 +100,33 @@ class ParquetTable:
     """Versioned parquet table with atomic pointer swap.
 
     Layout: ``<root>/v_<uuid>/`` data directories + ``<root>/_CURRENT`` text
-    pointer. Writes land in a fresh directory and the pointer flips last, so
-    readers never observe partial data — the parquet stand-in for Delta's
-    ACID commit (SURVEY §4 transaction row; reference FA:294-365 semantics).
+    pointer + ``<root>/_LOG`` append-only commit log. Writes land in a fresh
+    directory and the pointer flips last, so readers never observe partial
+    data — the parquet stand-in for Delta's ACID commit (SURVEY §4
+    transaction row; reference FA:294-365 semantics).
+
+    ``keep_versions`` adds Delta-style time travel: the newest N committed
+    versions survive (``history()``, ``read_version(n_back)``); older ones
+    are pruned on write. The default 1 keeps only the current version —
+    identical disk footprint to the un-versioned behavior. The log is
+    appended BEFORE the pointer swap, so a crash between the two leaves a
+    log entry with no commit; history trims at the pointer entry (entries
+    after it are uncommitted orphans — vacuum's business, never history's).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 1):
         self.spark = spark
         self.root = root
+        self.keep_versions = max(1, keep_versions)
         os.makedirs(root, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.root, "_CURRENT")
+
+    @property
+    def _log(self) -> str:
+        return os.path.join(self.root, "_LOG")
 
     def exists(self) -> bool:
         return os.path.exists(self._pointer)
@@ -133,13 +147,49 @@ class ParquetTable:
         version = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, version)
         df.write.mode("errorifexists").parquet(out)
-        old = self.current_path()
+        with open(self._log, "a") as f:
+            f.write(version + "\n")
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer)  # atomic commit
-        if old and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        # Retention: drop committed versions beyond the keep window.
+        for stale in self.history()[self.keep_versions:]:
+            p = os.path.join(self.root, stale)
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def history(self) -> list[str]:
+        """Committed version names, newest first, pruned versions excluded.
+
+        The log may end with orphans (crash after log append, before
+        pointer swap); everything after the current pointer's entry is
+        uncommitted and excluded.
+        """
+        cur = self.current_path()
+        if cur is None or not os.path.exists(self._log):
+            return []
+        cur_name = os.path.basename(cur)
+        with open(self._log) as f:
+            entries = [ln.strip() for ln in f if ln.strip()]
+        if cur_name in entries:  # trim uncommitted tail
+            entries = entries[: entries.index(cur_name) + 1]
+        return [
+            v
+            for v in reversed(entries)
+            if os.path.isdir(os.path.join(self.root, v))
+        ]
+
+    def read_version(self, n_back: int = 0) -> DataFrame:
+        """Time travel: ``n_back=0`` is the current commit, 1 the previous,
+        … up to ``keep_versions - 1`` (older versions are pruned)."""
+        hist = self.history()
+        if n_back >= len(hist):
+            raise ValueError(
+                f"version {n_back} back not retained "
+                f"(history depth {len(hist)}, keep_versions={self.keep_versions})"
+            )
+        return self.spark.read.parquet(os.path.join(self.root, hist[n_back]))
 
     def truncate(self) -> None:
         """S9: TRUNCATE TABLE — commit an empty version preserving schema."""
@@ -156,10 +206,16 @@ class ParquetTable:
         leaking disk. Single-writer assumption as documented for write();
         call between loads, never concurrently with one.
         """
+        retained = {
+            os.path.join(self.root, v)
+            for v in self.history()[: self.keep_versions]
+        }
         cur = self.current_path()
+        if cur:
+            retained.add(cur)
         for name in os.listdir(self.root):
             p = os.path.join(self.root, name)
-            if name.startswith("v_") and os.path.isdir(p) and p != cur:
+            if name.startswith("v_") and os.path.isdir(p) and p not in retained:
                 shutil.rmtree(p, ignore_errors=True)
 
 
