@@ -168,3 +168,41 @@ def test_run_day_distributed_sink_end_to_end(spark, tmp_path):
     assert parts, "expected distributed part files in the raw sink"
     arrays = glob.glob(f"{raw_root}/2024/03/02/*.json")
     assert not arrays, "reference-shaped array fixtures are test-only now"
+
+
+def test_backfill_skips_done_days_and_resumes(spark, tmp_path, raw_root):
+    import os
+
+    from youtube_etl_project_spark.pipeline import backfill
+
+    day2 = date(2024, 3, 3)
+    _seed_day(raw_root)
+    write_json_array_file(
+        raw_root,
+        day2,
+        "videos",
+        [make_video("v9", "ch1", category_id=1)],
+        ts_suffix="20240303_060000",
+    )
+    write_json_array_file(
+        raw_root,
+        day2,
+        "channels",
+        [make_channel("ch1")],
+        ts_suffix="20240303_060000",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    first = backfill(wh, raw_root, [DAY, day2], file_format="array")
+    assert set(first) == {DAY.isoformat(), day2.isoformat()}
+    n_facts = wh.fact_videos.read().count()
+
+    # Simulate a crash AFTER day 1 committed: delete day2's marker and
+    # re-run — only day2 re-loads, and idempotence keeps tables identical.
+    os.remove(os.path.join(wh.root, "_backfill", day2.isoformat()))
+    second = backfill(wh, raw_root, [DAY, day2], file_format="array")
+    assert set(second) == {day2.isoformat()}
+    assert wh.fact_videos.read().count() == n_facts
+
+    third = backfill(wh, raw_root, [DAY, day2], file_format="array")
+    assert third == {}

@@ -22,6 +22,7 @@ Dims broadcast in the aggregate join.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from datetime import date as _date
 
@@ -238,3 +239,34 @@ def run_day(
     write_day_entity(channels_raw, raw_root, day, "channels")
     wh = Warehouse(spark, warehouse_root)
     return load_day(wh, raw_root, day, file_format="jsonl")
+
+
+def backfill(
+    wh: Warehouse,
+    raw_root: str,
+    days: "list[_date]",
+    file_format: str = "jsonl",
+) -> dict[str, dict[str, int]]:
+    """Restart-safe historical backfill: run ``load_day`` for every day
+    not yet marked complete, newest marker last.
+
+    Completion markers (``<warehouse>/_backfill/<ISO date>``) are written
+    AFTER a day's load commits, so a crash mid-backfill re-runs only the
+    interrupted day on the next invocation — and because every stage of
+    ``load_day`` is idempotent (MERGE semantics, replaceWhere aggregate,
+    atomic table swaps), the re-run converges instead of duplicating.
+    This is the operational verb the reference's daily cron lacks: its
+    only recovery story is manual re-invocation per day (FA:304-355).
+    """
+    marker_dir = os.path.join(wh.root, "_backfill")
+    os.makedirs(marker_dir, exist_ok=True)
+    results: dict[str, dict[str, int]] = {}
+    for day in sorted(days):
+        marker = os.path.join(marker_dir, day.isoformat())
+        if os.path.exists(marker):
+            log.info("backfill: %s already loaded, skipping", day)
+            continue
+        results[day.isoformat()] = load_day(wh, raw_root, day, file_format)
+        with open(marker, "w") as f:
+            f.write("done")
+    return results
