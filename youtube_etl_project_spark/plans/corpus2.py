@@ -1,0 +1,208 @@
+"""Corpus-diagnostics wave: the reports a curation team actually reads —
+per-source duplication rates (where is the redundancy coming from?),
+leave-one-out 1-NN label accuracy (are the embeddings any good?), and a
+Zipf fit over the token distribution (is this natural language?)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from youtube_etl_project_spark.plans.corpus_pipeline import _PAIRS_CTE
+from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+        WITH {_PAIRS_CTE.strip()},
+        dup AS (
+            SELECT id_a AS doc_id FROM pairs
+            UNION
+            SELECT id_b FROM pairs
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dup,
+               ROUND(CAST(COUNT(dup.doc_id) AS DOUBLE) / COUNT(*), 6)
+                   AS dup_rate
+        FROM documents d LEFT JOIN dup USING (doc_id)
+        GROUP BY d.source
+    """,
+    doc="Duplication diagnostics by source: fraction of each source's "
+        "documents participating in at least one near-dup pair — the "
+        "report that decides which feed gets its crawler fixed (a "
+        "boilerplate-heavy source shows up here before it poisons the "
+        "corpus). Pair ids collapse to a distinct doc set BEFORE the "
+        "per-source rollup; one small join against the doc table",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    dup = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            cnt("n_docs"),
+            F.count("is_dup").cast("long").alias("n_dup"),
+            F.round(
+                F.count("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "embed_knn_label_accuracy",
+    oracle="""
+        WITH sims AS (
+            SELECT a.vec_id AS i, a.label AS label_i, b.label AS label_j,
+                   list_inner_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) /
+                   (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[])) *
+                    sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))) AS c,
+                   b.vec_id AS j
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), nn AS (
+            SELECT i, label_i, label_j,
+                   ROW_NUMBER() OVER (PARTITION BY i
+                                      ORDER BY c DESC, j ASC) AS rn
+            FROM sims
+        )
+        SELECT label_i AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label_i = label_j THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN label_i = label_j THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS accuracy
+        FROM nn WHERE rn = 1
+        GROUP BY label_i
+    """,
+    doc="Embedding-quality eval: leave-one-out 1-NN label prediction "
+        "accuracy per class (the fixture's label column as ground truth) "
+        "— the sanity metric run before trusting an embedding space for "
+        "semantic dedup or retrieval. Exact all-pairs cosine (identical "
+        "left-fold doubles on both engines, raw values ranked — ties "
+        "broken by neighbor id); at 100 TB the candidate set comes from "
+        "the ANN index (embed_lsh_ann/embed_ivf_ann) instead of n²",
+)
+def embed_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("label_i"),
+        F.col("embedding").alias("__va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("label_j"),
+        F.col("embedding").alias("__vb"),
+    )
+    sims = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "label_i",
+        "label_j",
+        "j",
+        cosine(F.col("__va"), F.col("__vb")).alias("c"),
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("c"), F.asc("j"))
+    nn = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    hit = F.when(F.col("label_i") == F.col("label_j"), 1).otherwise(0)
+    return nn.groupBy(F.col("label_i").alias("label")).agg(
+        cnt("n"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH freq AS (
+            SELECT t.t AS token, COUNT(*) AS f
+            FROM documents CROSS JOIN LATERAL (
+                SELECT unnest(string_split(text, ' ')) AS t
+            ) AS t(t)
+            WHERE t.t <> ''
+            GROUP BY t.t
+        ), ranked AS (
+            SELECT ln(ROW_NUMBER() OVER (ORDER BY f DESC, token ASC)) AS x,
+                   ln(CAST(f AS DOUBLE)) AS y
+            FROM freq
+        ), m AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_tokens,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 4) AS intercept
+        FROM m
+    """,
+    doc="Zipf's-law fit: OLS slope of log-frequency vs log-rank over the "
+        "token distribution (natural language ≈ -1; machine-generated or "
+        "template text deviates — a corpus-level quality gate). Ranks "
+        "are deterministic (freq desc, token asc); the log doubles are "
+        "identical on both engines and their moments sum in the decimal "
+        "domain; outputs rounded 4 dp to absorb the double→decimal cast "
+        "ulp (registry float rules)",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), F.asc("token")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )

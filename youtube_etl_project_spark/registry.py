@@ -140,6 +140,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         analytics7,
         sql2,
         tpch4,
+        corpus2,
     )
 
     return REGISTRY
