@@ -70,3 +70,49 @@ def test_exact_dedup_single_row_groups(spark):
     )
     out = dedup.exact_dedup(df, ["k"], [F.col("id").asc()])
     assert out.count() == 2
+
+
+def test_pca_moments_rejects_empty_input(spark):
+    import pytest as _pytest
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    from youtube_etl_project_spark.operators.similarity import pca_moments
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("embedding", ArrayType(FloatType()))])
+    )
+    with _pytest.raises(ValueError, match="no non-null vectors"):
+        pca_moments(empty)
+
+
+def test_semantic_dedup_handles_null_vectors(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from youtube_etl_project_spark.operators.similarity import semantic_dedup
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.001]),  # near-dup of 0
+        (2, None),  # null vector: cell -1, never paired, kept
+        (3, [0.0, 1.0]),
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, schema), "vec_id", "embedding",
+        k=2, threshold=0.99,
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 4
+    assert by_id[2]["is_kept"] == 1 and by_id[2]["cell"] == -1
+    assert by_id[1]["cluster_id"] == 0 and by_id[1]["is_kept"] == 0

@@ -71,6 +71,12 @@ PROBE_QUERIES = (
     "graph_triangle_count",
     "sql_recursive_dup_paths",
     "lineitem_corr_matrix",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "dedup_rate_by_source",
+    "text_zipf_fit",
+    "chunk_tokens_stride",
+    "corpus_shuffle_hash",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

@@ -581,6 +581,8 @@ def pca_moments(
         .mapInPandas(partials, "n long, s array<double>, o array<double>")
         .collect()
     )
+    if not rows:
+        raise ValueError("pca_moments: no non-null vectors in input")
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s = np.zeros(d)
