@@ -1,0 +1,42 @@
+"""Pin the driver-gate sampling window (first 50 registry entries).
+
+The driver's correctness gate samples the first 50 ``queries()`` entries by
+iteration order; ``registry.DRIVER_WINDOW`` curates that slice.  These tests
+keep the window at exactly 50, keep the flagship LLM operators inside it,
+and bound the rows-only (no-oracle) entries to the four hash-seeded
+flagships the window exists to showcase.
+"""
+
+from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
+
+FLAGSHIPS = {
+    "dedup_minhash_lsh", "dedup_cluster_lsh", "dedup_jaccard_dfcut",
+    "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann",
+    "dedup_exact_substring", "scd2_upsert_customers", "cdc_apply_latest",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
+}
+
+
+def test_window_is_first_50():
+    names = list(load_all_plans())
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_contains_flagships():
+    assert FLAGSHIPS <= set(DRIVER_WINDOW)
+
+
+def test_window_rows_only_is_bounded():
+    reg = load_all_plans()
+    rows_only = {n for n in DRIVER_WINDOW if reg[n].oracle is None}
+    assert rows_only == {
+        "dedup_minhash_lsh", "dedup_cluster_lsh",
+        "embed_lsh_ann", "embed_ivf_ann",
+    }
+
+
+def test_no_window_name_lost_from_registry():
+    reg = load_all_plans()
+    assert all(n in reg for n in DRIVER_WINDOW)

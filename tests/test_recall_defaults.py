@@ -48,6 +48,30 @@ def test_lsh_default_recall_at_10(topk_inputs):
     assert _recall(ann, gt) >= 0.9
 
 
+def test_auto_geometry_values():
+    # planes track log2(n/target_bucket); tables hold recall and cap at 64
+    assert similarity.auto_lsh_geometry(2000) == (4, 15)
+    assert similarity.auto_lsh_geometry(200) == (2, 5)
+    assert similarity.auto_lsh_geometry(32000) == (8, 64)
+    assert similarity.auto_lsh_geometry(10**9)[0] == 16  # plane cap
+    # bucket density stays ~constant: n/2^planes within 2x of target
+    for n in (10_000, 100_000, 1_000_000):
+        planes, _ = similarity.auto_lsh_geometry(n)
+        assert n / 2**planes <= 2 * 128
+
+
+def test_lsh_auto_geometry_recall_at_10(topk_inputs):
+    """The registered embed_lsh_ann path: geometry derived from the corpus
+    count must sit at the same recall knee as the hand-tuned defaults."""
+    _, queries, candidates, gt = topk_inputs
+    ann = _sets(
+        similarity.lsh_topk(
+            queries, candidates, dim=64, k=K, n_planes=None, n_tables=None
+        )
+    )
+    assert _recall(ann, gt) >= 0.9
+
+
 def test_ivf_default_recall_at_10(topk_inputs):
     emb, queries, candidates, gt = topk_inputs
     centroids = similarity.kmeans_centroids(emb, k=8, iters=2)

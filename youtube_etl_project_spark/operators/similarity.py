@@ -322,13 +322,56 @@ def ivf_topk(
     )
 
 
+def auto_lsh_geometry(
+    n_candidates: int,
+    target_bucket: int = 128,
+    p_near: float = 0.62,
+    recall: float = 0.9,
+    min_planes: int = 2,
+    max_planes: int = 16,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from the corpus size so expected bucket
+    density stays bounded as n grows — the fix for fixed-geometry LSH
+    degrading toward dense buckets at 100× corpus (bucket collisions grow
+    ∝ n²/2^planes at fixed planes).
+
+    * ``n_planes = ceil(log2(n / target_bucket))``: expected bucket size
+      stays ≈ target_bucket regardless of n.
+    * ``n_tables = ceil(ln(1-recall) / ln(1-p^planes))``: holds
+      recall ≈ 1-(1-p^planes)^tables as planes rise. ``p_near = 0.62`` is
+      the per-plane collision probability of a true top-10 neighbor
+      back-solved from the measured RECALL.md sweep at sf0.1
+      (4 planes × 16 tables → recall 0.92 ⇒ p ≈ 0.62) — conservative at
+      larger corpora, where true neighbors are closer and p rises.
+
+    At sf0.1 (n=2000) this yields (4, 15) — the measured recall knee; at
+    16× data (n=32000) it yields (8, 64-capped): 2^8 buckets keep
+    collision cost ≈ tables·n/2^planes per query instead of 16× denser
+    buckets at fixed planes.
+    """
+    import math
+
+    planes = max(
+        min_planes,
+        min(max_planes, math.ceil(math.log2(max(n_candidates, 1) / target_bucket))),
+    )
+    p_all = p_near ** planes
+    tables = (
+        max_tables
+        if p_all >= 1.0
+        else max(1, min(max_tables, math.ceil(math.log(1 - recall) / math.log(1 - p_all))))
+    )
+    return planes, tables
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int | None = 4,
+    n_tables: int | None = 8,
     query_id: str = "query_id",
     cand_id: str = "neighbor_id",
     vec: str = "embedding",
@@ -346,7 +389,16 @@ def lsh_topk(
     table per Arrow batch): ~5x faster warm than the pure-Column fold at
     2k×64-dim, and the gap widens with row count — dense per-row linear
     algebra is the case where Arrow+numpy beats Catalyst expressions.
+
+    Pass ``n_planes=None`` (and/or ``n_tables=None``) to auto-derive the
+    geometry from a corpus count (one cheap aggregate) via
+    ``auto_lsh_geometry`` — the scale-safe default: bucket density stays
+    bounded as the corpus grows instead of degrading quadratically.
     """
+    if n_planes is None or n_tables is None:
+        ap, at = auto_lsh_geometry(candidates.count())
+        n_planes = ap if n_planes is None else n_planes
+        n_tables = at if n_tables is None else n_tables
     keys_udf = _table_keys_vectorized(dim, n_planes, n_tables, seed)
 
     def bucket_ids(df: DataFrame, id_out: str) -> DataFrame:
@@ -427,8 +479,8 @@ def cosine_pairs_lsh(
     vec: str = "embedding",
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 4,
-    n_tables: int = 16,
+    n_planes: int | None = 4,
+    n_tables: int | None = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH bucket self-join.
@@ -439,7 +491,16 @@ def cosine_pairs_lsh(
     the exact cosine on candidates only → precision 1.0; recall at the
     default 4 planes × 16 tables is ≈ 1-(1-p^4)^16 with p = 1-θ/π
     (≈ 0.94 at cosine 0.4), pinned by tests/test_similarity.py.
+
+    ``n_planes=None`` / ``n_tables=None`` auto-derive the geometry from
+    the corpus count (``auto_lsh_geometry``): for a SELF-join the
+    collision cost is ∝ tables·n²/2^planes, so scaling planes with
+    log2(n) is what keeps the pair-generation subquadratic at 100 TB.
     """
+    if n_planes is None or n_tables is None:
+        ap, at = auto_lsh_geometry(vectors.count())
+        n_planes = ap if n_planes is None else n_planes
+        n_tables = at if n_tables is None else n_tables
     keys_udf = _table_keys_vectorized(dim, n_planes, n_tables, seed)
     keyed = vectors.select(F.col(id_col).alias("id"), keys_udf(vec).alias("__ks"))
     buckets = keyed.select(
@@ -510,8 +571,12 @@ def semantic_dedup(
         .withColumn("cell", nearest_centroid_vectorized(cents)(F.col("__v")))
         .localCheckpoint(eager=True)
     )
-    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("__v").alias("__va"))
-    b = assigned.select(
+    # cell -1 = NULL embedding: excluded from BOTH join sides up front —
+    # otherwise all null rows share one cell and generate O(n_null²)
+    # candidate pairs that only die after cosine evaluates to null.
+    valid = assigned.filter(F.col("cell") >= 0)
+    a = valid.select("cell", F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    b = valid.select(
         F.col("cell").alias("__cell_b"),
         F.col("id").alias("id_b"),
         F.col("__v").alias("__vb"),

@@ -54,11 +54,14 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_lsh_ann",
-    oracle=None,  # hyperplanes derive from xxhash64 — no DuckDB twin
+    oracle=None,  # hyperplanes derive from seeded sha256 — no DuckDB twin
     doc="X3 scale path: random-hyperplane LSH bucketing + within-bucket "
-        "top-k (bucket equi-join instead of cross product). Defaults "
-        "(4 planes × 16 tables) sit at recall@10 = 0.92 vs brute force "
-        "(RECALL.md sweep; pinned ≥ 0.9 by tests/test_recall_defaults.py)",
+        "top-k (bucket equi-join instead of cross product). Geometry is "
+        "AUTO-derived from the corpus count (auto_lsh_geometry): planes "
+        "∝ log2(n/target_bucket) keep bucket density bounded as n grows, "
+        "tables scale to hold recall — at sf0.1 this resolves to the "
+        "measured (4 planes, 15 tables) recall@10 ≈ 0.92 knee "
+        "(RECALL.md; pinned ≥ 0.9 by tests/test_recall_defaults.py)",
 )
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -67,7 +70,7 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return similarity.lsh_topk(
-        queries, candidates, dim=_DIM, k=5, n_planes=4, n_tables=16
+        queries, candidates, dim=_DIM, k=5, n_planes=None, n_tables=None
     )
 
 
