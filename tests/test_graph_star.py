@@ -63,7 +63,25 @@ def test_label_propagation_warns_on_nonconvergence(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        graph.connected_components(edges, max_iter=3).collect()
+        graph.connected_components(
+            edges, max_iter=3, on_nonconverge="warn"
+        ).collect()
     assert any("did not converge" in str(w.message) for w in caught)
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(edges, max_iter=3, on_nonconverge="raise")
+
+
+def test_default_escalates_to_star_on_adversarial_chain(spark):
+    """Default mode self-heals: a 31-node chain with max_iter=3 cannot
+    converge by min-label propagation, so it must escalate to the star
+    algorithm and return CORRECT labels with no RuntimeWarning."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(40, 40)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = graph.connected_components(edges, max_iter=3).collect()
+    assert not any(isinstance(w.message, RuntimeWarning) for w in caught)
+    got = {r["id"]: r["cluster_id"] for r in rows}
+    # chain fully merged; self-loop node kept as a singleton (the contract)
+    assert got == {i: 0 for i in range(31)} | {40: 40}

@@ -151,3 +151,58 @@ def test_vacuum_respects_retention(spark, tmp_path):
     assert not os.path.exists(os.path.join(t.root, "v_orphan"))
     assert len(t.history()) == 2
     assert t.read_version(1).count() == 1
+
+
+def test_history_recovers_pre_log_table(spark, tmp_path):
+    """A table committed by pre-_LOG code (pointer exists, no log file):
+    history()/read_version(0) must serve the pointer's version, and the
+    next write must prune it under the retention policy (ADVICE r2)."""
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "legacy"))
+    t.write(spark.range(5).toDF("id"))
+    os.remove(t._log)  # simulate a pre-_LOG commit
+
+    assert t.history() == [os.path.basename(t.current_path())]
+    assert t.read_version(0).count() == 5
+    old_dir = t.current_path()
+    t.write(spark.range(3).toDF("id"))  # retention must reclaim old dir
+    assert not os.path.exists(old_dir)
+    assert t.read().count() == 3
+
+
+def test_history_recovers_crash_between_swap_and_log(spark, tmp_path):
+    """Crash window of the swap-then-log protocol: pointer moved, log
+    append lost. The pointer is the newest commit; logged predecessors
+    stay as history."""
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "cw"), keep_versions=3)
+    t.write(spark.range(1).toDF("id"))
+    t.write(spark.range(2).toDF("id"))
+    # strip the newest entry from the log = crashed before the append
+    with open(t._log) as f:
+        entries = [ln for ln in f.read().splitlines() if ln]
+    cur_name = os.path.basename(t.current_path())
+    assert entries[-1] == cur_name
+    with open(t._log, "w") as f:
+        f.write("\n".join(entries[:-1]) + "\n")
+
+    hist = t.history()
+    assert hist[0] == cur_name and len(hist) == 2
+    assert t.read_version(0).count() == 2
+    assert t.read_version(1).count() == 1
+
+
+def test_history_trims_legacy_orphan_tail(spark, tmp_path):
+    """Log entries after the pointer's entry (a pre-swap-then-log writer
+    crashed between its log append and its pointer swap) are uncommitted
+    orphans and must not be served as history."""
+    t = ParquetTable(spark, str(tmp_path / "ot"), keep_versions=3)
+    t.write(spark.range(1).toDF("id"))
+    with open(t._log, "a") as f:
+        f.write("v_deadbeef0000\n")  # orphan tail entry, no dir, no pointer
+    import os
+
+    assert t.history() == [os.path.basename(t.current_path())]
+    assert t.read_version(0).count() == 1

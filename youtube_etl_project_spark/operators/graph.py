@@ -47,7 +47,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 15,
-    on_nonconverge: str = "warn",
+    on_nonconverge: str = "escalate",
 ) -> DataFrame:
     """Return ``(id, cluster_id)`` — cluster_id = min node id reachable.
 
@@ -56,11 +56,18 @@ def connected_components(
     the caller (left-join the full entity table against this result).
 
     If the fixed point is not reached within ``max_iter`` rounds (graph
-    diameter > max_iter — adversarial long-path inputs), the labels are
-    WRONG (clusters split). ``on_nonconverge`` controls the reaction:
-    ``"warn"`` emits a ``RuntimeWarning``, ``"raise"`` raises
-    ``RuntimeError``. For such graphs use ``connected_components_star``,
-    which needs only O(log n) rounds.
+    diameter > max_iter — adversarial long-path inputs), the partial
+    labels are WRONG (clusters split). ``on_nonconverge`` controls the
+    reaction:
+
+    * ``"escalate"`` (default) — self-heal: rerun the input through
+      :func:`connected_components_star`, which converges in O(log n)
+      rounds on any graph. Near-dup graphs (diameter ≤ ~3) never hit
+      this, so the common case keeps min-label's cheaper per-round cost
+      and early exit; adversarial chains pay one star pass instead of
+      returning split clusters.
+    * ``"warn"`` — emit a ``RuntimeWarning`` and return the split labels.
+    * ``"raise"`` — raise ``RuntimeError``.
     """
     # Checkpoint the raw edges FIRST: the input is typically the tail of an
     # expensive pipeline (LSH or all-pairs Jaccard), and every downstream
@@ -106,6 +113,18 @@ def connected_components(
         if not changed:
             break
     else:
+        if on_nonconverge == "escalate":
+            # Star labels only edge-endpoint nodes with a != b; preserve
+            # this function's contract (self-loop-only nodes become
+            # singletons) by re-attaching the full node set.
+            star = connected_components_star(edges, src="a", dst="b")
+            return (
+                labels.select("id")
+                .join(star, "id", "left")
+                .select(
+                    "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+                )
+            )
         msg = (
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — cluster ids are split. "

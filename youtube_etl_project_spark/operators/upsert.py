@@ -109,9 +109,13 @@ class ParquetTable:
     versions survive (``history()``, ``read_version(n_back)``); older ones
     are pruned on write. The default 1 keeps only the current version —
     identical disk footprint to the un-versioned behavior. The log is
-    appended BEFORE the pointer swap, so a crash between the two leaves a
-    log entry with no commit; history trims at the pointer entry (entries
-    after it are uncommitted orphans — vacuum's business, never history's).
+    appended AFTER the pointer swap, so every log entry is a real commit;
+    the one crash window (between swap and append) leaves the current
+    version unlisted, which ``history()`` repairs by treating the pointer
+    as the newest commit. Tables written by older append-before-swap code
+    (or with no ``_LOG`` at all) are also handled: entries after the
+    pointer's entry are uncommitted orphans and are trimmed, and a pointer
+    absent from the log is appended as the last known commit.
     """
 
     def __init__(self, spark: SparkSession, root: str, keep_versions: int = 1):
@@ -144,17 +148,24 @@ class ParquetTable:
         return self.spark.read.parquet(path)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        # Snapshot history BEFORE the swap: a pre-_LOG current version is
+        # only reachable through the pointer fallback, and it must still
+        # be pruned by the retention pass below once superseded.
+        prior = self.history()
         version = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, version)
         df.write.mode("errorifexists").parquet(out)
-        with open(self._log, "a") as f:
-            f.write(version + "\n")
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer)  # atomic commit
+        # Log after the swap: every logged entry is a real commit (a crash
+        # right here leaves the commit unlisted; history() repairs that
+        # from the pointer).
+        with open(self._log, "a") as f:
+            f.write(version + "\n")
         # Retention: drop committed versions beyond the keep window.
-        for stale in self.history()[self.keep_versions:]:
+        for stale in ([version] + prior)[self.keep_versions:]:
             p = os.path.join(self.root, stale)
             if os.path.exists(p):
                 shutil.rmtree(p, ignore_errors=True)
@@ -167,13 +178,22 @@ class ParquetTable:
         uncommitted and excluded.
         """
         cur = self.current_path()
-        if cur is None or not os.path.exists(self._log):
+        if cur is None:
             return []
         cur_name = os.path.basename(cur)
-        with open(self._log) as f:
-            entries = [ln.strip() for ln in f if ln.strip()]
-        if cur_name in entries:  # trim uncommitted tail
+        entries: list[str] = []
+        if os.path.exists(self._log):
+            with open(self._log) as f:
+                entries = [ln.strip() for ln in f if ln.strip()]
+        if cur_name in entries:
+            # entries after the pointer's version are uncommitted orphans
+            # (pre-swap-then-log writers crashed mid-commit) — trim
             entries = entries[: entries.index(cur_name) + 1]
+        else:
+            # pointer committed but unlisted: a pre-_LOG table, or a crash
+            # between the pointer swap and the log append — the pointer is
+            # the newest known commit; logged predecessors stay as history
+            entries = entries + [cur_name]
         return [
             v
             for v in reversed(entries)

@@ -54,19 +54,20 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_lag_gaps",
     oracle="""
         WITH gaps AS (
-            SELECT user_id, epoch_us(ts) AS us,
+            SELECT user_id, event_id, epoch_us(ts) AS us,
                    LAG(epoch_us(ts)) OVER w AS prev_us
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), marked AS (
-            SELECT user_id, us,
+            SELECT user_id, event_id, us,
                    CASE WHEN prev_us IS NULL
                              OR us - prev_us > 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_s
             FROM gaps
         ), sess AS (
             SELECT user_id, us,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
             FROM marked
         ), per_sess AS (
@@ -92,17 +93,23 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_id tiebreak on the running sum too: two events with an
+    # identical (user_id, us) would otherwise be ordered differently by
+    # the ROWS frame on each engine/run, moving a tied row across a
+    # session boundary (ADVICE r2)
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = ev.select(
         "user_id",
+        "event_id",
         F.unix_micros("ts").alias("us"),
         F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
     ).select(
         "user_id",
+        "event_id",
         "us",
         F.when(
             F.col("prev_us").isNull()

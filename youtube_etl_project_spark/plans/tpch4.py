@@ -104,14 +104,22 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
     )
-    mc = eu.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("m"))
+    # distinct join-key name: eu["ps_partkey"] == mc["ps_partkey"] resolves
+    # both sides to the SAME attribute id (mc derives from eu), leaving
+    # Spark to rewrite a trivially-true predicate by dataset-id — fragile
+    # across versions (ADVICE r2)
+    mc = (
+        eu.groupBy("ps_partkey")
+        .agg(F.min("ps_cost_cents").alias("m"))
+        .withColumnRenamed("ps_partkey", "mc_partkey")
+    )
     return (
         eu.join(
             mc,
-            (eu["ps_partkey"] == mc["ps_partkey"])
-            & (eu["ps_cost_cents"] == mc["m"]),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_cost_cents") == F.col("m")),
         )
-        .drop(mc["ps_partkey"])
+        .drop("mc_partkey", "m")
         .join(
             F.broadcast(part.filter(F.col("p_size") == 11)),
             F.col("ps_partkey") == F.col("p_partkey"),
