@@ -10,7 +10,10 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas``.
 ``_decode_image_bytes`` REALLY parses the container formats whose layout
 is pure structure — BMP, PNG, GIF (frame-counted by block walk), WAV —
 with stdlib ``struct``/``wave`` only (tests/test_multimodal_decode.py
-feeds it genuine files built byte-by-byte). Compressed codecs the
+feeds it genuine files built byte-by-byte). ``decode_pixels`` goes
+further and decodes REAL PIXELS: PPM (P6), 24-bpp BMP (padding + both
+row directions), and 8-bit non-interlaced PNG (zlib inflate + full
+filter 0-4 reconstruction) — stdlib + numpy only. Compressed codecs the
 container has no libraries for (JPEG entropy decode, MP4/H.264) fall to a
 deterministic fake derived from payload size, clearly marked; a real
 deployment swaps only that fallback for PIL/ffmpeg.
@@ -125,6 +128,259 @@ def _wav_frame_count(buf: bytes) -> int:
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
     return data_size // block_align if block_align else 0
+
+
+def encode_ppm(width: int, height: int, pix: bytes) -> bytes:
+    """Binary PPM (P6), 8-bit RGB: the simplest real raster container."""
+    assert len(pix) == width * height * 3
+    return b"P6\n%d %d\n255\n" % (width, height) + pix
+
+
+def encode_bmp(width: int, height: int, pix: bytes) -> bytes:
+    """24-bpp uncompressed BMP (BITMAPINFOHEADER), bottom-up rows padded
+    to 4 bytes, BGR byte order — the layout every real BMP writer emits."""
+    assert len(pix) == width * height * 3
+    row_out = (width * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pix[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            row += bytes((b, g, r))  # BGR
+        row += b"\x00" * (row_out - len(row))
+        body += row
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def encode_png(width: int, height: int, pix: bytes) -> bytes:
+    """8-bit RGB non-interlaced PNG (filter 0 rows, one IDAT) via stdlib
+    zlib — a real, spec-conformant PNG any viewer opens."""
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        raw = tag + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    assert len(pix) == width * height * 3
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    scan = b"".join(
+        b"\x00" + pix[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+    """Undo PNG per-row filters 0-4 (None/Sub/Up/Average/Paeth) over the
+    decompressed scanline stream. Returns an (h, w*bpp) uint8 array."""
+    import numpy as np
+
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int32) + prev) % 256
+            row = row.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (row[i] + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def decode_pixels(buf: bytes):
+    """REAL pixel decode → (h, w, 3) uint8 RGB numpy array, or None if the
+    payload is not a supported raster.
+
+    * PPM (P6)  — token-parsed header (comments allowed) + raw RGB.
+    * BMP       — 24-bpp uncompressed BITMAPINFOHEADER: honors the pixel
+                  data offset, 4-byte row padding, BGR order, and both
+                  bottom-up (h>0) and top-down (h<0) row directions.
+    * PNG       — 8-bit non-interlaced gray/RGB/RGBA: chunk walk, zlib
+                  inflate of concatenated IDATs, full filter 0-4
+                  reconstruction (``_png_unfilter``); gray replicates to
+                  RGB, RGBA drops alpha.
+
+    stdlib ``struct``/``zlib`` + numpy only — no image libraries.
+    """
+    import numpy as np
+
+    try:
+        if buf[:2] == b"P6":
+            toks, i, n = [], 2, len(buf)
+            while len(toks) < 3 and i < n:
+                while i < n and buf[i : i + 1].isspace():
+                    i += 1
+                if buf[i : i + 1] == b"#":  # comment to EOL
+                    while i < n and buf[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < n and not buf[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(buf[i:j]))
+                i = j
+            i += 1  # single whitespace after maxval
+            w, h, maxval = toks
+            if maxval != 255:
+                return None
+            pix = np.frombuffer(buf, np.uint8, w * h * 3, i)
+            return pix.reshape(h, w, 3).copy()
+        if buf[:2] == b"BM":
+            off = struct.unpack("<I", buf[10:14])[0]
+            w, h = struct.unpack("<ii", buf[18:26])
+            bpp, comp = struct.unpack("<HI", buf[28:34])
+            if bpp != 24 or comp != 0:
+                return None
+            top_down, h = h < 0, abs(h)
+            stride = (w * 3 + 3) & ~3
+            rows = np.frombuffer(buf, np.uint8, stride * h, off).reshape(
+                h, stride
+            )[:, : w * 3].reshape(h, w, 3)
+            if not top_down:
+                rows = rows[::-1]
+            return rows[:, :, ::-1].copy()  # BGR → RGB
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            import zlib
+
+            i, n = 8, len(buf)
+            w = h = depth = ctype = interlace = None
+            idat = bytearray()
+            while i + 8 <= n:
+                ln = struct.unpack(">I", buf[i : i + 4])[0]
+                tag = buf[i + 4 : i + 8]
+                data = buf[i + 8 : i + 8 + ln]
+                if tag == b"IHDR":
+                    w, h, depth, ctype, _, _, interlace = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                i += 12 + ln
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+                return None
+            bpp = {0: 1, 2: 3, 6: 4}[ctype]
+            flat = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+            img = flat.reshape(h, w, bpp)
+            if ctype == 0:
+                img = np.repeat(img, 3, axis=2)
+            elif ctype == 6:
+                img = img[:, :, :3]
+            return img.copy()
+    except Exception:
+        return None
+    return None
+
+
+def synthesize_image(doc_id: int) -> bytes:
+    """Deterministic raster keyed by doc id: ``w = 8 + id%7``,
+    ``h = 4 + id%5``, pixel byte ``i = (id*31 + i) % 256``, container
+    rotating ppm/bmp/png by ``id % 3`` — every real decoder gets
+    exercised, and the pixel formula is SQL-expressible, so the
+    registered query has a TRUE DuckDB oracle through the whole
+    construct → container-encode → pixel-decode → aggregate path."""
+    w, h = 8 + doc_id % 7, 4 + doc_id % 5
+    pix = bytes((doc_id * 31 + i) % 256 for i in range(w * h * 3))
+    return (encode_ppm, encode_bmp, encode_png)[doc_id % 3](w, h, pix)
+
+
+def synth_image_udf():
+    """Arrow-vectorized ``doc_id → synthesize_image(doc_id)`` payload
+    builder (binary column) for the registered pixel-stats query."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synthesize_image(int(i)))
+
+    return synth
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, pixel_crc32 long"
+)
+
+
+def pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL pixel decode: mapInPandas over (id, payload) →
+    per-image channel means + a CRC32 over the canonical (top-down RGB)
+    pixel array. Undecodable payloads yield fmt='unknown' with null stats
+    — the 100 TB posture is decode-and-score in one pass, quarantining
+    failures as rows rather than exceptions."""
+    import zlib
+
+    def _fmt(buf: bytes) -> str:
+        if buf[:2] == b"P6":
+            return "ppm"
+        if buf[:2] == b"BM":
+            return "bmp"
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        return "unknown"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                img = decode_pixels(bytes(buf))
+                if img is None:
+                    recs.append((int(doc_id), _fmt(bytes(buf)), None, None,
+                                 None, None, None, None, None))
+                    continue
+                h, w = img.shape[:2]
+                means = img.reshape(-1, 3).mean(axis=0)
+                recs.append(
+                    (
+                        int(doc_id), _fmt(bytes(buf)), w, h, w * h,
+                        round(float(means[0]), 6),
+                        round(float(means[1]), 6),
+                        round(float(means[2]), 6),
+                        zlib.crc32(img.tobytes()) & 0xFFFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "fmt", "width", "height", "n_pixels",
+                         "mean_r", "mean_g", "mean_b", "pixel_crc32"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -58,3 +58,48 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mm = multimodal.attach_payload(docs, "text", kind="image")
     return multimodal.decode_features(mm, "doc_id")
+
+
+@register(
+    "multimodal_pixel_stats",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 7 AS w,
+                   4 + doc_id % 5 AS h,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png'
+                   END AS fmt
+            FROM documents
+        ), px AS (
+            SELECT d.doc_id, d.w, d.h, d.fmt, t.i,
+                   (d.doc_id * 31 + t.i) % 256 AS v
+            FROM dims d, LATERAL (
+                SELECT unnest(range(0, CAST(d.w * d.h * 3 AS BIGINT))) AS i
+            ) t
+        )
+        SELECT doc_id, fmt,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               ROUND(AVG(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r,
+               ROUND(AVG(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g,
+               ROUND(AVG(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b
+        FROM px GROUP BY doc_id, fmt, w, h
+    """,
+    doc="X5: REAL pixel decode proven end-to-end — per doc, a deterministic "
+        "raster (pixel i = (id*31+i)%256) is container-encoded (ppm/bmp/png "
+        "rotating by id%3: raw, padded-BGR-bottom-up, zlib+filtered) and "
+        "decoded back by operators/multimodal.decode_pixels; the oracle "
+        "recomputes the channel means straight from the formula, so any "
+        "byte the three decoders misplace fails the hash",
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn(
+        "payload", multimodal.synth_image_udf()(F.col("doc_id"))
+    )
+    return multimodal.pixel_stats(payloads, "doc_id").select(
+        "doc_id", "fmt", "width", "height", "n_pixels",
+        "mean_r", "mean_g", "mean_b",
+    )
