@@ -76,3 +76,38 @@ def test_pack_sequences_bpe_bins_respect_budget(spark, sf_dir):
     assert all(n > 0 for n in bins.values())
     total = sum(r.n_tokens_bpe for r in out)
     assert max(bins) == (total - 1) // 2048
+
+
+def test_released_artifact_round_trips(tmp_path):
+    """The committed v1 merge table loads, save/load is byte-exact, and
+    training on the same sample reproduces it (the artifact is a pure
+    function of the fixture — a silent fixture change fails here)."""
+    merges = bpe.released_merges()
+    assert len(merges) > 50
+    assert all(isinstance(a, bytes) and isinstance(b, bytes) for a, b in merges)
+    p = str(tmp_path / "m.txt")
+    bpe.save_merges(merges, p)
+    assert bpe.load_merges(p) == merges
+
+
+def test_released_artifact_matches_golden_counts():
+    """Frozen merges + greedy application must reproduce the committed
+    golden counts (the BPE oracle contract), spot-checked on 25 texts."""
+    import duckdb
+    import hashlib
+
+    rank = {p: i for i, p in enumerate(bpe.released_merges())}
+    rows = duckdb.sql(
+        "SELECT g.content_md5, g.n_tokens_bpe, d.text "
+        "FROM read_parquet('/root/repo/tests/fixtures/bpe_token_counts_v1.parquet') g "
+        "JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d "
+        "ON md5(d.text) = g.content_md5 LIMIT 25"
+    ).fetchall()
+    assert len(rows) == 25
+    for md5_, n_golden, text in rows:
+        assert hashlib.md5(text.encode()).hexdigest() == md5_
+        n = sum(
+            bpe._encode_word(w.encode("utf-8"), rank)
+            for w in bpe.pretokenize(text)
+        )
+        assert n == n_golden

@@ -143,6 +143,38 @@ def token_count_udf(merges: list[tuple[bytes, bytes]]):
     return count_tokens
 
 
+def save_merges(merges: list[tuple[bytes, bytes]], path: str) -> None:
+    """Persist a trained merge list as the versioned model artifact: one
+    ``hex(a) hex(b)`` pair per line — byte-exact, diff-able, committable."""
+    with open(path, "w") as f:
+        for a, b in merges:
+            f.write(f"{a.hex()} {b.hex()}\n")
+
+
+def load_merges(path: str) -> list[tuple[bytes, bytes]]:
+    with open(path) as f:
+        return [
+            (bytes.fromhex(a), bytes.fromhex(b))
+            for a, b in (ln.split() for ln in f if ln.strip())
+        ]
+
+
+# The released tokenizer artifact: merges trained once (deterministically,
+# 128-doc sf0.01 sample, 200 merges — tools/build_bpe_artifact.py) and
+# committed, exactly how production tokenizers version their vocab. With
+# the merges frozen, a document's token count depends ONLY on its text,
+# which is what makes the golden-count oracle of text_token_count_bpe
+# sf-independent.
+MERGES_V1 = __file__.rsplit("/", 1)[0] + "/bpe_merges_v1.txt"
+_ARTIFACT_CACHE: dict[str, list] = {}
+
+
+def released_merges(path: str = MERGES_V1) -> list[tuple[bytes, bytes]]:
+    if path not in _ARTIFACT_CACHE:
+        _ARTIFACT_CACHE[path] = load_merges(path)
+    return _ARTIFACT_CACHE[path]
+
+
 def fit_corpus_bpe(
     docs: DataFrame,
     text_col: str = "text",

@@ -143,40 +143,43 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trained merge tables are model artifacts keyed by corpus dir — training
-# is deterministic, so caching is purely a speed-up (tests/bench call the
-# same plan repeatedly).
-_BPE_CACHE: dict[str, list] = {}
+# The RELEASED tokenizer (functions/bpe_merges_v1.txt): merges trained
+# once on the sf0.01 sample and committed as a versioned model artifact
+# (tools/build_bpe_artifact.py). Frozen merges make a text's token count
+# corpus-independent, which is what gives both BPE queries a TRUE golden
+# oracle: tests/fixtures/bpe_token_counts_v1.parquet holds
+# (content_md5, n_tokens_bpe) for every fixture text, and DuckDB joins it
+# on md5(text).
+_BPE_GOLDEN = "/root/repo/tests/fixtures/bpe_token_counts_v1.parquet"
 
 
-def _corpus_merges(spark: SparkSession, sf_dir: str) -> list:
+def _released_merges() -> list:
     from youtube_etl_project_spark.functions import bpe
 
-    if sf_dir not in _BPE_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        _BPE_CACHE[sf_dir] = bpe.fit_corpus_bpe(
-            docs, "text", "doc_id", sample=128, n_merges=200
-        )
-    return _BPE_CACHE[sf_dir]
+    return bpe.released_merges()
 
 
 @register(
     "text_token_count_bpe",
-    oracle=None,  # real BPE (trained merges + greedy rank application) has
-    # no SQL twin; tests/test_bpe.py pins exact counts on known strings and
-    # the count invariants (<= bytes, >= pretokens, deterministic)
-    doc="X4: REAL byte-level BPE token count — merges trained "
-        "deterministically on a 128-doc corpus sample (the model artifact; "
-        "only the merge list reaches the driver), applied via an "
-        "Arrow-vectorized pandas UDF with an LRU word cache. This is the "
-        "count pack_sequences_bpe budgets on, so a 2048-token bin means "
-        "2048 actual tokens",
+    oracle=f"""
+        SELECT d.doc_id, g.n_tokens_bpe
+        FROM documents d
+        JOIN read_parquet('{_BPE_GOLDEN}') g ON md5(d.text) = g.content_md5
+    """,
+    doc="X4: REAL byte-level BPE token count — the frozen v1 merge table "
+        "(trained deterministically, committed like a released tokenizer "
+        "vocab; only the merge list broadcasts) applied via an "
+        "Arrow-vectorized pandas UDF with an LRU word cache. Oracle = "
+        "golden per-text counts joined on md5(text), so the greedy "
+        "lowest-rank merge application is hash-checked end-to-end. This "
+        "is the count pack_sequences_bpe budgets on, so a 2048-token bin "
+        "means 2048 actual tokens",
 )
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.functions import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    counter = bpe.token_count_udf(_corpus_merges(spark, sf_dir))
+    counter = bpe.token_count_udf(_released_merges())
     from youtube_etl_project_spark.operators.dedup import spread
 
     return spread(docs).select(
@@ -186,10 +189,23 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_sequences_bpe",
-    oracle=None,  # bins derive from the trained-BPE counts above
+    oracle=f"""
+        WITH sized AS (
+            SELECT d.doc_id, g.n_tokens_bpe
+            FROM documents d
+            JOIN read_parquet('{_BPE_GOLDEN}') g ON md5(d.text) = g.content_md5
+        )
+        SELECT doc_id, n_tokens_bpe,
+               CAST(FLOOR((SUM(n_tokens_bpe) OVER (
+                    ORDER BY n_tokens_bpe DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) - 1) / 2048.0) AS BIGINT)
+                   AS bin_id
+        FROM sized
+    """,
     doc="Sequence packing on REAL BPE token counts (same longest-first "
         "running-sum layout as pack_sequences, budget 2048): token budgets "
-        "now mean actual tokenizer output, not whitespace counts",
+        "now mean actual tokenizer output, not whitespace counts. Golden "
+        "oracle recomputes the bins from the frozen-tokenizer counts",
 )
 def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -198,7 +214,7 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators.dedup import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    counter = bpe.token_count_udf(_corpus_merges(spark, sf_dir))
+    counter = bpe.token_count_udf(_released_merges())
     sized = spread(docs).select(
         "doc_id", counter(F.col("text")).alias("n_tokens_bpe")
     )
