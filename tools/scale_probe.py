@@ -85,7 +85,11 @@ PROBE_QUERIES = (
 # exist for. Probed with the guarded queries only; the uncut twins are
 # quadratic here BY DESIGN (pytest test_df_cut_join_row_bound pins the
 # contrast at unit scale).
-HOT_QUERIES = ("dedup_jaccard_dfcut", "dedup_lsh_guarded")
+HOT_QUERIES = (
+    "dedup_jaccard_dfcut",
+    "dedup_lsh_guarded",
+    "dedup_rate_by_source",
+)
 BOILER = (
     "standard legal disclaimer all rights reserved unauthorized "
     "reproduction of this document is strictly prohibited"

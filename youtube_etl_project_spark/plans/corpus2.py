@@ -9,15 +9,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from youtube_etl_project_spark.plans.corpus_pipeline import _PAIRS_CTE
 from youtube_etl_project_spark.registry import cnt, register
 from youtube_etl_project_spark.sources import load_table
+
+# df-cut twin of corpus_pipeline._PAIRS_CTE (same shape as the
+# `dedup_jaccard_dfcut` oracle): shingles appearing in more than 5 documents
+# leave the sets before the self-join. This report aggregates over sources,
+# so ONE boilerplate-heavy source makes its shingles corpus-hot — the
+# unguarded CTE's join is quadratic in exactly the scenario the report
+# exists to diagnose.
+_PAIRS_DFCUT_CTE = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), rare AS (
+        SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 5
+    ), kept AS (
+        SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+"""
 
 
 @register(
     "dedup_rate_by_source",
     oracle=f"""
-        WITH {_PAIRS_CTE.strip()},
+        WITH {_PAIRS_DFCUT_CTE.strip()},
         dup AS (
             SELECT id_a AS doc_id FROM pairs
             UNION
@@ -35,15 +71,20 @@ from youtube_etl_project_spark.sources import load_table
         "documents participating in at least one near-dup pair — the "
         "report that decides which feed gets its crawler fixed (a "
         "boilerplate-heavy source shows up here before it poisons the "
-        "corpus). Pair ids collapse to a distinct doc set BEFORE the "
-        "per-source rollup; one small join against the doc table",
+        "corpus). Pairs come from the df-cut guarded Jaccard (df ≤ 5): a "
+        "dominant source's boilerplate shingles are corpus-hot by "
+        "definition, so the unguarded self-join is quadratic precisely "
+        "when this report matters. Pair ids collapse to a distinct doc "
+        "set BEFORE the per-source rollup; the participation join itself "
+        "is skew-free (doc_id unique on both sides — hot/cold splitting "
+        "doesn't apply, the guard belongs in the pair generator)",
 )
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5, max_df=5
     )
     dup = (
         pairs.select(F.col("id_a").alias("doc_id"))

@@ -101,6 +101,7 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
+            # StatefulProcessor's mandatory teardown hook; no resources held
             pass
 
     return (
