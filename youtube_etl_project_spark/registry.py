@@ -178,6 +178,8 @@ def load_all_plans() -> dict[str, QuerySpec]:
         sql2,
         tpch4,
         corpus2,
+        retrieval,
+        layout_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
