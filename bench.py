@@ -56,6 +56,8 @@ HEADLINE = [
     "sessionize_lag_gaps",
     "events_sliding_distinct",
     "lineitem_corr_matrix",
+    "text_bm25_topk",
+    "events_zorder_key",
 ]
 
 

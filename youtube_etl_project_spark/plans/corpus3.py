@@ -1,0 +1,130 @@
+"""Corpus-engineering wave 3: quality-weighted importance sampling (the
+DSIR/CCNet resampling shape) and int8 embedding quantization (the memory
+side of serving an ANN index at 100 TB).
+
+Cross-engine determinism notes:
+* the sampling uniform comes from the first 8 md5-hex chars parsed as an
+  integer — Spark ``conv(substr(md5,1,8),16,10)`` == DuckDB
+  ``('0x'||substr(md5,1,8))::BIGINT`` (verified bit-equal); divided by
+  2^32 it is an exact dyadic double on both engines.
+* quantization rounds via ``floor(x + 0.5)`` instead of ``round`` —
+  floor is exact on both engines, while round()'s half-mode on computed
+  doubles differs between them (registry float rules).
+* per-vector reductions use the sequential left-fold (`F.aggregate`)
+  that matches DuckDB's list_* evaluation order, the same discipline as
+  operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.sources import load_table
+
+
+@register(
+    "corpus_importance_sample",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   LEAST(1.0, CAST(len(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')) AS DOUBLE)
+                              / 200.0) AS p,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM documents
+        )
+        SELECT doc_id, source, ROUND(p, 6) AS accept_p
+        FROM scored WHERE u < p
+    """,
+    doc="Quality-weighted importance sampling (DSIR/CCNet resampling "
+        "shape): each doc is kept with probability p = min(1, len/200) — "
+        "longer docs survive, boilerplate-short ones thin out — decided "
+        "by a doc_id-seeded md5 uniform, so the sample is deterministic, "
+        "restart-stable, and embarrassingly parallel (no global state, no "
+        "rand(); the weight column is pluggable — any model-based quality "
+        "or domain-match score slots into p). u = hex-parsed md5/2^32 is "
+        "an exact dyadic double on both engines",
+)
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    p = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(200.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select("doc_id", "source", p.alias("p"), u.alias("u"))
+        .filter(F.col("u") < F.col("p"))
+        .select("doc_id", "source", F.round("p", 6).alias("accept_p"))
+    )
+
+
+@register(
+    "embed_quantize_rmse",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        )
+        SELECT vec_id,
+               ROUND(scale, 6) AS scale,
+               ROUND(sqrt(list_sum(list_transform(e,
+                         x -> (x - floor(x / scale + 0.5) * scale)
+                            * (x - floor(x / scale + 0.5) * scale)))
+                     / len(e)), 6) AS rmse
+        FROM s WHERE scale > 0
+    """,
+    doc="Reconstruction-error audit for the int8 quantization (embed_quantize_int8 reports the quantized moments; this reports the accuracy cost): scale = max|x|/127, "
+        "q_i = floor(x_i/scale + 0.5), reported as the reconstruction RMSE "
+        "per vector — the 4x memory-compression knob for serving an ANN "
+        "index (float32 -> int8) with its accuracy cost made measurable. "
+        "floor(x+0.5) rounding and sequential left-fold sums keep both "
+        "engines bit-identical; zero vectors (scale 0) are excluded, null "
+        "embeddings filtered",
+)
+def embed_quantize_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    base = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", e.alias("e"), scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+    )
+    def _err(x):
+        return x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+
+    sq_err = F.aggregate(
+        F.transform(F.col("e"), lambda x: _err(x) * _err(x)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # rmse is computed in its OWN select: putting it next to
+    # round(scale).alias("scale") makes Spark 4's lateral-column-alias
+    # resolution bind sq_err's F.col("scale") to the ROUNDED sibling alias
+    # instead of the input column (measured: 324/500 rows off by one ulp of
+    # the rounded scale) — stage first, round after.
+    raw = base.select(
+        "vec_id", "scale", F.sqrt(sq_err / F.size("e")).alias("rmse_raw")
+    )
+    return raw.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round("rmse_raw", 6).alias("rmse"),
+    )

@@ -25,6 +25,12 @@ Cross-engine determinism rules used throughout the plans:
 * **Float→decimal casts round differently per engine** (~1e-9/element);
   any mean/ratio derived from decimal sums over float sources must round
   its output (seen at sf0.1 over 320k elements).
+* **Never alias a rounded/transformed column to the same name as an input
+  column that a SIBLING expression in the same select still references**:
+  Spark 4's lateral-column-alias resolution binds ``F.col("x")`` to the
+  sibling alias ``...alias("x")``, not the input column (measured in
+  ``embed_quantize_rmse``: the error fold silently used the ROUNDED scale,
+  324/500 rows off). Stage the computation in its own select, round after.
 """
 
 from __future__ import annotations
@@ -180,6 +186,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         corpus2,
         retrieval,
         layout_queries,
+        corpus3,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
