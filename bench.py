@@ -99,6 +99,18 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(best_of(name), 3)
 
+    # Host-speed calibration: a fixed JVM workload (codegen sum over a
+    # range — no IO, no shuffle) timed the same best-of way. Round-over-
+    # round comparisons should normalize query times by this value; the
+    # shared host's per-core speed has measurably drifted between rounds
+    # (r2→r3: ~1.25x slower on identical unchanged queries).
+    def calib() -> float:
+        t0 = time.time()
+        spark.range(2_000_000_000).selectExpr("sum(id % 1000) s").collect()
+        return time.time() - t0
+
+    calib_sec = round(min(calib() for _ in range(3)), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -108,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "calib_jvm_sec": calib_sec,
             }
         )
     )
