@@ -78,3 +78,70 @@ def test_incremental_picks_up_new_files_only(spark, sf_dir, tmp_path):
         == expected.agg(F.sum("n_events")).collect()[0][0]
     )
     assert final.count() == expected.count()
+
+
+def test_late_events_beyond_watermark_dropped(spark, tmp_path):
+    """The late-data contract, asserted with surgically-placed events:
+    a second batch arriving BEHIND the advanced watermark must not re-open
+    (or double-emit) a closed window; a late-but-within-watermark event
+    still lands in its window. Synthetic events so the lateness is exact:
+    watermark 2h, window 1h."""
+    import datetime as dt
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev(i, hour, minute=0, etype="click"):
+        return (
+            i,
+            dt.datetime(2024, 5, 1, hour, minute),
+            1,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Batch 1: events in windows 00 and 01, plus a head event at 06:00
+    # that advances the watermark to 04:00 — windows 00-03 close.
+    batch1 = spark.createDataFrame(
+        [ev(1, 0), ev(2, 0, 30), ev(3, 1), ev(4, 6)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = run_events_stream_availablenow(
+        spark, src, batch1.schema, ckpt, out
+    )
+    q.awaitTermination(120)
+    first = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    h0 = int(dt.datetime(2024, 5, 1, 0).replace(
+        tzinfo=dt.timezone.utc).timestamp())
+    assert (h0, 2) in first, first          # window 00 closed with 2 events
+    assert (h0 + 3600, 1) in first, first   # window 01 closed with 1 event
+
+    # Batch 2: one event at 00:45 — 5h15m behind the 04:00 watermark, into
+    # the already-closed window 00 (must be DROPPED, not re-emitted); one
+    # at 05:30 — within watermark, its window (05) still open.
+    batch2 = spark.createDataFrame([ev(5, 0, 45), ev(6, 5, 30)], schema)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_events_stream_availablenow(
+        spark, src, batch1.schema, ckpt, out
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    # window 00 still counts exactly 2 (the 00:45 straggler was dropped,
+    # and the closed window was not emitted a second time)
+    assert [w for w in after if w[0] == h0] == [(h0, 2)], after
+    # nothing about window 05 emitted yet either (it is still open:
+    # watermark stays at 04:00 — appends only close strictly-older windows)
+    assert all(w[0] < h0 + 4 * 3600 for w in after), after
