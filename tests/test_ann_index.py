@@ -1,0 +1,135 @@
+"""Persisted IVF index: results identical to the in-memory twin, appends
+are O(batch) under the frozen quantizer, and probing is real partition
+pruning (only the probed cells' files are read)."""
+
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import similarity
+from youtube_etl_project_spark.operators.ann_index import (
+    ivf_append,
+    ivf_build,
+    ivf_cell_stats,
+    ivf_centroids,
+    ivf_query,
+)
+from youtube_etl_project_spark.sources import load_table
+
+K = 8
+N_QUERIES = 10
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_persisted_index_matches_inmemory_twin(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, k=K, iters=2)
+
+    got = sorted(
+        map(tuple, ivf_query(_queries(emb), path, k=5, n_probe=4).collect())
+    )
+    centroids = similarity.kmeans_centroids(emb, k=K, iters=2)
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                _queries(emb),
+                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                centroids,
+                k=5,
+                n_probe=4,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # stored quantizer round-trips exactly
+    assert ivf_centroids(spark, path) == centroids
+
+
+def test_append_is_incremental_and_exact(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+
+    ivf_build(half_a, path, k=K, iters=2)
+    n_before = ivf_cell_stats(spark, path).agg(F.sum("n_vectors")).first()[0]
+    ivf_append(half_b, path)
+    n_after = ivf_cell_stats(spark, path).agg(F.sum("n_vectors")).first()[0]
+    assert n_before == half_a.count()
+    assert n_after == emb.count()
+
+    # Query over build+append == in-memory IVF over the full corpus with
+    # the SAME (half-A-trained, frozen) centroids — appending must not
+    # change any result vs assigning everything up front.
+    got = sorted(
+        map(tuple, ivf_query(_queries(emb), path, k=5, n_probe=4).collect())
+    )
+    frozen = similarity.kmeans_centroids(half_a, k=K, iters=2)
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                _queries(emb),
+                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                frozen,
+                k=5,
+                n_probe=4,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, k=K, iters=2)
+
+    one_query = _queries(emb).limit(1)
+    result = ivf_query(one_query, path, k=5, n_probe=2)
+    # the plan carries the probe set as a PARTITION filter on the
+    # assignments scan (pruned before any file is opened)
+    import re
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    # several scans appear (embeddings, centroids, assignments) — the
+    # assignments one must carry the cell probe set as a partition filter
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), (
+        plan[:2000]
+    )
+
+    # physically: the probed-cells scan reads a strict subset of the
+    # index's files (replicating the filter ivf_query pushes down)
+    import numpy as np
+
+    from youtube_etl_project_spark.operators.ann_index import ivf_centroids
+
+    C = np.asarray(ivf_centroids(spark, path))
+    qv = np.asarray(one_query.first().embedding, dtype=float)
+    probe_cells = np.argsort(((C - qv) ** 2).sum(axis=1))[:2].tolist()
+    assignments = spark.read.parquet(f"{path}/assignments")
+    read = (
+        assignments.filter(F.col("cell").isin(probe_cells))
+        .select(F.input_file_name().alias("f")).distinct().count()
+    )
+    total = assignments.select(F.input_file_name()).distinct().count()
+    assert 0 < read < total, (read, total)
+    # and the query's own results only come from those cells
+    got_cells = {
+        r.cell
+        for r in assignments.join(
+            result.select(F.col("neighbor_id").alias("id")), "id"
+        ).select("cell").distinct().collect()
+    }
+    assert got_cells <= set(probe_cells), (got_cells, probe_cells)

@@ -320,7 +320,9 @@ def main() -> None:
         "Same corpus but every document shares one boilerplate sentence —\n"
         "its shingles' document frequency equals the corpus size, the\n"
         "quadratic-bucket case for shingle self-joins and LSH bands. The\n"
-        "guarded operators (df ≤ 50 cut, bucket ≤ 50 cap) must stay\n"
+        "guarded operators (df-cut / bucket-cap; df ≤ 50 + bucket ≤ 50\n"
+        "for the LSH twin, df ≤ 5 for the Jaccard twin and the\n"
+        "per-source dup-rate report) must stay\n"
         "near-linear here; their uncut twins are quadratic on this fixture\n"
         "by construction (contrast pinned at unit scale by\n"
         "`tests/test_dedup.py::test_df_cut_join_row_bound`)."
