@@ -1,0 +1,63 @@
+"""Day-over-day ANN serving with the persisted IVF index.
+
+The pattern: train + materialize the index ONCE (ivf_build), append each
+arriving embedding batch under the frozen quantizer (ivf_append — only
+the touched cell partitions are written, the corpus is never rescanned),
+answer query batches forever (ivf_query — the probe set becomes a
+partition filter, so each batch reads n_probe/K of the index). Watch
+ivf_cell_stats; when one cell dwarfs its siblings the data has drifted
+off the quantizer and the index earns a rebuild.
+
+Run: python examples/ann_serving.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.ann_index import (
+    ivf_append,
+    ivf_build,
+    ivf_cell_stats,
+    ivf_query,
+)
+from youtube_etl_project_spark.session import get_spark
+from youtube_etl_project_spark.sources import load_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    spark = get_spark("ann-serving")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    path = tempfile.mkdtemp(prefix="ivf_") + "/index"
+
+    # Day 0: train on the initial corpus and materialize.
+    day0 = emb.filter(F.col("vec_id") % 3 != 0)
+    ivf_build(day0, path, k=8, iters=2)
+    print("day 0 cells:")
+    ivf_cell_stats(spark, path).orderBy("cell").show()
+
+    # Day 1: a new batch arrives — O(batch) append, frozen quantizer.
+    day1 = emb.filter(F.col("vec_id") % 3 == 0)
+    ivf_append(day1, path)
+    print("after day 1 append:")
+    ivf_cell_stats(spark, path).orderBy("cell").show()
+
+    # Query batches: probe 4 of 8 cells → the scan reads half the index.
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_query(queries, path, k=3, n_probe=4).orderBy(
+        "query_id", "rank"
+    ).show()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
