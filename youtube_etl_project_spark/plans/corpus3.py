@@ -128,3 +128,110 @@ def embed_quantize_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.round("rmse_raw", 6).alias("rmse"),
     )
+
+
+_HDIM = 64
+
+
+def _hash_embed_oracle() -> str:
+    sums = ",\n".join(
+        f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
+        for i in range(_HDIM)
+    )
+    sq = " + ".join(f"c{i} * c{i}" for i in range(_HDIM))
+    arr = ", ".join(f"ROUND(c{i} / sqrt({sq}), 6)" for i in range(_HDIM))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ), bucketed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT)
+                       % {_HDIM} AS b
+            FROM toks
+        ), counts AS (
+            SELECT doc_id, {sums}
+            FROM bucketed GROUP BY doc_id
+        )
+        SELECT doc_id, [{arr}] AS embedding
+        FROM counts WHERE {sq} > 0
+    """
+
+
+@register(
+    "text_hash_embedding",
+    oracle=_hash_embed_oracle(),
+    doc="Feature-hashed text embeddings (the hashing trick): every token "
+        "maps to one of 64 buckets via an md5-derived hash, per-doc bucket "
+        "counts L2-normalize into an array<double> — a deterministic, "
+        "model-free embedding that bridges the documents table into the "
+        "similarity stack (cosine/ANN/semantic-dedup run on it unchanged). "
+        "One explode + one map-side-combined groupBy with 64 conditional "
+        "sums (integers until the final normalize, so both engines agree "
+        "exactly); norm and division fold in fixed order; bucket hash is "
+        "the cross-engine md5 parse used by corpus_importance_sample",
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % _HDIM
+    )
+    counts = toks.select("doc_id", bucket.alias("b")).groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, 1).otherwise(0))
+            .cast("double")
+            .alias(f"c{i}")
+            for i in range(_HDIM)
+        ]
+    )
+    sq = None
+    for i in range(_HDIM):
+        t = F.col(f"c{i}") * F.col(f"c{i}")
+        sq = t if sq is None else sq + t
+    staged = counts.withColumn("__sq", sq).filter(F.col("__sq") > 0)
+    return staged.select(
+        "doc_id",
+        F.array(
+            *[
+                F.round(F.col(f"c{i}") / F.sqrt(F.col("__sq")), 6)
+                for i in range(_HDIM)
+            ]
+        ).alias("embedding"),
+    )
+
+
+@register(
+    "dedup_hash_embed_cosine",
+    oracle=f"""
+        WITH emb AS ({_hash_embed_oracle().strip()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(list_inner_product(a.embedding, b.embedding) /
+                     (sqrt(list_inner_product(a.embedding, a.embedding)) *
+                      sqrt(list_inner_product(b.embedding, b.embedding))), 6)
+                   AS cosine
+        FROM emb a JOIN emb b ON a.doc_id < b.doc_id
+        WHERE list_inner_product(a.embedding, b.embedding) /
+              (sqrt(list_inner_product(a.embedding, a.embedding)) *
+               sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.95
+    """,
+    doc="End-to-end semantic near-dup WITHOUT a model: documents → "
+        "feature-hashed embeddings (text_hash_embedding) → cosine pairs "
+        "≥ 0.95 — the full text→vector→similarity composition in one "
+        "declarative plan. Quadratic verify is the oracle baseline; at "
+        "scale the same embedding column feeds the LSH/IVF ANN or "
+        "semantic_dedup paths unchanged",
+)
+def dedup_hash_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = text_hash_embedding(spark, sf_dir)
+    return similarity.cosine_pairs(emb, "doc_id", "embedding", threshold=0.95)
