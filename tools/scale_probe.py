@@ -77,6 +77,11 @@ PROBE_QUERIES = (
     "text_zipf_fit",
     "chunk_tokens_stride",
     "corpus_shuffle_hash",
+    "text_bm25_topk",
+    "text_hash_embedding",
+    "events_zorder_key",
+    "corpus_importance_sample",
+    "embed_quantize_rmse",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared
