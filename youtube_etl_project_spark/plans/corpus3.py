@@ -1,6 +1,8 @@
 """Corpus-engineering wave 3: quality-weighted importance sampling (the
-DSIR/CCNet resampling shape) and int8 embedding quantization (the memory
-side of serving an ANN index at 100 TB).
+DSIR/CCNet resampling shape), int8 quantization reconstruction audit
+(the memory side of serving an ANN index at 100 TB), and feature-hashed
+text embeddings — a deterministic, model-free documents→vector bridge
+that lets the whole similarity stack run on raw text corpora.
 
 Cross-engine determinism notes:
 * the sampling uniform comes from the first 8 md5-hex chars parsed as an
@@ -20,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
 
 
