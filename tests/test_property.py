@@ -85,3 +85,48 @@ def test_keyword_hits_matches_python_model(spark, text):
         keyword_hits(F.lit(text), config.POSITIVE_KEYWORDS).alias("k")
     ).collect()[0]
     assert row.k == py_keyword_hits(text, config.POSITIVE_KEYWORDS)
+
+
+# -- round-3 operators vs pure-Python models --------------------------------
+
+def py_morton(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=20,
+    ),
+    bits=st.integers(1, 16),
+)
+def test_morton_key_matches_python_model(spark, pairs, bits):
+    from youtube_etl_project_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [r.z for r in df.select(morton_key("a", "b", bits).alias("z")).collect()]
+    assert got == [py_morton(a, b, bits) for a, b in pairs]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_morton_key_preserves_distinctness(spark, pairs):
+    # full-width keys: distinct (a, b) must map to distinct z
+    from youtube_etl_project_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    zs = [r.z for r in df.select(morton_key("a", "b", 16).alias("z")).collect()]
+    assert len(set(zs)) == len(pairs)
