@@ -479,3 +479,77 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_canonical"),
     )
+
+
+@register(
+    "dedup_survivor_policy",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ),
+        cc AS (SELECT n AS doc_id, MIN(m) AS root FROM reach GROUP BY n),
+        labeled AS (
+            SELECT d.doc_id, d.source, d.n_chars,
+                   COALESCE(cc.root, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY CAST(substr(source, 4) AS INTEGER) ASC,
+                                n_chars DESC, doc_id ASC
+                   ) AS rn
+            FROM labeled
+        )
+        SELECT doc_id, cluster_id,
+               MIN(CASE WHEN rn = 1 THEN doc_id END)
+                   OVER (PARTITION BY cluster_id) AS survivor_id,
+               CAST(rn = 1 AS BIGINT) AS is_kept
+        FROM ranked
+    """,
+    doc="X2 curation policy: clusters keep ONE survivor chosen by source "
+        "priority (lower srcN rank wins), then document length, then id — "
+        "the real-pipeline survivor rule (prefer the trusted feed's copy, "
+        "then the longest), replacing dedup_cluster_cc's min-id "
+        "placeholder. One window over cluster_id after clustering; the "
+        "policy is a pluggable ORDER BY",
+)
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    labeled = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    rank_w = Window.partitionBy("cluster_id").orderBy(
+        F.substring("source", 4, 10).cast("int").asc(),
+        F.col("n_chars").desc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(rank_w))
+    surv_w = Window.partitionBy("cluster_id")
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).over(surv_w)
+        .alias("survivor_id"),
+        (F.col("rn") == 1).cast("long").alias("is_kept"),
+    )
