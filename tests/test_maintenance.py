@@ -41,3 +41,38 @@ def test_sorted_rewrite_orders_within_partitions(spark, sf_dir, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # range partitions don't overlap
+
+
+def test_zorder_rewrite_prunes_both_dims_and_stays_atomic(
+    spark, sf_dir, tmp_path
+):
+    from youtube_etl_project_spark.operators.layout import (
+        file_stats,
+        overlap_fraction,
+    )
+    from youtube_etl_project_spark.operators.maintenance import zorder_rewrite
+
+    # decorrelated 2-d grid (same construction as tests/test_layout.py)
+    rows = [(i, i % 64, (i * 2654435761) % 4294967296 % 64)
+            for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+
+    t = ParquetTable(spark, str(tmp_path / "t"), keep_versions=3)
+    t.write(df)
+    sorted_rewrite(t, "a", partitions=16)
+    v_sorted = t.read()
+    box = {"a": (16, 31), "b": (16, 31)}
+    lin_frac = overlap_fraction(file_stats(v_sorted, ["a", "b"]), box)
+
+    zorder_rewrite(t, "a", "b", partitions=16, bits=6)
+    cur = t.read()
+    assert cur.count() == 4096
+    assert cur.agg(F.sum("id")).first()[0] == sum(r[0] for r in rows)
+    z_frac = overlap_fraction(file_stats(cur, ["a", "b"]), box)
+    assert z_frac <= 0.5 * lin_frac, (z_frac, lin_frac)
+
+    # atomicity: the pre-rewrite version is still readable via time travel
+    hist = t.history()
+    assert len(hist) >= 2
+    prev = t.read_version(len(hist) - 2)
+    assert prev.count() == 4096

@@ -49,3 +49,30 @@ def sorted_rewrite(table: ParquetTable, sort_col: str, partitions: int) -> None:
         sort_col
     )
     table.write(df)
+
+
+def zorder_rewrite(
+    table: ParquetTable,
+    col_a: str,
+    col_b: str,
+    partitions: int,
+    bits: int = 10,
+) -> None:
+    """The real two-dimensional OPTIMIZE ZORDER: rewrite the current
+    version clustered on the Morton interleave of (col_a, col_b), so
+    row-group/file min-max stats prune 2-d box predicates — where
+    ``sorted_rewrite`` only skips on its single key. Same atomicity as
+    every ParquetTable write (version swap; prior versions stay readable
+    via time travel until retention prunes them). The key is computed in
+    codegen and dropped before writing; cost = one range shuffle, i.e.
+    exactly a sorted write."""
+    from youtube_etl_project_spark.operators.layout import morton_key
+
+    df = table.read()
+    keyed = (
+        df.withColumn("__z", morton_key(col_a, col_b, bits))
+        .repartitionByRange(partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    table.write(keyed)
