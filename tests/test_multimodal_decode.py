@@ -94,3 +94,58 @@ def test_decode_features_end_to_end_real_bytes(spark):
         3: (20, 10, 3),
         4: (0, 0, 55),
     }
+
+
+# -- real PCM audio decode --------------------------------------------------
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from youtube_etl_project_spark.operators.multimodal import (
+        decode_samples,
+        encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    rate, ch, arr = decode_samples(encode_wav(samples, sample_rate=16000))
+    assert (rate, ch) == (16000, 1)
+    assert arr.ravel().tolist() == samples
+    assert arr.dtype == np.dtype("<i2") or arr.dtype == np.int16
+
+    # stereo: frames x 2 shape, interleave preserved
+    inter = [10, -10, 20, -20, 30, -30]
+    rate2, ch2, arr2 = decode_samples(
+        encode_wav(inter, sample_rate=8000, n_channels=2)
+    )
+    assert (rate2, ch2) == (8000, 2)
+    assert arr2.shape == (3, 2)
+    assert arr2[:, 0].tolist() == [10, 20, 30]
+    assert arr2[:, 1].tolist() == [-10, -20, -30]
+
+
+def test_wav_decode_rejects_non_pcm_and_garbage():
+    from youtube_etl_project_spark.operators.multimodal import (
+        decode_samples,
+        encode_wav,
+    )
+
+    assert decode_samples(b"not a wav at all") is None
+    # flip the audio-format tag to 2 (ADPCM) — compressed must quarantine
+    buf = bytearray(encode_wav([1, 2, 3]))
+    fmt_at = buf.find(b"fmt ") + 8
+    buf[fmt_at : fmt_at + 2] = (2).to_bytes(2, "little")
+    assert decode_samples(bytes(buf)) is None
+
+
+def test_synth_audio_formula_matches_decode():
+    from youtube_etl_project_spark.operators.multimodal import (
+        decode_samples,
+        synthesize_audio,
+    )
+
+    for doc_id in (0, 1, 57, 499):
+        rate, ch, arr = decode_samples(synthesize_audio(doc_id))
+        n = 200 + doc_id % 101
+        assert (rate, ch, len(arr)) == (8000, 1, n)
+        want = [((doc_id * 37 + i * 13) % 4096) - 2048 for i in range(n)]
+        assert arr.ravel().tolist() == want

@@ -29,6 +29,7 @@ ARROW_ALLOWED = {
     "dedup_embed_cosine_lsh",  # hyperplane-LSH bucket keys: numpy matmul
     "multimodal_decode",
     "multimodal_pixel_stats",  # real ppm/bmp/png pixel decode (stdlib+numpy)
+    "multimodal_audio_stats",  # real PCM16 WAV decode (stdlib+numpy)
     "multimodal_frame_sample",
     "text_token_count_bpe",
     "pack_sequences_bpe",

@@ -405,3 +405,127 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # (operators.dedup.spread) so batches spread across executors; for the
     # stub the extra payload shuffle costs more than the decode.
     return df.select(id_col, "payload").mapInPandas(batches, DECODE_SCHEMA)
+
+
+# -- audio: real PCM decode (the WAV twin of decode_pixels) -----------------
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Spec-conformant PCM16 little-endian WAV (RIFF/WAVE fmt+data)."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_samples(buf: bytes):
+    """REAL PCM decode: RIFF chunk walk → (sample_rate, channels,
+    frames × channels int16 array). PCM16 only (the overwhelmingly common
+    uncompressed case); anything else returns None and the caller
+    quarantines the row. stdlib struct + numpy — no audio library."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(buf)
+    rate = channels = bits = 0
+    data = None
+    while i + 8 <= n:
+        cid = buf[i : i + 4]
+        size = struct.unpack("<I", buf[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            audio_fmt, channels, rate = struct.unpack(
+                "<HHI", buf[i + 8 : i + 16]
+            )
+            bits = struct.unpack("<H", buf[i + 22 : i + 24])[0]
+            if audio_fmt != 1:
+                return None  # compressed — not PCM
+        elif cid == b"data":
+            data = buf[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if data is None or bits != 16 or not channels:
+        return None
+    arr = np.frombuffer(
+        data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
+    ).reshape(-1, channels)
+    return rate, channels, arr
+
+
+def synthesize_audio(doc_id: int) -> bytes:
+    """Deterministic PCM16 clip keyed by doc id: ``n = 200 + id % 101``
+    mono samples at 8 kHz, sample ``i = ((id*37 + i*13) % 4096) - 2048``.
+    The formula is SQL-expressible, so the registered audio-stats query
+    has a TRUE DuckDB oracle through the encode → decode → aggregate
+    path (same proof shape as synthesize_image)."""
+    n = 200 + doc_id % 101
+    return encode_wav(
+        [((doc_id * 37 + i * 13) % 4096) - 2048 for i in range(n)]
+    )
+
+
+def synth_audio_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synthesize_audio(int(i)))
+
+    return synth
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_s double, "
+    "mean_abs double, rms double, peak long"
+)
+
+
+def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched real PCM decode → per-clip loudness stats (mean |s|,
+    RMS, peak, duration). Undecodable/compressed payloads quarantine as
+    null-stat rows, same posture as pixel_stats. Integer sums keep both
+    engines exact until the final division/sqrt."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                dec = decode_samples(bytes(buf))
+                if dec is None:
+                    recs.append(
+                        (int(doc_id), None, None, None, None, None, None)
+                    )
+                    continue
+                rate, _, arr = dec
+                flat = arr.astype(np.int64).ravel()
+                n = len(flat)
+                a = np.abs(flat)
+                # full precision out — rounding happens in the query
+                # with F.round (HALF_UP like the SQL oracle); Python's
+                # banker's round() flips dyadic .5 cases (hit when n is a
+                # power of two) the other way.
+                recs.append(
+                    (
+                        int(doc_id), rate, n,
+                        n / rate,
+                        float(a.sum()) / n if n else None,
+                        float(np.sqrt(float((flat * flat).sum()) / n))
+                        if n else None,
+                        int(a.max()) if n else None,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "sample_rate", "n_samples", "duration_s",
+                         "mean_abs", "rms", "peak"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, AUDIO_STATS_SCHEMA)

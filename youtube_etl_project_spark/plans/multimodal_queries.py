@@ -103,3 +103,48 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fmt", "width", "height", "n_pixels",
         "mean_r", "mean_g", "mean_b",
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 200 + doc_id % 101 AS n FROM documents
+        ), smp AS (
+            SELECT d.doc_id, d.n,
+                   ((d.doc_id * 37 + t.i * 13) % 4096) - 2048 AS s
+            FROM dims d, LATERAL (
+                SELECT unnest(range(0, CAST(d.n AS BIGINT))) AS i
+            ) t
+        )
+        SELECT doc_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               ROUND(CAST(n AS DOUBLE) / 8000, 6) AS duration_s,
+               ROUND(CAST(SUM(ABS(s)) AS DOUBLE) / n, 6) AS mean_abs,
+               ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / n), 6) AS rms,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        FROM smp GROUP BY doc_id, n
+    """,
+    doc="X5 audio: REAL PCM decode proven end-to-end — per doc a "
+        "deterministic 8 kHz PCM16 clip (sample i = ((id*37+i*13)%4096)"
+        "-2048) is WAV-encoded and decoded back by operators/"
+        "multimodal.decode_samples (RIFF chunk walk, stdlib struct + "
+        "numpy); loudness stats aggregate from the decoded samples while "
+        "the oracle recomputes them from the generating formula — any "
+        "byte the codec path misplaces fails the hash. Integer sums keep "
+        "both engines exact until the final division/sqrt",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn(
+        "payload", multimodal.synth_audio_udf()(F.col("doc_id"))
+    )
+    raw = multimodal.audio_stats(payloads, "doc_id")
+    return raw.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
