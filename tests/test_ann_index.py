@@ -133,3 +133,60 @@ def test_probe_prunes_partitions(spark, sf_dir, tmp_path):
         ).select("cell").distinct().collect()
     }
     assert got_cells <= set(probe_cells), (got_cells, probe_cells)
+
+
+def test_streaming_ann_ingest_builds_then_appends(spark, sf_dir, tmp_path):
+    from youtube_etl_project_spark.streaming.pipeline import (
+        streaming_ann_ingest,
+    )
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_ann_ingest(spark, src, emb.schema, idx, ckpt, k=K)
+    q.awaitTermination(120)
+    n1 = ivf_cell_stats(spark, idx).agg(F.sum("n_vectors")).first()[0]
+    assert n1 == half_a.count()
+    frozen = ivf_centroids(spark, idx)
+
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_ann_ingest(spark, src, emb.schema, idx, ckpt, k=K)
+    q2.awaitTermination(120)
+    assert (
+        ivf_cell_stats(spark, idx).agg(F.sum("n_vectors")).first()[0]
+        == emb.count()
+    )
+    # append did NOT retrain: quantizer frozen from the first batch
+    assert ivf_centroids(spark, idx) == frozen
+
+    # exactly-once: re-draining with no new files changes nothing
+    q3 = streaming_ann_ingest(spark, src, emb.schema, idx, ckpt, k=K)
+    q3.awaitTermination(120)
+    assert (
+        ivf_cell_stats(spark, idx).agg(F.sum("n_vectors")).first()[0]
+        == emb.count()
+    )
+
+    # the streamed index answers queries exactly like the in-memory twin
+    # under the same frozen centroids
+    got = sorted(
+        map(tuple, ivf_query(_queries(emb), idx, k=5, n_probe=4).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                _queries(emb),
+                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                frozen,
+                k=5,
+                n_probe=4,
+            ).collect(),
+        )
+    )
+    assert got == want

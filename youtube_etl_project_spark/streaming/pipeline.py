@@ -286,3 +286,51 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ann_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+) -> StreamingQuery:
+    """Streaming ingest into the persisted IVF index
+    (:mod:`operators.ann_index`): parquet file source of arriving
+    embedding batches → foreachBatch → first batch trains + builds the
+    index (``ivf_build``), every later batch ``ivf_append``\\ s under the
+    frozen quantizer — O(|batch|) per micro-batch, only the touched cell
+    partitions written, the corpus never rescanned.
+
+    Same architecture rationale as :func:`streaming_incremental_dedup`:
+    the index must outlive the query, serve concurrent ``ivf_query``
+    readers, and stay columnar/partition-prunable — per-key streaming
+    state is the wrong home for it. Exactly-once per input file via the
+    checkpoint, so a re-run cannot double-insert vectors.
+    """
+    from youtube_etl_project_spark.operators import ann_index
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        import os
+
+        if os.path.isdir(f"{index_path}/centroids"):
+            ann_index.ivf_append(batch, index_path, id_col=id_col, vec=vec)
+        else:
+            ann_index.ivf_build(
+                batch, index_path, k=k, iters=iters, id_col=id_col, vec=vec
+            )
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
