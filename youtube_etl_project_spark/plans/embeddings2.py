@@ -91,3 +91,25 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_project(emb, mean, comps, 16).select(
         "vec_id", "label", "proj"
     )
+
+
+@register(
+    "embed_ridge_r2",
+    oracle=None,  # closed-form solve of a 65x65 system has no SQL twin;
+    # tests/test_linear.py pins exact parity with numpy on the same data
+    doc="Distributed trainable scorer: closed-form ridge regression of "
+        "the fixture label on the embedding — sufficient statistics "
+        "(65x65 Gram + moment) in ONE shuffle-free Arrow pass, d x d "
+        "numpy solve on the driver (the model, not the data), scoring "
+        "and R^2 back in codegen. The third model-sized-driver-state "
+        "operator after kmeans and PCA; the fit/score split is the "
+        "quality-classifier workhorse for corpus curation",
+)
+def embed_ridge_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import linear
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", F.col("label").cast("double").alias("y")
+    )
+    w = linear.ridge_fit(emb, "embedding", "y", lam=1.0)
+    return linear.r2_score(emb, "embedding", "y", w)
