@@ -92,3 +92,40 @@ def test_null_rows_are_skipped(spark):
     z = np.array([[1.0, 0.0, 1.0], [2.0, 0.0, 1.0]])
     assert np.allclose(np.asarray(g), z.T @ z)
     assert np.allclose(np.asarray(m), z.T @ np.array([2.0, 4.0]))
+
+
+def test_groupwise_ridge_matches_numpy_per_group(spark, sf_dir):
+    emb, x, y = _xy(spark, sf_dir)
+    df = emb.select(
+        (F.col("vec_id") % 3).cast("string").alias("g"),
+        "vec_id",
+        "embedding",
+        F.col("label").cast("double").alias("y"),
+    )
+    got = {
+        r.group: r
+        for r in linear.groupwise_ridge(df, "g", "embedding", "y",
+                                        lam=LAM).collect()
+    }
+    rows = df.select("g", "embedding", "y").collect()
+    for gkey in ("0", "1", "2"):
+        gx = np.stack([np.asarray(r.embedding) for r in rows if r.g == gkey])
+        gy = np.asarray([r.y for r in rows if r.g == gkey])
+        w = _numpy_ridge(gx, gy, LAM)
+        z = np.hstack([gx, np.ones((gx.shape[0], 1))])
+        sse = float(((gy - z @ w) ** 2).sum())
+        assert got[gkey].n == len(gy)
+        assert np.allclose(got[gkey].weights, w, rtol=1e-8)
+        assert abs(got[gkey].rmse - round(np.sqrt(sse / len(gy)), 6)) <= 1e-6
+
+
+def test_groupwise_ridge_degenerate_group(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0], 2.0), ("a", [2.0, 1.0], 3.0),
+         ("b", None, 1.0), ("b", [1.0, 1.0], None)],
+        "g string, embedding array<double>, y double",
+    )
+    rows = {r.group: r for r in
+            linear.groupwise_ridge(df, "g", "embedding", "y").collect()}
+    assert rows["a"].n == 2 and rows["a"].weights is not None
+    assert rows["b"].n == 0 and rows["b"].r2 is None

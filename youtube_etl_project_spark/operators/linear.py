@@ -124,3 +124,66 @@ def r2_score(
         F.round(F.lit(1.0) - F.col("sse") / sst, 6).alias("r2"),
         F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
     )
+
+
+GROUP_RIDGE_SCHEMA = (
+    "group string, n long, r2 double, rmse double, weights array<double>"
+)
+
+
+def groupwise_ridge(
+    df: DataFrame,
+    group: str,
+    vec: str = "embedding",
+    target: str = "y",
+    lam: float = 1.0,
+) -> DataFrame:
+    """MANY small models data-parallel: one ridge fit PER GROUP via
+    ``applyInPandas`` — each group's design fits executor memory (per-
+    domain/per-source scorers: thousands of groups, d=64 each), so the
+    whole solve happens executor-side with zero driver state; only
+    (group, weights, fit metrics) come back. The complement of
+    :func:`ridge_fit`'s one-global-model moment pass — same math, the
+    opposite distribution strategy, chosen by model count not data size.
+
+    Groups whose usable rows can't determine a d+1 system still solve
+    (ridge regularizes), but degenerate all-null groups yield a null-
+    stats row rather than failing the job."""
+    import numpy as np  # noqa: F401 — asserted importable before shipping
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: F811 — runs on the worker
+
+        key = str(pdf[group].iloc[0])
+        mask = pdf[vec].notna() & pdf[target].notna()
+        if not mask.any():
+            return pd.DataFrame(
+                {"group": [key], "n": [0], "r2": [None], "rmse": [None],
+                 "weights": [None]}
+            )
+        x = np.stack(pdf.loc[mask, vec].to_numpy()).astype(np.float64)
+        y = pdf.loc[mask, target].to_numpy().astype(np.float64)
+        z = np.hstack([x, np.ones((x.shape[0], 1))])
+        g = z.T @ z
+        reg = np.eye(g.shape[0]) * lam
+        reg[-1, -1] = 0.0
+        w = np.linalg.solve(g + reg, z.T @ y)
+        pred = z @ w
+        sse = float(((y - pred) ** 2).sum())
+        sst = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - sse / sst if sst > 0 else None
+        return pd.DataFrame(
+            {
+                "group": [key],
+                "n": [int(len(y))],
+                "r2": [round(r2, 6) if r2 is not None else None],
+                "rmse": [round(float(np.sqrt(sse / len(y))), 6)],
+                "weights": [w.tolist()],
+            }
+        )
+
+    return (
+        df.select(group, vec, target)
+        .groupBy(group)
+        .applyInPandas(fit, GROUP_RIDGE_SCHEMA)
+    )

@@ -113,3 +113,31 @@ def embed_ridge_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = linear.ridge_fit(emb, "embedding", "y", lam=1.0)
     return linear.r2_score(emb, "embedding", "y", w)
+
+
+@register(
+    "source_quality_scorer_r2",
+    oracle=None,  # per-group 65x65 solves have no SQL twin;
+    # tests/test_linear.py pins numpy parity of the groupwise fit
+    doc="Per-source trainable quality scorer — the many-small-models "
+        "pattern: documents → feature-hashed embeddings "
+        "(text_hash_embedding) → ONE ridge fit PER SOURCE via "
+        "applyInPandas predicting the length-quality proxy; each group's "
+        "solve runs executor-side (thousands of domains train in one "
+        "job, zero driver state), only (source, n, r2, rmse) returns. "
+        "The groupwise complement of embed_ridge_r2's global moment pass",
+)
+def source_quality_scorer_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import linear
+    from youtube_etl_project_spark.plans.corpus3 import text_hash_embedding
+
+    emb = text_hash_embedding(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("y")
+    )
+    joined = docs.join(emb, "doc_id")
+    return (
+        linear.groupwise_ridge(joined, "source", "embedding", "y", lam=1.0)
+        .withColumnRenamed("group", "source")
+        .select("source", "n", "r2", "rmse")
+    )
