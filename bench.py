@@ -58,6 +58,8 @@ HEADLINE = [
     "lineitem_corr_matrix",
     "text_bm25_topk",
     "events_zorder_key",
+    "text_hash_embedding",
+    "multimodal_audio_stats",
 ]
 
 
