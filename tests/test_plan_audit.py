@@ -27,6 +27,8 @@ ARROW_ALLOWED = {
     "embed_lsh_ann",
     "embed_ivf_ann",
     "dedup_embed_cosine_lsh",  # hyperplane-LSH bucket keys: numpy matmul
+    "dedup_embed_cosine",  # blocked matmul prefilter + exact-fold verify
+    "dedup_hash_embed_cosine",  # same (cosine_pairs_blocked)
     "multimodal_decode",
     "multimodal_pixel_stats",  # real ppm/bmp/png pixel decode (stdlib+numpy)
     "multimodal_audio_stats",  # real PCM16 WAV decode (stdlib+numpy)

@@ -73,3 +73,64 @@ def test_cosine_pairs_lsh_vs_exact(spark, sf_dir):
     assert exact, "fixture should contain cosine>=0.4 pairs"
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, f"embedding-pair LSH recall collapsed: {recall}"
+
+
+def test_cosine_pairs_blocked_matches_plain(spark, sf_dir):
+    """The blocked-matmul prefilter + exact verify must be bit-identical to
+    the pure declarative baseline (values AND pair set), across several
+    block sizes so cross-block and within-block paths both execute."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert plain
+    for block_rows in (64, 10_000):  # many small blocks / one block
+        blocked = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_pairs_blocked(
+                emb, threshold=0.4, block_rows=block_rows
+            ).collect()
+        }
+        assert blocked == plain, f"block_rows={block_rows}"
+
+
+def test_cosine_pairs_blocked_edge_vectors(spark):
+    """Null vectors drop out of both variants identically; zero-norm
+    vectors RAISE in both (ANSI divide-by-zero in the exact cosine — the
+    blocked prefilter deliberately keeps non-finite scores so the exact
+    path, not numpy, decides them, preserving throw-parity)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 1e-7]),
+            (3, None),  # null embedding
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    plain = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(emb, threshold=0.9).collect()
+    )
+    blocked = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs_blocked(
+            emb, threshold=0.9, block_rows=2
+        ).collect()
+    )
+    assert blocked == plain == [(0, 1, 1.0)]
+
+    zero = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ArithmeticException):
+        similarity.cosine_pairs(zero, threshold=0.9).collect()
+    with pytest.raises(ArithmeticException):
+        similarity.cosine_pairs_blocked(
+            zero, threshold=0.9, block_rows=2
+        ).collect()

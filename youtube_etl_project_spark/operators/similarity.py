@@ -528,6 +528,242 @@ def cosine_pairs_lsh(
     )
 
 
+def _checkpointed_blocks(
+    vectors: DataFrame, id_col: str, vec: str, block_rows: int
+) -> tuple[DataFrame, int]:
+    """Project to (id, __v), drop nulls, checkpoint (the subtree is
+    referenced by the fan-out AND the exact-verify joins, and counted
+    once), and derive the block count nb = ceil(n / block_rows)."""
+    v = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n = v.count()
+    return v, max(1, -(-n // block_rows)) if n else 1
+
+
+def _block_fanout(v: DataFrame, nb: int) -> DataFrame:
+    """Fan each (id, __v) row out to every block pair it participates in
+    (one shuffle of n·nb rows); downstream groups by (ga, gb) so each
+    Arrow group holds exactly the two blocks it must score."""
+    return v.select(
+        "id",
+        "__v",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int").alias("__b"),
+    ).select(
+        "id",
+        "__v",
+        "__b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.least(F.col("__b"), F.lit(o)).alias("ga"),
+                            F.greatest(F.col("__b"), F.lit(o)).alias("gb"),
+                        )
+                        for o in range(nb)
+                    ]
+                )
+            )
+        ).alias("__g"),
+    ).select(
+        "id",
+        "__v",
+        "__b",
+        F.col("__g.ga").alias("ga"),
+        F.col("__g.gb").alias("gb"),
+    )
+
+
+def cosine_pairs_blocked(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.4,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact cosine near-dup pairs — same contract and bit-identical output
+    as ``cosine_pairs`` — with the O(n²) scoring done as blocked numpy
+    matmuls instead of three interpreted array folds per row pair.
+
+    Two stages:
+
+    1. **Prefilter** (vectorized): rows hash into ``nb = ceil(n /
+       block_rows)`` blocks; each row fans out to the ``nb`` block pairs it
+       participates in (one shuffle of n·nb id+vector rows) and each block
+       pair is one Arrow group scored by a chunked float64 matmul. A pair
+       survives when its matmul cosine ≥ threshold − 1e-6; matmul
+       reordering differs from the sequential fold by ~1e-13, so the margin
+       cannot drop a true pair. Non-finite scores (zero-norm vectors) are
+       kept so the *exact* path decides them — under ANSI mode that means
+       the same divide-by-zero error the plain operator raises
+       (throw-parity, pinned by tests/test_similarity.py).
+    2. **Exact verify**: the surviving (id_a, id_b) candidates — and only
+       those — join their vectors back and evaluate the sequential-fold
+       ``cosine``, the ≥ threshold filter, and the 6-dp round. Every value
+       the operator emits comes from this exact path, so the DuckDB oracle
+       hash-match of the plain version carries over unchanged (measured:
+       526 s → ~8 s on 5 k × 64-d at sf0.1 for the hash-embedding corpus).
+
+    Still quadratic in total flops — it is the *exact baseline*; use
+    ``cosine_pairs_lsh`` / ``semantic_dedup`` for the subquadratic scale
+    path. Per-task memory is bounded by 2·block_rows vectors plus a
+    512-row score-matrix chunk regardless of n.
+    """
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = vectors.schema[id_col].dataType
+    v, nb = _checkpointed_blocks(vectors, id_col, vec, block_rows)
+    fanned = _block_fanout(v, nb)
+
+    thr = threshold - 1e-6
+    out_schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
+    )
+
+    def _score_block(pdf):
+        ga = int(pdf["ga"].iloc[0])
+        gb = int(pdf["gb"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        res_a: list = []
+        res_b: list = []
+
+        def emit(keep, rids, cids):
+            ii, jj = np.nonzero(keep)
+            for i, j in zip(ii, jj):
+                a, b = rids[i], cids[j]
+                if a < b:
+                    res_a.append(a)
+                    res_b.append(b)
+                elif b < a:
+                    res_a.append(b)
+                    res_b.append(a)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if ga == gb:
+                col = np.arange(len(ids))[None, :]
+                for s in range(0, len(ids), 512):
+                    e = min(s + 512, len(ids))
+                    cs = (X[s:e] @ X.T) / (nrm[s:e, None] * nrm[None, :])
+                    keep = (cs >= thr) | ~np.isfinite(cs)
+                    # score each unordered index pair exactly once (strict
+                    # upper triangle); emit() orients by id value
+                    keep &= col > np.arange(s, e)[:, None]
+                    emit(keep, ids[s:e], ids)
+            else:
+                am = pdf["__b"].to_numpy() == ga
+                A, B = X[am], X[~am]
+                ia, ib = ids[am], ids[~am]
+                na, nb_ = nrm[am], nrm[~am]
+                for s in range(0, len(ia), 512):
+                    e = min(s + 512, len(ia))
+                    cs = (A[s:e] @ B.T) / (na[s:e, None] * nb_[None, :])
+                    emit((cs >= thr) | ~np.isfinite(cs), ia[s:e], ib)
+        return pd.DataFrame({"id_a": res_a, "id_b": res_b})
+
+    cand = fanned.groupBy("ga", "gb").applyInPandas(
+        _score_block, schema=out_schema
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def nn_shortlist_blocked(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    block_rows: int = 4096,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Directional leave-one-out nearest-neighbor shortlist: for every
+    non-null vector, the candidate ids whose blocked-matmul cosine is
+    within ``margin`` of that row's per-block maximum. Returns
+    ``(id, cand_id)`` — guaranteed to contain the exact argmax (and every
+    exact tie): the true 1-NN j* is its own block's maximum, and any j
+    tied with j* to float precision (~1e-13) is within margin of *its*
+    block's maximum too, so an exact re-rank over the shortlist — the few
+    ·nb candidates per row instead of n — reproduces the full n² ranking
+    bit-for-bit. Rows whose score row is all-NaN (zero-norm vectors) keep
+    every candidate so the exact path decides them (ANSI throw-parity).
+
+    Caller contract: re-score the shortlist with the sequential-fold
+    ``cosine`` and take row_number over (cosine desc, cand_id asc). Rows
+    with NULL vectors are excluded here — handle their (engine-identical)
+    all-NULL-cosine ordering separately; see embed_knn_label_accuracy.
+    """
+    import numpy as np
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = vectors.schema[id_col].dataType
+    v, nb = _checkpointed_blocks(vectors, id_col, vec, block_rows)
+    fanned = _block_fanout(v, nb)
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("cand_id", id_type)]
+    )
+
+    def _shortlist(pdf):
+        ga = int(pdf["ga"].iloc[0])
+        gb = int(pdf["gb"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        res_i: list = []
+        res_j: list = []
+
+        def emit(cs, valid, rids, cids):
+            # rowmax over valid entries only; -inf placeholder never leaks
+            # back into keep because keep is ANDed with `valid`
+            masked = np.where(valid, cs, -np.inf)
+            rowmax = masked.max(axis=1)
+            keep = valid & (
+                (cs >= rowmax[:, None] - margin) | np.isnan(cs)
+            )
+            ii, jj = np.nonzero(keep)
+            res_i.extend(rids[ii])
+            res_j.extend(cids[jj])
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if ga == gb:
+                col = np.arange(len(ids))[None, :]
+                for s in range(0, len(ids), 512):
+                    e = min(s + 512, len(ids))
+                    cs = (X[s:e] @ X.T) / (nrm[s:e, None] * nrm[None, :])
+                    emit(cs, col != np.arange(s, e)[:, None], ids[s:e], ids)
+            else:
+                am = pdf["__b"].to_numpy() == ga
+                A, B = X[am], X[~am]
+                ia, ib = ids[am], ids[~am]
+                na, nb_ = nrm[am], nrm[~am]
+                if len(ia) and len(ib):
+                    for s in range(0, len(ia), 512):
+                        e = min(s + 512, len(ia))
+                        cs = (A[s:e] @ B.T) / (na[s:e, None] * nb_[None, :])
+                        ok = np.ones_like(cs, dtype=bool)
+                        emit(cs, ok, ia[s:e], ib)
+                    for s in range(0, len(ib), 512):
+                        e = min(s + 512, len(ib))
+                        cs = (B[s:e] @ A.T) / (nb_[s:e, None] * na[None, :])
+                        ok = np.ones_like(cs, dtype=bool)
+                        emit(cs, ok, ib[s:e], ia)
+        return pd.DataFrame({"id": res_i, "cand_id": res_j})
+
+    return fanned.groupBy("ga", "gb").applyInPandas(
+        _shortlist, schema=out_schema
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",

