@@ -60,6 +60,8 @@ HEADLINE = [
     "events_zorder_key",
     "text_hash_embedding",
     "multimodal_audio_stats",
+    "dedup_hash_embed_cosine",
+    "embed_knn_label_accuracy",
 ]
 
 

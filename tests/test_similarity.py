@@ -134,3 +134,31 @@ def test_cosine_pairs_blocked_edge_vectors(spark):
         similarity.cosine_pairs_blocked(
             zero, threshold=0.9, block_rows=2
         ).collect()
+
+
+def test_nn_shortlist_contains_exact_argmax(spark, sf_dir):
+    """Every row's true (numpy-exact) 1-NN — and all ties within float
+    precision — must appear in the blocked shortlist, at a block size
+    small enough to force many cross-block groups."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    cs = (X @ X.T) / (nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(cs, -np.inf)
+
+    short = {}
+    for r in similarity.nn_shortlist_blocked(
+        emb, "vec_id", "embedding", block_rows=64
+    ).collect():
+        short.setdefault(r.id, set()).add(r.cand_id)
+
+    for i in range(len(ids)):
+        best = cs[i].max()
+        tied = set(ids[np.nonzero(cs[i] >= best - 1e-9)[0]])
+        assert tied <= short[ids[i]], f"1-NN missing for vec_id={ids[i]}"
