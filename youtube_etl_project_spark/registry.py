@@ -187,6 +187,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         retrieval,
         layout_queries,
         corpus3,
+        corpus4,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
