@@ -82,6 +82,13 @@ PROBE_QUERIES = (
     "events_zorder_key",
     "corpus_importance_sample",
     "embed_quantize_rmse",
+    # blocked exact-baseline rewrites (quadratic total flops BY DESIGN —
+    # the probe shows how far the vectorized form pushes the wall)
+    "dedup_hash_embed_cosine",
+    "embed_knn_label_accuracy",
+    # corpus4 samplers (should be ~linear)
+    "corpus_temperature_mix",
+    "corpus_reservoir_sample",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared
