@@ -183,3 +183,26 @@ def test_simhash_pairs_exact_vs_bruteforce(spark, sf_dir):
     # pigeonhole banding is exact: identical pair set AND distances
     assert got == brute
     assert got, "fixture should contain at least one near-dup pair"
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: overlap = 1.0 (and the
+    short side's containment = 1.0) while Jaccard stays below threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(0, 60, 3))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.8
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.overlap == 1.0 and r.contain_a == 1.0 and r.contain_b < 0.5
+    # the symmetric baseline does NOT flag this pair at its 0.5 threshold
+    jac = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    ).collect()
+    assert jac == []

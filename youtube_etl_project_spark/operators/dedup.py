@@ -454,6 +454,27 @@ def ngram_jaccard_pairs(
     pairing. Without it one hot shingle shared by m docs costs m²/2 join
     rows — the named scale-killer of this baseline.
     """
+    inter = _shingle_intersections(docs, id_col, text_col, shingle_k, max_df)
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _shingle_intersections(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Pairwise shingle-set intersection counts with both set sizes:
+    (id_a < id_b, n_inter, n_a, n_b) — the shared core of the Jaccard and
+    containment baselines."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     base = spread(docs).select(
         F.col(id_col).alias("doc"),
@@ -477,7 +498,7 @@ def ngram_jaccard_pairs(
         )
 
     l, r = exploded.alias("l"), exploded.alias("r")
-    inter = (
+    return (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc") < F.col("r.doc")))
         .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .agg(
@@ -486,13 +507,39 @@ def ngram_jaccard_pairs(
             F.first(F.col("r.n_sh")).alias("n_b"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: overlap coefficient
+    |A∩B| / min(|A|,|B|) ≥ threshold, with both directional containments
+    reported. Catches subset duplication — a short doc quoted whole
+    inside a long one scores overlap ≈ 1 while its Jaccard
+    |A∩B|/|A∪B| stays far below any dedup threshold (the quote-
+    detection / page-boilerplate case symmetric Jaccard misses).
+
+    Same cost shape and ``max_df`` scale guard as
+    ``ngram_jaccard_pairs``; each score is a single division of exact
+    integer counts, so both engines agree bit-for-bit.
+    """
+    inter = _shingle_intersections(docs, id_col, text_col, shingle_k, max_df)
+    overlap = F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
     return (
-        inter.withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        inter.withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("overlap", 6).alias("overlap"),
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("contain_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("contain_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

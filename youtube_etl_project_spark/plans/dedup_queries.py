@@ -132,6 +132,55 @@ def dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_containment",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), rare AS (
+            SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 5
+        ), kept AS (
+            SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter / LEAST(sa.n_sh, sb.n_sh), 6) AS overlap,
+               ROUND(n_inter / sa.n_sh, 6) AS contain_a,
+               ROUND(n_inter / sb.n_sh, 6) AS contain_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+    doc="X2 asymmetric mode: overlap coefficient |A∩B|/min(|A|,|B|) "
+        "≥ 0.8 over df-cut 3-gram shingles, with both directional "
+        "containments — catches a short doc quoted whole inside a long "
+        "one, where Jaccard |A∩B|/|A∪B| stays below any threshold. Each "
+        "score is one division of exact integer counts (bit-identical "
+        "across engines); same df ≤ 5 hot-shingle guard as the Jaccard "
+        "twin",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.8, max_df=5
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
     doc="X2: banded MinHash-LSH candidate generation + exact-Jaccard verify "
