@@ -125,6 +125,117 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS t
+            FROM documents
+        ), vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks)
+        ), big AS (
+            SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> {'w1': t[i], 'w2': t[i+1]})) AS s
+                FROM toks WHERE len(t) >= 2
+            )
+        ), bgc AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg
+            FROM big GROUP BY 1, 2
+        ), ctx AS (
+            SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cctx FROM bgc GROUP BY 1
+        ), scored AS (
+            SELECT w1, w2,
+                   CAST(ROUND(LN(cbg + 1.0), 6) AS DECIMAL(18,6))
+                 - CAST(ROUND(LN(CAST(cctx + v AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS lnp
+            FROM bgc JOIN ctx USING (w1), vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               FLOOR(CAST(SUM(lnp) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_logprob
+        FROM big JOIN scored USING (w1, w2)
+        GROUP BY doc_id
+    """,
+    doc="Bigram-LM document scoring (the CCNet/KenLM quality-filter "
+        "shape, one model order up from text_unigram_surprisal): mean "
+        "ln P(w_i | w_{i-1}) per document under an add-1-smoothed bigram "
+        "model trained on the corpus itself — fluent text scores high, "
+        "shuffled/TEMPLATE text scores low. Plan: one bigram explode, two "
+        "shuffle aggregates build the model (bigram + context counts, "
+        "vocab size rides as a broadcast scalar), per-bigram log-probs "
+        "join back through the hot/cold frequency split so the Zipf head "
+        "of bigrams never pins a reducer. Cross-engine: each ln rounds to "
+        "6 dp before the exact decimal-domain subtraction and per-doc "
+        "sum, so partial-aggregation order cannot diverge; the final mean "
+        "rounds via floor(x*1e4+0.5) — floor is exact on both engines, "
+        "while round()'s half-mode on computed doubles is not (measured: "
+        "one sf0.1 doc at exactly -3.38865 split the engines)",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.functions.text import tokens
+    from youtube_etl_project_spark.operators.skew import hot_cold_split_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    tok = docs.select("doc_id", F.explode(t).alias("tok"))
+    vocab = tok.agg(F.countDistinct("tok").cast("long").alias("v"))
+    bg_structs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(bg_structs).alias("b"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("b.w1"), F.col("b.w2")).alias("bg"),
+        )
+    )
+    bgc = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbg"))
+        .withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+    )
+    ctx = bgc.groupBy("w1").agg(F.sum("cbg").cast("long").alias("cctx"))
+    lnp = (
+        F.round(F.log(F.col("cbg") + F.lit(1.0)), 6).cast("decimal(18,6)")
+        - F.round(
+            F.log((F.col("cctx") + F.col("v")).cast("double")), 6
+        ).cast("decimal(18,6)")
+    )
+    scored = (
+        bgc.join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .select("bg", "cbg", lnp.alias("lnp"))
+    )
+    return (
+        hot_cold_split_join(big, scored, key="bg", weight="cbg")
+        .groupBy("doc_id")
+        .agg(
+            cnt("n_bigrams"),
+            (
+                F.floor(
+                    F.sum("lnp").cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
     "corpus_reservoir_sample",
     oracle="""
         WITH ranked AS (
