@@ -188,6 +188,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         layout_queries,
         corpus3,
         corpus4,
+        graph_analytics,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
