@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from youtube_etl_project_spark.operators import dedup
 from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
 
@@ -163,4 +164,138 @@ def events_markov_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("r") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias(
             "pagerank"
         ),
+    )
+
+
+_DECON_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM toks WHERE len(t) >= 3
+    ), bench AS (
+        SELECT DISTINCT unnest(shingles) AS s
+        FROM sh WHERE source = 'src0'
+    ), corpus_sh AS (
+        SELECT doc_id, unnest(shingles) AS s
+        FROM sh WHERE source <> 'src0'
+    ), seeds AS (
+        SELECT c.doc_id
+        FROM corpus_sh c JOIN bench b ON c.s = b.s
+        GROUP BY c.doc_id
+        HAVING COUNT(*) >= 8
+    ), rare AS (
+        SELECT s FROM corpus_sh GROUP BY s HAVING COUNT(*) <= 5
+    ), kept AS (
+        SELECT c.doc_id, c.s FROM corpus_sh c JOIN rare USING (s)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+    ), h0 AS (
+        SELECT doc_id FROM seeds
+    ), h1 AS (
+        SELECT DISTINCT und.dst AS doc_id
+        FROM und JOIN h0 ON und.src = h0.doc_id
+        WHERE und.dst NOT IN (SELECT doc_id FROM h0)
+    ), h2 AS (
+        SELECT DISTINCT und.dst AS doc_id
+        FROM und JOIN h1 ON und.src = h1.doc_id
+        WHERE und.dst NOT IN (SELECT doc_id FROM h0)
+          AND und.dst NOT IN (SELECT doc_id FROM h1)
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM h0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS hop FROM h1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT) AS hop FROM h2
+"""
+
+
+@register(
+    "decontaminate_transitive",
+    oracle=_DECON_ORACLE,
+    doc="Transitive benchmark decontamination (the RefinedWeb/FineWeb "
+        "hygiene rule): docs sharing >= 8 distinct 3-gram shingles with "
+        "the held-out set (source='src0') are hop-0 contaminated, and "
+        "quarantine spreads <= 2 BFS hops through the near-dup graph "
+        "(exact df-cut Jaccard >= 0.5 among corpus docs) — a paraphrased "
+        "copy of a contaminated doc is itself contaminated even with "
+        "zero direct benchmark overlap. Seeds and edges are the existing "
+        "guarded one-shuffle-per-stage builds; each BFS hop is one join "
+        "against the checkpointed edge list (frontier sizes are corpus "
+        "fractions, never the corpus). Oracle unrolls the two hops as "
+        "CTEs over string shingles (hash-id vs string shingle sets "
+        "intersect identically)",
+)
+def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    sh = dedup.spread(docs).select(
+        "doc_id",
+        "source",
+        dedup.word_shingle_ids(toks, 3).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus_docs = docs.filter(F.col("source") != "src0")
+    corpus_sh = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    seeds = (
+        corpus_sh.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 8)
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # reused as h0 filter in both hops
+    )
+
+    edges = dedup.ngram_jaccard_pairs(
+        corpus_docs, "doc_id", "text", shingle_k=3, threshold=0.5, max_df=5
+    ).select("id_a", "id_b").localCheckpoint(eager=True)  # both directions + both hops
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    h0 = seeds
+    h1 = (
+        und.join(h0.withColumnRenamed("doc_id", "src"), "src")
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .join(h0, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)  # frontier for hop 2 + anti filter
+    )
+    h2 = (
+        und.join(h1.withColumnRenamed("doc_id", "src"), "src")
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .join(h0, "doc_id", "left_anti")
+        .join(h1, "doc_id", "left_anti")
+    )
+    hop = F.lit(0).cast("long").alias("hop")
+    return (
+        h0.select("doc_id", hop)
+        .unionAll(h1.select("doc_id", F.lit(1).cast("long").alias("hop")))
+        .unionAll(h2.select("doc_id", F.lit(2).cast("long").alias("hop")))
     )
