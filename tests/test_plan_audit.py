@@ -38,6 +38,8 @@ ARROW_ALLOWED = {
     "text_token_count_bpe",
     "pack_sequences_bpe",
     "embed_pca_project",  # PCA apply: (x-mean)@W numpy matmul per batch
+    "embed_pq_rmse",  # PQ encode+reconstruct: numpy matmul per batch
+    "embed_pq_adc_topk",  # ADC LUT gather over codes: numpy per batch
 }
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

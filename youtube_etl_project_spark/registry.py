@@ -189,6 +189,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         corpus3,
         corpus4,
         graph_analytics,
+        quantization_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
