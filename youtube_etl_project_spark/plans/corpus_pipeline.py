@@ -553,3 +553,54 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("survivor_id"),
         (F.col("rn") == 1).cast("long").alias("is_kept"),
     )
+
+
+@register(
+    "train_test_split_leakage_safe",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ),
+        cc AS (SELECT n AS doc_id, MIN(m) AS root FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               COALESCE(cc.root, d.doc_id) AS cluster_id,
+               CASE WHEN substr(md5(CAST(COALESCE(cc.root, d.doc_id)
+                                         AS VARCHAR)), 1, 2) < '29'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """,
+    doc="Leakage-safe corpus split: hash the near-dup CLUSTER id, not the "
+        "doc id — a doc-level hash split (train_test_split_hash) can put "
+        "two near-duplicates on opposite sides of the train/eval "
+        "boundary, silently inflating eval scores; splitting by the "
+        "connected-component root keeps every near-dup family on one "
+        "side (The Pile / C4 hygiene rule). Same md5-prefix split "
+        "formula, same CC machinery (min-label propagation vs DuckDB "
+        "recursive-CTE oracle); tests/test_leakage_split.py pins the "
+        "no-straddling property pairwise",
+)
+def train_test_split_leakage_safe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    cluster = F.coalesce("cluster_id", "doc_id")
+    split = F.when(
+        F.substring(F.md5(cluster.cast("string").cast("binary")), 1, 2)
+        < "29",
+        "test",
+    ).otherwise("train")
+    return docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select("doc_id", cluster.alias("cluster_id"), split.alias("split"))
