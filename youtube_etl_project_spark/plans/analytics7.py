@@ -208,3 +208,104 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+@register(
+    "events_ab_ttest",
+    oracle="""
+        WITH g AS (
+            SELECT event_type, user_id % 2 AS variant,
+                   CAST(COUNT(value) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))
+                            * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+            FROM events GROUP BY 1, 2
+        ), v AS (
+            SELECT event_type, variant, n, s1 / n AS mean,
+                   GREATEST(s2 - s1 * s1 / n, 0) / (n - 1) AS var
+            FROM g WHERE n >= 2
+        ), ab AS (
+            SELECT a.event_type,
+                   a.n AS n_a, b.n AS n_b,
+                   a.mean AS mean_a, b.mean AS mean_b,
+                   a.var / a.n + b.var / b.n AS se2,
+                   a.var / a.n AS ra, b.var / b.n AS rb,
+                   a.n AS na, b.n AS nb
+            FROM v a JOIN v b
+              ON a.event_type = b.event_type
+             AND a.variant = 0 AND b.variant = 1
+        )
+        SELECT event_type, n_a, n_b,
+               ROUND(mean_a, 6) AS mean_a,
+               ROUND(mean_b, 6) AS mean_b,
+               CASE WHEN se2 > 0
+                    THEN ROUND((mean_a - mean_b) / sqrt(se2), 6) END
+                   AS t_stat,
+               CASE WHEN ra + rb > 0 AND (ra > 0 OR rb > 0)
+                    THEN ROUND((ra + rb) * (ra + rb)
+                               / (ra * ra / (na - 1) + rb * rb / (nb - 1)),
+                               4) END AS welch_df
+        FROM ab
+    """,
+    doc="Experimentation staple: Welch's unequal-variance t-test per "
+        "event_type between two deterministic variants (user_id parity — "
+        "the hash-bucket assignment every A/B platform uses). Means and "
+        "variances come from decimal-exact S1/S2 partial sums (the "
+        "zscore_by_type rule: never STDDEV built-ins, their accumulation "
+        "order differs between engines), so the t statistic and "
+        "Welch-Satterthwaite df are a handful of correctly-rounded "
+        "double ops on identical inputs. One shuffle on (type, variant); "
+        "the 2×|types| stat table then self-joins broadcast-sized",
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d6 = F.col("value").cast("decimal(18,6)")
+    d10 = F.col("value").cast("decimal(28,10)")
+    g = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            F.sum(d6).cast("double").alias("s1"),
+            F.sum(d10 * d10).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+        .withColumn("mean", F.col("s1") / F.col("n"))
+        .withColumn(
+            "var",
+            F.greatest(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"),
+                F.lit(0.0),
+            )
+            / (F.col("n") - 1),
+        )
+    )
+    a = g.filter("variant = 0").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.filter("variant = 1").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    ra = F.col("var_a") / F.col("n_a")
+    rb = F.col("var_b") / F.col("n_b")
+    se2 = ra + rb
+    t = F.when(se2 > 0, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2))
+    df_ = F.when(
+        se2 > 0,
+        se2 * se2
+        / (ra * ra / (F.col("n_a") - 1) + rb * rb / (F.col("n_b") - 1)),
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_, 4).alias("welch_df"),
+    )

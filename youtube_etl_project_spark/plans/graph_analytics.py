@@ -299,3 +299,121 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(h1.select("doc_id", F.lit(1).cast("long").alias("hop")))
         .unionAll(h2.select("doc_id", F.lit(2).cast("long").alias("hop")))
     )
+
+
+_MARKOV_ACC_ORACLE = """
+    WITH bounds AS (
+        SELECT MIN(CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)) AS d0,
+               MAX(CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)) AS d1
+        FROM events
+    ), thr AS (
+        SELECT CAST(FLOOR(d0 + 0.8 * (d1 - d0)) AS BIGINT) AS t FROM bounds
+    ), train AS (
+        SELECT user_id, ts, event_id, event_type FROM events, thr
+        WHERE CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) < t
+    ), test AS (
+        SELECT user_id, ts, event_id, event_type FROM events, thr
+        WHERE CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) >= t
+    ), train_pairs AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS dst
+        FROM train
+    ), model AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src
+                   ORDER BY COUNT(*) DESC, dst ASC
+               ) AS rn
+        FROM train_pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ), pred AS (
+        SELECT src, dst AS predicted FROM model WHERE rn = 1
+    ), test_pairs AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS dst
+        FROM test
+    )
+    SELECT tp.src AS event_type, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN tp.dst = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           FLOOR(SUM(CASE WHEN tp.dst = p.predicted THEN 1 ELSE 0 END)
+                 * 1e6 / COUNT(*)) / 1e6 AS top1_acc
+    FROM test_pairs tp JOIN pred p ON tp.src = p.src
+    WHERE tp.dst IS NOT NULL
+    GROUP BY tp.src, p.predicted
+"""
+
+
+@register(
+    "events_markov_next_acc",
+    oracle=_MARKOV_ACC_ORACLE,
+    doc="Temporal-split model evaluation: train a next-event-type "
+        "predictor (per-src argmax transition count, lexicographic "
+        "tiebreak) on the first 80% of the event time range, score top-1 "
+        "accuracy on held-out later events — the time-based eval split "
+        "every forecasting pipeline needs (a random split would leak "
+        "future behaviour into training). The split threshold is exact "
+        "integer epoch-day arithmetic; train/test sequences re-sequence "
+        "within their own period; accuracy is one bigint division "
+        "floored to 1e-6. The trained model is |types|² rows — "
+        "broadcast-sized — while sequencing stays fully distributed",
+)
+def events_markov_next_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    bounds = events.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    thr = bounds.select(
+        F.floor(F.col("d0") + 0.8 * (F.col("d1") - F.col("d0")))
+        .cast("long")
+        .alias("t")
+    )
+    staged = events.join(F.broadcast(thr)).withColumn("__day", day)
+    train = staged.filter(F.col("__day") < F.col("t"))
+    test = staged.filter(F.col("__day") >= F.col("t"))
+
+    seq_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(seq_w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+        )
+
+    rank_w = Window.partitionBy("src").orderBy(
+        F.col("n").desc(), F.col("dst").asc()
+    )
+    pred = (
+        pairs(train)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    return (
+        pairs(test)
+        .join(F.broadcast(pred), "src")
+        .groupBy(F.col("src").alias("event_type"), "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("dst") == F.col("predicted")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "top1_acc",
+            F.floor(F.col("n_correct") * F.lit(1e6) / F.col("n_test"))
+            / F.lit(1e6),
+        )
+    )
