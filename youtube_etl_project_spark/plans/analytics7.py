@@ -309,3 +309,243 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(df_, 4).alias("welch_df"),
     )
+
+
+@register(
+    "events_ab_chi2",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, user_id % 2 AS variant,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ), rows_ AS (
+            SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+            FROM cells GROUP BY 1
+        ), cols_ AS (
+            SELECT variant, CAST(SUM(o) AS BIGINT) AS ct
+            FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+        ), contrib AS (
+            SELECT c.o,
+                   CAST(r.rt AS DOUBLE) * ct / n AS e
+            FROM cells c
+            JOIN rows_ r USING (event_type)
+            JOIN cols_ USING (variant)
+            CROSS JOIN tot
+        ), k AS (
+            SELECT COUNT(DISTINCT event_type) AS kr,
+                   COUNT(DISTINCT variant) AS kc
+            FROM cells
+        )
+        SELECT SUM(CAST(FLOOR((o - e) * (o - e) / e * 1e9 + 0.5)
+                        AS BIGINT)) / 1e9 AS chi2_stat,
+               CAST((SELECT (kr - 1) * (kc - 1) FROM k) AS BIGINT) AS dof,
+               (SELECT n FROM tot) AS n
+        FROM contrib
+    """,
+    doc="Chi-square test of independence over the event_type × variant "
+        "contingency table (variant = user-id parity, as in "
+        "events_ab_ttest): does traffic mix differ between arms — the "
+        "sample-ratio-mismatch guard every experiment needs before "
+        "reading its metrics. Observed counts are exact bigints; each "
+        "expected count is one double expression from bigint totals, so "
+        "the statistic is deterministic across engines. The contingency "
+        "table is |types|×2 — the heavy work is one count shuffle",
+)
+def events_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("variant"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("variant")
+    wt = Window.partitionBy()
+    with_e = cells.select(
+        "event_type",
+        "variant",
+        "o",
+        (
+            F.sum("o").over(wr).cast("double")
+            * F.sum("o").over(wc)
+            / F.sum("o").over(wt)
+        ).alias("e"),
+        F.sum("o").over(wt).cast("long").alias("n"),
+    )
+    kr = F.size(F.collect_set("event_type"))
+    kc = F.size(F.collect_set("variant"))
+    # each cell's contribution snaps to a 1e-9 grid before the sum:
+    # bigint addition is associative, so partial-aggregation order can't
+    # perturb the statistic (double SUM order differs between engines)
+    contrib = F.floor(
+        (F.col("o") - F.col("e"))
+        * (F.col("o") - F.col("e"))
+        / F.col("e")
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return with_e.agg(
+        (F.sum(contrib) / F.lit(1e9)).alias("chi2_stat"),
+        ((kr - 1) * (kc - 1)).cast("long").alias("dof"),
+        F.max("n").alias("n"),
+    )
+
+
+_CUPED_ORACLE = """
+    WITH bounds AS (
+        SELECT MIN(CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)) AS d0,
+               MAX(CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)) AS d1
+        FROM events
+    ), mid AS (
+        SELECT CAST(FLOOR(d0 + 0.5 * (d1 - d0)) AS BIGINT) AS t FROM bounds
+    ), per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(COALESCE(SUM(CASE
+                    WHEN CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) < t
+                    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+                   AS x,
+               CAST(COALESCE(SUM(CASE
+                    WHEN CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) >= t
+                    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE)
+                   AS y
+        FROM events, mid
+        GROUP BY 1, 2
+    ), snapped AS (
+        SELECT variant,
+               CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT) AS x6,
+               CAST(FLOOR(y * 1e6 + 0.5) AS BIGINT) AS y6,
+               CAST(FLOOR(x * x * 1e6 + 0.5) AS BIGINT) AS xx6,
+               CAST(FLOOR(x * y * 1e6 + 0.5) AS BIGINT) AS xy6,
+               CAST(FLOOR(y * y * 1e6 + 0.5) AS BIGINT) AS yy6
+        FROM per_user
+    ), gstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+               CAST(SUM(xx6) AS BIGINT) AS sxx,
+               CAST(SUM(xy6) AS BIGINT) AS sxy,
+               CAST(SUM(yy6) AS BIGINT) AS syy
+        FROM snapped
+    ), model AS (
+        SELECT n,
+               sx / 1e6 / n AS mean_x,
+               (sxy / 1e6 - (sx / 1e6) * (sy / 1e6) / n)
+                   / NULLIF(sxx / 1e6 - (sx / 1e6) * (sx / 1e6) / n, 0)
+                   AS theta,
+               sxx / 1e6 - (sx / 1e6) * (sx / 1e6) / n AS cxx,
+               sxy / 1e6 - (sx / 1e6) * (sy / 1e6) / n AS cxy,
+               syy / 1e6 - (sy / 1e6) * (sy / 1e6) / n AS cyy
+        FROM gstats
+    ), pv AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x6) AS BIGINT) / 1e6 AS vx,
+               CAST(SUM(y6) AS BIGINT) / 1e6 AS vy
+        FROM snapped GROUP BY 1
+    )
+    SELECT variant, n_users,
+           FLOOR(vy / n_users * 1e6 + 0.5) / 1e6 AS mean_y,
+           FLOOR((vy / n_users
+                  - theta * (vx / n_users - mean_x)) * 1e6 + 0.5) / 1e6
+               AS mean_y_cuped,
+           FLOOR(theta * 1e6 + 0.5) / 1e6 AS theta,
+           FLOOR((1 - (cyy - 2 * theta * cxy + theta * theta * cxx)
+                      / NULLIF(cyy, 0)) * 1e6 + 0.5) / 1e6
+               AS var_reduction
+    FROM pv CROSS JOIN model
+"""
+
+
+@register(
+    "events_ab_cuped",
+    oracle=_CUPED_ORACLE,
+    doc="CUPED variance reduction (Deng et al. 2013, the industry-standard "
+        "experiment sensitivity boost): per-user pre-period spend (first "
+        "half of the time range) is the covariate X, post-period spend is "
+        "the metric Y; theta = cov(X,Y)/var(X) fitted once globally, "
+        "adjusted means reported per variant with the achieved variance "
+        "reduction. Per-user sums are decimal-exact; every cross-user "
+        "moment snaps to a 1e-6 integer grid before summing, so the "
+        "partial-aggregation order can't move theta. Two shuffles total "
+        "(user rollup, variant rollup); the model is a scalar",
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    bounds = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    mid = bounds.select(
+        F.floor(F.col("d0") + 0.5 * (F.col("d1") - F.col("d0")))
+        .cast("long")
+        .alias("t")
+    )
+    d6 = F.col("value").cast("decimal(18,6)")
+    per_user = (
+        ev.join(F.broadcast(mid))
+        .withColumn("__day", day)
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__day") < F.col("t"), d6)), F.lit(0)
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("__day") >= F.col("t"), d6)), F.lit(0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+
+    def snap(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    snapped = per_user.select(
+        "variant",
+        snap(F.col("x")).alias("x6"),
+        snap(F.col("y")).alias("y6"),
+        snap(F.col("x") * F.col("x")).alias("xx6"),
+        snap(F.col("x") * F.col("y")).alias("xy6"),
+        snap(F.col("y") * F.col("y")).alias("yy6"),
+    )
+    glob = snapped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(c).cast("long").alias("s" + c) for c in
+          ("x6", "y6", "xx6", "xy6", "yy6")],
+    )
+    mean_x = F.col("sx6") / 1e6 / F.col("n")
+    cxx = F.col("sxx6") / 1e6 - (F.col("sx6") / 1e6) * (F.col("sx6") / 1e6) / F.col("n")
+    cxy = F.col("sxy6") / 1e6 - (F.col("sx6") / 1e6) * (F.col("sy6") / 1e6) / F.col("n")
+    cyy = F.col("syy6") / 1e6 - (F.col("sy6") / 1e6) * (F.col("sy6") / 1e6) / F.col("n")
+    model = glob.select(
+        mean_x.alias("mean_x"),
+        (cxy / F.when(cxx != 0, cxx)).alias("theta"),
+        cxx.alias("cxx"), cxy.alias("cxy"), cyy.alias("cyy"),
+    )
+    pv = snapped.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("x6").cast("long") / F.lit(1e6)).alias("vx"),
+        (F.sum("y6").cast("long") / F.lit(1e6)).alias("vy"),
+    )
+
+    def grid6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return pv.join(F.broadcast(model)).select(
+        "variant",
+        "n_users",
+        grid6(F.col("vy") / F.col("n_users")).alias("mean_y"),
+        grid6(
+            F.col("vy") / F.col("n_users")
+            - F.col("theta") * (F.col("vx") / F.col("n_users") - F.col("mean_x"))
+        ).alias("mean_y_cuped"),
+        grid6(F.col("theta")).alias("theta"),
+        grid6(
+            F.lit(1)
+            - (
+                F.col("cyy")
+                - 2 * F.col("theta") * F.col("cxy")
+                + F.col("theta") * F.col("theta") * F.col("cxx")
+            )
+            / F.when(F.col("cyy") != 0, F.col("cyy"))
+        ).alias("var_reduction"),
+    )
