@@ -62,6 +62,11 @@ HEADLINE = [
     "multimodal_audio_stats",
     "dedup_hash_embed_cosine",
     "embed_knn_label_accuracy",
+    "events_markov_pagerank",
+    "decontaminate_transitive",
+    "embed_pq_rmse",
+    "bloom_semi_join",
+    "events_ab_cuped",
 ]
 
 

@@ -89,6 +89,15 @@ PROBE_QUERIES = (
     # corpus4 samplers (should be ~linear)
     "corpus_temperature_mix",
     "corpus_reservoir_sample",
+    # round-3 wave: graph analytics, experimentation, PQ, bloom join
+    "events_markov_pagerank",
+    "events_markov_next_acc",
+    "decontaminate_transitive",
+    "train_test_split_leakage_safe",
+    "embed_pq_rmse",
+    "embed_pq_adc_topk",
+    "bloom_semi_join",
+    "events_ab_cuped",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared
@@ -252,6 +261,18 @@ def _union_all(parts):
 def main() -> None:
     from youtube_etl_project_spark.registry import load_all_plans
     from youtube_etl_project_spark.session import get_spark
+
+    # optional argv subset: probe only the named queries (hot section
+    # runs only for named hot queries) — prints the same tables, for
+    # incremental probing of newly added operators
+    global PROBE_QUERIES, HOT_QUERIES
+    subset = set(sys.argv[1:])
+    if subset:
+        unknown = subset - set(PROBE_QUERIES) - set(HOT_QUERIES)
+        if unknown:
+            raise SystemExit(f"not in probe lists: {sorted(unknown)}")
+        PROBE_QUERIES = tuple(q for q in PROBE_QUERIES if q in subset)
+        HOT_QUERIES = tuple(q for q in HOT_QUERIES if q in subset)
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -529,3 +529,61 @@ def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, n_zero_cross long, ac1_num long, "
+    "ac1_den long, max_frame_rms double"
+)
+
+_FRAME = 50
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched real PCM decode → time-domain DSP features: zero
+    crossings (strict sign flips), lag-1 autocorrelation numerator and
+    denominator (emitted as the exact int64 sums so the query forms the
+    single deciding division), and the max 50-sample-frame RMS (the
+    short-time energy envelope peak). Same decode/quarantine posture as
+    ``audio_stats``; everything is linear in samples, so a SQL oracle can
+    recompute it from the generating formula with LEAD + GROUP BY."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                dec = decode_samples(bytes(buf))
+                if dec is None:
+                    recs.append((int(doc_id), None, None, None, None, None))
+                    continue
+                _, _, arr = dec
+                s = arr.astype(np.int64).ravel()
+                n = len(s)
+                if n < 2:
+                    recs.append((int(doc_id), n, None, None, None, None))
+                    continue
+                zc = int(((s[:-1] * s[1:]) < 0).sum())
+                num = int((s[:-1] * s[1:]).sum())
+                den = int((s * s).sum())
+                nf = -(-n // _FRAME)
+                pad = np.zeros(nf * _FRAME, dtype=np.int64)
+                pad[:n] = s * s
+                cnt = np.full(nf, _FRAME, dtype=np.int64)
+                if n % _FRAME:
+                    cnt[-1] = n % _FRAME
+                frms = np.sqrt(
+                    pad.reshape(nf, _FRAME).sum(axis=1) / cnt
+                )
+                recs.append(
+                    (int(doc_id), n, zc, num, den, float(frms.max()))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "n_samples", "n_zero_cross",
+                         "ac1_num", "ac1_den", "max_frame_rms"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )

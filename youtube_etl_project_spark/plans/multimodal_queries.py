@@ -148,3 +148,69 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 200 + doc_id % 101 AS n FROM documents
+        ), smp AS (
+            SELECT d.doc_id, d.n, t.i,
+                   ((d.doc_id * 37 + t.i * 13) % 4096) - 2048 AS s
+            FROM dims d, LATERAL (
+                SELECT unnest(range(0, CAST(d.n AS BIGINT))) AS i
+            ) t
+        ), lagged AS (
+            SELECT doc_id, n, i, s,
+                   LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS s1
+            FROM smp
+        ), per_doc AS (
+            SELECT doc_id, MIN(n) AS n,
+                   CAST(SUM(CASE WHEN s * s1 < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_cross,
+                   CAST(SUM(s * s1) AS BIGINT) AS ac1_num,
+                   CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS ac1_den
+            FROM lagged GROUP BY doc_id
+        ), frames AS (
+            SELECT doc_id, i // 50 AS f,
+                   sqrt(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+                        / COUNT(*)) AS frms
+            FROM smp GROUP BY 1, 2
+        ), env AS (
+            SELECT doc_id, MAX(frms) AS max_frame_rms FROM frames GROUP BY 1
+        )
+        SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_samples,
+               ROUND(CAST(p.n_zero_cross AS DOUBLE) / (p.n - 1), 6)
+                   AS zcr,
+               ROUND(CAST(p.ac1_num AS DOUBLE) / p.ac1_den, 6) AS ac1,
+               ROUND(e.max_frame_rms, 6) AS max_frame_rms
+        FROM per_doc p JOIN env e USING (doc_id)
+    """,
+    doc="X5 audio DSP features through the REAL codec path: the WAV "
+        "payload is decoded back to PCM (RIFF walk), then zero-crossing "
+        "rate (voicing proxy), lag-1 autocorrelation (spectral-tilt "
+        "proxy, formed as one division of exact int64 sums), and the "
+        "peak 50-sample short-time RMS (energy envelope). The oracle "
+        "recomputes every feature from the clip-generating formula with "
+        "LEAD + framed GROUP BY — a codec byte error anywhere flips the "
+        "hash. All features are linear in samples; the decode is the "
+        "same Arrow-batched kernel as multimodal_audio_stats",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn(
+        "payload", multimodal.synth_audio_udf()(F.col("doc_id"))
+    )
+    raw = multimodal.audio_features(payloads, "doc_id")
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        F.round(
+            F.col("n_zero_cross").cast("double") / (F.col("n_samples") - 1), 6
+        ).alias("zcr"),
+        F.round(
+            F.col("ac1_num").cast("double") / F.col("ac1_den"), 6
+        ).alias("ac1"),
+        F.round("max_frame_rms", 6).alias("max_frame_rms"),
+    )
