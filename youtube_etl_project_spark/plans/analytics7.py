@@ -549,3 +549,107 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.when(F.col("cyy") != 0, F.col("cyy"))
         ).alias("var_reduction"),
     )
+
+
+_ATTRIB_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_type, value,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               event_id
+        FROM events
+    ), touched AS (
+        SELECT user_id, event_type, value, us, event_id,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS last_touch,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS first_touch
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+    ), credit AS (
+        SELECT * FROM touched WHERE event_type = 'purchase'
+    ), lt AS (
+        SELECT last_touch AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_last,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS value_last
+        FROM credit WHERE last_touch IS NOT NULL GROUP BY 1
+    ), ft AS (
+        SELECT first_touch AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_first,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS value_first
+        FROM credit WHERE first_touch IS NOT NULL GROUP BY 1
+    )
+    SELECT COALESCE(lt.touch_type, ft.touch_type) AS touch_type,
+           COALESCE(n_last, 0) AS n_last,
+           COALESCE(ROUND(value_last, 6), 0) AS value_last,
+           COALESCE(n_first, 0) AS n_first,
+           COALESCE(ROUND(value_first, 6), 0) AS value_first
+    FROM lt FULL OUTER JOIN ft ON lt.touch_type = ft.touch_type
+"""
+
+
+@register(
+    "events_touch_attribution",
+    oracle=_ATTRIB_ORACLE,
+    doc="Marketing attribution: each purchase credits its value to the "
+        "LAST and FIRST non-purchase touch within a 24h lookback "
+        "(range-frame window with IGNORE NULLS on both engines — the "
+        "frame is microsecond-epoch ints, so boundaries are exact and "
+        "per-user key ties cannot reorder the pick), "
+        "rolled up to revenue by touch type under each model. One "
+        "shuffle on user_id serves both window passes; value sums stay "
+        "in the decimal domain",
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86400000000, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    credit = (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    d6 = F.col("value").cast("decimal(18,6)")
+    lt = (
+        credit.filter(F.col("last_touch").isNotNull())
+        .groupBy(F.col("last_touch").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_last"),
+            F.sum(d6).cast("double").alias("value_last"),
+        )
+    )
+    ft = (
+        credit.filter(F.col("first_touch").isNotNull())
+        .groupBy(F.col("first_touch").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_first"),
+            F.sum(d6).cast("double").alias("value_first"),
+        )
+    )
+    return (
+        lt.join(ft, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last"),
+            F.coalesce(F.round("value_last", 6), F.lit(0.0)).alias(
+                "value_last"
+            ),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce(F.round("value_first", 6), F.lit(0.0)).alias(
+                "value_first"
+            ),
+        )
+    )
