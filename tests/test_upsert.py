@@ -206,3 +206,31 @@ def test_history_trims_legacy_orphan_tail(spark, tmp_path):
 
     assert t.history() == [os.path.basename(t.current_path())]
     assert t.read_version(0).count() == 1
+
+
+def test_delete_where(spark, tmp_path):
+    """DELETE semantics: TRUE rows go, FALSE and NULL rows stay, the
+    delete is a real commit (history grows, time travel sees pre-state),
+    and a no-match delete commits nothing."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "dw"), keep_versions=3)
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    t.write(df)
+
+    # NULL predicate rows survive
+    assert t.delete_where(F.col("v") > 15) == 1
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+    # string conditions work; time travel still sees the pre-delete rows
+    assert t.delete_where("id = 1") == 1
+    assert t.read_version(2).count() == 3
+    assert t.read_version(1).count() == 2
+    assert [r["id"] for r in t.read().collect()] == [2]
+
+    # no matching rows -> zero removed, no new version committed
+    depth = len(t.history())
+    assert t.delete_where("id = 99") == 0
+    assert len(t.history()) == depth

@@ -216,6 +216,29 @@ class ParquetTable:
         if self.exists():
             self.write(self.read().limit(0))
 
+    def delete_where(self, condition) -> int:
+        """DELETE FROM table WHERE condition — the GDPR/right-to-erasure
+        verb: commits a new version without the matching rows and returns
+        how many were removed. Copy-on-write like Delta without deletion
+        vectors: the surviving rows rewrite into a fresh directory and the
+        pointer flips atomically, so concurrent readers keep a consistent
+        pre-delete snapshot and time travel (``keep_versions``) still
+        works — note retention then keeps the deleted rows on disk until
+        the version ages out, which a compliance deployment bounds by
+        vacuum cadence. ``condition`` is a Column or SQL string."""
+        import pyspark.sql.functions as _F
+
+        cond = _F.expr(condition) if isinstance(condition, str) else condition
+        cur = self.read()
+        n_before = cur.count()
+        # NULL predicate must keep the row (SQL DELETE deletes TRUE only;
+        # a bare ~cond would silently drop the NULLs too)
+        survivors = cur.filter(~_F.coalesce(cond, _F.lit(False)))
+        n_after = survivors.count()
+        if n_after != n_before:
+            self.write(survivors)
+        return n_before - n_after
+
     def vacuum(self) -> None:
         """GC stale version directories: anything but the committed version.
 
