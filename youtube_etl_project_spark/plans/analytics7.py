@@ -653,3 +653,144 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_POIS = (
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.919698602928606, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for t, k in _POIS
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+_BOOT_B = 32
+
+_BOOT_ORACLE = f"""
+    WITH rep AS (
+        SELECT e.user_id % 2 AS variant, e.value, b.b,
+               CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                        || ':' || CAST(b.b AS VARCHAR)),
+                                    1, 8)) AS BIGINT) / 4294967296.0 AS u
+        FROM events e, LATERAL (
+            SELECT unnest(range(0, {_BOOT_B})) AS b
+        ) b
+    ), weighted AS (
+        SELECT variant, b, {_pois_case_sql('u')} AS w, value
+        FROM rep
+    ), means AS (
+        SELECT b, variant,
+               CAST(SUM(w * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(w) AS BIGINT) AS m
+        FROM weighted GROUP BY 1, 2
+    ), diffs AS (
+        SELECT b, MAX(CASE WHEN variant = 1 THEN m END)
+                  - MAX(CASE WHEN variant = 0 THEN m END) AS d
+        FROM means GROUP BY b
+    ), full_ AS (
+        SELECT CAST(SUM(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE)
+               / COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END)
+               - CAST(SUM(CASE WHEN user_id % 2 = 0
+                               THEN CAST(value AS DECIMAL(18,6)) END)
+                      AS DOUBLE)
+                 / COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS d
+        FROM events
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           ROUND((SELECT d FROM full_), 6) AS mean_diff,
+           ROUND(quantile_cont(d, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(d, 0.975), 6) AS ci_hi
+    FROM diffs
+"""
+
+
+@register(
+    "events_ab_bootstrap",
+    oracle=_BOOT_ORACLE,
+    doc="Poisson bootstrap CI (the distributed bootstrap — Chamandy et "
+        "al.: resampling n rows with replacement needs global "
+        "coordination, but Poisson(1) weights per (row, replica) are "
+        "embarrassingly parallel and indistinguishable for large n): 32 "
+        "replicas, each row's weight drawn by inverting the Poisson CDF "
+        "on an (event_id, b)-seeded md5 uniform — deterministic, "
+        "restart-stable, identical on both engines. Per-replica variant "
+        "means use decimal-exact weighted sums; the 2.5/97.5 percentile "
+        "CI of the A/B mean difference interpolates over just 32 model-"
+        "sized rows. The 32x row fan-out happens map-side and collapses "
+        "in the same stage's partial aggregation — no shuffled blowup",
+)
+def events_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rep = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(6)
+    for t, k in reversed(_POIS):
+        w = F.when(u < F.lit(t), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b", "variant")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                / F.sum("w").cast("long")
+            ).alias("m")
+        )
+    )
+    diffs = means.groupBy("b").agg(
+        (
+            F.max(F.when(F.col("variant") == 1, F.col("m")))
+            - F.max(F.when(F.col("variant") == 0, F.col("m")))
+        ).alias("d")
+    )
+    d6 = F.col("value").cast("decimal(18,6)")
+    full = ev.agg(
+        (
+            F.sum(F.when(F.col("user_id") % 2 == 1, d6)).cast("double")
+            / F.count(F.when(F.col("user_id") % 2 == 1, F.lit(1)))
+            - F.sum(F.when(F.col("user_id") % 2 == 0, d6)).cast("double")
+            / F.count(F.when(F.col("user_id") % 2 == 0, F.lit(1)))
+        ).alias("full_d")
+    )
+    return diffs.agg(
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        F.round(F.percentile(F.col("d"), F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("d"), F.lit(0.975)), 6).alias("ci_hi"),
+    ).join(F.broadcast(full)).select(
+        "n_replicas",
+        F.round("full_d", 6).alias("mean_diff"),
+        "ci_lo",
+        "ci_hi",
+    )
