@@ -34,6 +34,7 @@ ARROW_ALLOWED = {
     "multimodal_pixel_stats",  # real ppm/bmp/png pixel decode (stdlib+numpy)
     "multimodal_audio_stats",  # real PCM16 WAV decode (stdlib+numpy)
     "multimodal_audio_features",  # same decode kernel, DSP features
+    "multimodal_image_ahash",  # real pixel decode -> 32-bit aHash
     "source_quality_scorer_r2",  # per-group numpy ridge solve (applyInPandas)
     "multimodal_frame_sample",
     "text_token_count_bpe",

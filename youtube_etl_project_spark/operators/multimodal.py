@@ -587,3 +587,55 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+AHASH_SCHEMA = "doc_id long, width int, height int, ahash string, n_set long"
+
+_AH_COLS, _AH_ROWS = 8, 4
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched perceptual average-hash through the real decoders:
+    each pixel's channel-sum maps to an 8×4 grid cell (cell = (y·4//h)·8
+    + x·8//w — every cell is hit for any w ≥ 8, h ≥ 4, so the hash is
+    always exactly 32 bits), and a cell's bit is set iff its mean gray
+    exceeds the image mean. The threshold compares exact integers
+    (cell_sum·n_total > total_sum·n_cell) — no float mean, so a SQL
+    oracle reproduces every bit. Near-identical images differ in a few
+    bits (Hamming), the image twin of SimHash for dedup blocking."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, buf in zip(pdf[id_col], pdf["payload"]):
+                img = decode_pixels(bytes(buf))
+                if img is None:
+                    recs.append((int(doc_id), None, None, None, None))
+                    continue
+                h, w = img.shape[:2]
+                gray = img.astype(np.int64).sum(axis=2)  # h × w
+                ys, xs = np.mgrid[0:h, 0:w]
+                cells = (ys * _AH_ROWS // h) * _AH_COLS + (xs * _AH_COLS // w)
+                csum = np.bincount(
+                    cells.ravel(), weights=gray.ravel(),
+                    minlength=_AH_COLS * _AH_ROWS,
+                ).astype(np.int64)
+                cnt = np.bincount(
+                    cells.ravel(), minlength=_AH_COLS * _AH_ROWS
+                ).astype(np.int64)
+                total, n = int(gray.sum()), int(h * w)
+                bits = (csum * n) > (total * cnt)
+                recs.append(
+                    (
+                        int(doc_id), int(w), int(h),
+                        "".join("1" if b else "0" for b in bits),
+                        int(bits.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "ahash", "n_set"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, AHASH_SCHEMA)

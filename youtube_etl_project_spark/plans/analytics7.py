@@ -794,3 +794,61 @@ def events_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.x < b.x
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(s, 0.5), 6) AS ts_slope
+        FROM slopes GROUP BY event_type
+    """,
+    doc="Theil-Sen robust trend per event type: the MEDIAN of all "
+        "pairwise day-over-day slopes of daily volume — a single outlier "
+        "day (deploy spike, logging gap) that drags the OLS slope "
+        "(trend_slope_by_type) barely moves this one; the standard "
+        "robust trend for noisy ops metrics. Pairwise slopes are "
+        "quadratic in DAYS PER GROUP (the post-aggregation model-sized "
+        "frame, ~30 rows/type here; at years of history switch to the "
+        "repeated-median or sampled variant), never in events. Each "
+        "slope is one division of exact bigint deltas; the median "
+        "interpolates identically to DuckDB quantile_cont",
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile(F.col("s"), F.lit(0.5)), 6).alias("ts_slope"),
+    )

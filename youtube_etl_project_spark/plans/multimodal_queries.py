@@ -214,3 +214,66 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ac1"),
         F.round("max_frame_rms", 6).alias("max_frame_rms"),
     )
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + doc_id % 7 AS w,
+                   4 + doc_id % 5 AS h
+            FROM documents
+        ), px AS (
+            SELECT d.doc_id, d.w, d.h, t.i,
+                   (d.doc_id * 31 + t.i) % 256 AS v
+            FROM dims d, LATERAL (
+                SELECT unnest(range(0, CAST(d.w * d.h * 3 AS BIGINT))) AS i
+            ) t
+        ), gray AS (
+            SELECT doc_id, w, h, i // 3 AS p,
+                   CAST(SUM(v) AS BIGINT) AS g
+            FROM px GROUP BY 1, 2, 3, 4
+        ), cellpx AS (
+            SELECT doc_id, w, h,
+                   ((p // w) * 4 // h) * 8 + ((p % w) * 8 // w) AS cell, g
+            FROM gray
+        ), cells AS (
+            SELECT doc_id, w, h, cell,
+                   CAST(SUM(g) AS BIGINT) AS csum,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cellpx GROUP BY 1, 2, 3, 4
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS total,
+                   CAST(SUM(cnt) AS BIGINT) AS n
+            FROM cells GROUP BY 1
+        ), bits AS (
+            SELECT c.doc_id, c.w, c.h, c.cell,
+                   CASE WHEN c.csum * t.n > t.total * c.cnt
+                        THEN '1' ELSE '0' END AS b
+            FROM cells c JOIN tot t USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(MIN(w) AS INTEGER) AS width,
+               CAST(MIN(h) AS INTEGER) AS height,
+               string_agg(b, '' ORDER BY cell) AS ahash,
+               CAST(SUM(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_set
+        FROM bits GROUP BY doc_id
+    """,
+    doc="X5 image fingerprint: 32-bit average-hash (8×4 grid) computed "
+        "from pixels decoded back out of the real ppm/bmp/png "
+        "containers — the image twin of SimHash for near-dup blocking. "
+        "Every cell bit is an exact integer comparison "
+        "(cell_sum·n > total·cnt), so the DuckDB oracle rebuilds the "
+        "identical bitstring from the generating formula; a single "
+        "misplaced byte in any of the three decoders flips bits and "
+        "fails the hash. Arrow-batched kernel, one pass, no shuffle "
+        "beyond the source scan",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn(
+        "payload", multimodal.synth_image_udf()(F.col("doc_id"))
+    )
+    return multimodal.image_ahash(payloads, "doc_id")
