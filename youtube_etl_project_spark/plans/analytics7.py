@@ -852,3 +852,146 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.percentile(F.col("s"), F.lit(0.5)), 6).alias("ts_slope"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), joined AS (
+            SELECT a.event_type, a.x, a.y, b.y AS yhat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.x = a.x - 7
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(CAST(SUM(ABS(y - yhat)) AS DOUBLE) / COUNT(*), 6)
+                   AS mae,
+               ROUND(CAST(SUM(ABS(y - yhat)) AS DOUBLE)
+                     / CAST(SUM(y) AS BIGINT), 6) AS wape
+        FROM joined GROUP BY event_type
+    """,
+    doc="Forecast backtest with the seasonal-naive baseline (forecast for "
+        "day d = actual at d-7, the baseline every real forecast must "
+        "beat): per-type MAE and WAPE over all days with a calendar "
+        "week-ago ancestor (calendar join on x-7, not LAG(7) rows — gaps "
+        "must not shift the season). Error sums are exact bigints; the "
+        "two final divisions are the only float ops, so both engines "
+        "agree bit-for-bit",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        (F.col("x") + 7).alias("bx"),
+        F.col("y").alias("yhat"),
+    )
+    joined = a.join(
+        b, (F.col("a.event_type") == F.col("bt")) & (F.col("a.x") == F.col("bx"))
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return joined.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae"
+        ),
+        F.round(
+            F.sum(err).cast("double") / F.sum("y").cast("long"), 6
+        ).alias("wape"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, CAST(SUM(y) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1
+        ), run AS (
+            SELECT d.event_type, d.x, t.n, t.s,
+                   ROW_NUMBER() OVER w AS t_idx,
+                   CAST(SUM(d.y) OVER (PARTITION BY d.event_type
+                                       ORDER BY d.x
+                                       ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cy
+            FROM daily d JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.x)
+        ), stat AS (
+            SELECT event_type, x, n, s,
+                   ABS(n * cy - t_idx * s) AS cusum_n
+            FROM run
+        ), best AS (
+            SELECT event_type, x, n, s, cusum_n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cusum_n DESC, x ASC) AS rn
+            FROM stat
+        )
+        SELECT event_type,
+               CAST(x AS BIGINT) AS cp_day,
+               ROUND(CAST(cusum_n AS DOUBLE) / n, 6) AS cusum_stat
+        FROM best WHERE rn = 1
+    """,
+    doc="CUSUM changepoint per event type: the day where the cumulative "
+        "deviation of daily volume from its overall mean peaks — the "
+        "standard level-shift detector. The statistic is kept exact by "
+        "scaling through n: |n·Σ_{i≤t}y_i − t·Σy| is pure bigint (one "
+        "running sum over the ordered day window), divided by n only in "
+        "the final projection; argmax ties break on the earliest day. "
+        "One shuffle on event_type serves the total, the running sum, "
+        "and the argmax window",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("x")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stat = daily.select(
+        "event_type",
+        "x",
+        F.sum("y").over(wt).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.row_number().over(wo).alias("t_idx"),
+        F.sum("y").over(wrun).cast("long").alias("cy"),
+    ).withColumn(
+        "cusum_n",
+        F.abs(F.col("n") * F.col("cy") - F.col("t_idx") * F.col("s")),
+    )
+    best = Window.partitionBy("event_type").orderBy(
+        F.col("cusum_n").desc(), F.col("x").asc()
+    )
+    return (
+        stat.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("x").cast("long").alias("cp_day"),
+            F.round(F.col("cusum_n").cast("double") / F.col("n"), 6).alias(
+                "cusum_stat"
+            ),
+        )
+    )
