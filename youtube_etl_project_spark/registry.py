@@ -126,17 +126,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_semi", "join_anti", "group_pct_of_total", "group_count_region",
     "distinct_projection", "scalar_subquery_counts", "agg_refresh_daily",
     "window_latest_per_key", "topk_per_group", "sort_mixed", "param_fanout",
-    # §2a scalar functions
+    # §2a scalar functions (fn_format_string stays local/judge-verified —
+    # its slot samples the round-3 bloom join instead)
     "fn_text_blob", "fn_keyword_hits", "fn_classify_sentiment",
-    "fn_engagement_rate", "fn_safe_long", "fn_dates", "fn_format_string",
+    "fn_engagement_rate", "fn_safe_long", "fn_dates", "bloom_semi_join",
     "explode_tokens",
     # staging / upsert / CDC
     "from_json_struct", "staging_lineage_agg", "merge_upsert_dim",
     "merge_insert_only", "scd2_upsert_customers", "cdc_apply_latest",
     # event-time windows
     "events_tumbling_window", "events_session_window",
-    # LLM-pipeline flagships: dedup + similarity
-    "dedup_exact_keyed", "dedup_content_hash", "dedup_ngram_jaccard",
+    # LLM-pipeline flagships: dedup + similarity (+ the round-3 graph op;
+    # X1 exact dedup keeps its driver row via dedup_exact_keyed)
+    "dedup_exact_keyed", "events_markov_pagerank", "dedup_ngram_jaccard",
     "dedup_jaccard_dfcut", "dedup_minhash_lsh", "dedup_cluster_cc",
     "dedup_cluster_lsh", "dedup_exact_substring", "embed_cosine_topk",
     "embed_lsh_ann", "embed_ivf_ann",
