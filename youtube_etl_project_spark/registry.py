@@ -192,6 +192,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         corpus4,
         graph_analytics,
         quantization_queries,
+        streaming_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
