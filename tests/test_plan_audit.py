@@ -46,6 +46,14 @@ ARROW_ALLOWED = {
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
+# Queries whose returned frame is a memory-sink scan (the streaming
+# parity drains): the streaming job itself ran through codegen; the
+# handed-back result is a LocalTableScan with no codegen annotation.
+CODEGEN_EXEMPT = {
+    "streaming_tumbling_parity",
+    "streaming_session_parity",
+}
+
 
 def _plan(df) -> str:
     buf = io.StringIO()
@@ -118,6 +126,8 @@ def test_whole_stage_codegen_everywhere(plans):
     missing = [
         n
         for n, p in plans.items()
-        if "codegen id" not in p and n not in ARROW_ALLOWED
+        if "codegen id" not in p
+        and n not in ARROW_ALLOWED
+        and n not in CODEGEN_EXEMPT
     ]
     assert not missing, f"no codegen span in: {missing}"

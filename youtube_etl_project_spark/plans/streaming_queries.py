@@ -86,3 +86,72 @@ def streaming_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_session_parity",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    doc="X6 sessionization through the STATEFUL streaming path: "
+        "F.session_window (30min gap) over the streaming file source — "
+        "the session-merge state machine, not a stateless projection — "
+        "drained with AvailableNow and hash-matched against the batch "
+        "gaps-and-islands oracle (events_session_window's verbatim). "
+        "Proves streaming session state converges to exactly the batch "
+        "answer on a bounded drain",
+)
+def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events")
+    import os
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(src.schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(src.schema["ts"].dataType, TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+    name = "ssp_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
