@@ -185,3 +185,91 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("last_date"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+                   DATE '2001-06-01' AS eff
+            FROM customer WHERE c_custkey % 10 = 0
+        ), hist AS (
+            SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment,
+                   DATE '2000-01-01' AS valid_from,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.eff END
+                       AS valid_to
+            FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+            UNION ALL
+            SELECT c_custkey, c_acctbal, c_mktsegment, eff AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to
+            FROM src
+        )
+        SELECT COALESCE(h.c_mktsegment, 'UNKNOWN') AS segment,
+               COALESCE(CAST(h.valid_from AS VARCHAR), 'none')
+                   AS version_from,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        LEFT JOIN hist h
+          ON o.o_custkey = h.c_custkey
+         AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+         AND (h.valid_to IS NULL
+              OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+        GROUP BY 1, 2
+    """,
+    doc="SCD2 point-in-time lookup — the query type-2 history exists "
+        "FOR: each order joins the customer version that was valid on "
+        "its order date (equi-join on the key with the validity-range "
+        "residual; half-open [valid_from, valid_to)), so revenue "
+        "attributes to the segment AS OF the sale, not as of today. "
+        "Orders predating all history fall into the UNKNOWN member — "
+        "reported, not dropped (the standard early-fact case). History "
+        "is the same deterministic scd2_upsert build the MERGE query "
+        "checks; one key shuffle, residual evaluated in the join",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.upsert import scd2_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    target = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2000-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    source = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2001-06-01").cast("date").alias("eff"),
+    )
+    hist = scd2_upsert(
+        target,
+        source,
+        keys=["c_custkey"],
+        attrs=["c_acctbal", "c_mktsegment"],
+        effective="eff",
+    )
+    d = F.to_date("o_orderdate")
+    joined = orders.join(
+        hist,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (d < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.coalesce(F.col("valid_from").cast("string"), F.lit("none")).alias(
+            "version_from"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
