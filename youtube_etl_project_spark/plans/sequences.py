@@ -184,3 +184,89 @@ def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shuffle_rank"),
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+            WHERE e.event_type = 'click' GROUP BY 1
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        ), d1 AS (
+            SELECT CAST(epoch_us(c.t) - epoch_us(v.t) AS BIGINT) AS dus
+            FROM c JOIN v USING (user_id)
+        ), d2 AS (
+            SELECT CAST(epoch_us(p.t) - epoch_us(c.t) AS BIGINT) AS dus
+            FROM p JOIN c USING (user_id)
+        )
+        SELECT 'view_to_click' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(quantile_cont(dus, 0.5) / 1e6, 6) AS p50_s,
+               ROUND(quantile_cont(dus, 0.9) / 1e6, 6) AS p90_s
+        FROM d1
+        UNION ALL
+        SELECT 'click_to_purchase',
+               CAST(COUNT(*) AS BIGINT),
+               ROUND(quantile_cont(dus, 0.5) / 1e6, 6),
+               ROUND(quantile_cont(dus, 0.9) / 1e6, 6)
+        FROM d2
+    """,
+    doc="Funnel latency: p50/p90 time-to-convert between adjacent funnel "
+        "steps (first view → first later click → first later purchase), "
+        "the 'where does the funnel stall' readout. Deltas are exact "
+        "microsecond bigints; the percentile interpolation is the same "
+        "(1-g)·lo + g·hi on both engines. Reuses the funnel's "
+        "single-key shuffle chain — the percentile runs over "
+        "converted-user counts, not events",
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", F.col("t")), "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+            .withColumnRenamed("t2", "t")
+        )
+
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+
+    def deltas(later: DataFrame, earlier: DataFrame) -> DataFrame:
+        return later.select("user_id", F.col("t").alias("tl")).join(
+            earlier.select("user_id", F.col("t").alias("te")), "user_id"
+        ).select(
+            (F.unix_micros("tl") - F.unix_micros("te")).alias("dus")
+        )
+
+    def summary(d: DataFrame, label: str) -> DataFrame:
+        return d.agg(
+            F.lit(label).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.percentile(F.col("dus"), F.lit(0.5)) / 1e6, 6).alias(
+                "p50_s"
+            ),
+            F.round(F.percentile(F.col("dus"), F.lit(0.9)) / 1e6, 6).alias(
+                "p90_s"
+            ),
+        ).select("step", "n_converted", "p50_s", "p90_s")
+
+    return summary(deltas(c, v), "view_to_click").unionAll(
+        summary(deltas(p, c), "click_to_purchase")
+    )
