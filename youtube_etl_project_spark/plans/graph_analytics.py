@@ -251,14 +251,15 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         dedup.word_shingle_ids(toks, 3).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") > 0).localCheckpoint(
+        eager=True  # shingled ONCE; bench, seeds, and edges all derive
+    )
 
     bench = (
         sh.filter(F.col("source") == "src0")
         .select(F.explode("shingles").alias("s"))
         .distinct()
     )
-    corpus_docs = docs.filter(F.col("source") != "src0")
     corpus_sh = sh.filter(F.col("source") != "src0").select(
         "doc_id", F.explode("shingles").alias("s")
     )
@@ -271,9 +272,32 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # reused as h0 filter in both hops
     )
 
-    edges = dedup.ngram_jaccard_pairs(
-        corpus_docs, "doc_id", "text", shingle_k=3, threshold=0.5, max_df=5
-    ).select("id_a", "id_b").localCheckpoint(eager=True)  # both directions + both hops
+    # edge build = dedup._shingle_intersections' df-cut path, inlined on
+    # the SAME exploded frame the seeds used (the pre-refactor form
+    # re-tokenized and re-shingled the corpus a second time)
+    kept = dedup.df_cut(
+        corpus_sh.withColumnRenamed("doc_id", "doc"), "s", 5
+    ).withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    le, ri = kept.alias("l"), kept.alias("r")
+    edges = (
+        le.join(
+            ri,
+            (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("l.n_sh")).alias("n_a"),
+            F.first(F.col("r.n_sh")).alias("n_b"),
+        )
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # both directions + both hops
+    )
     und = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
