@@ -42,6 +42,7 @@ ARROW_ALLOWED = {
     "embed_pca_project",  # PCA apply: (x-mean)@W numpy matmul per batch
     "embed_pq_rmse",  # PQ encode+reconstruct: numpy matmul per batch
     "embed_pq_adc_topk",  # ADC LUT gather over codes: numpy per batch
+    "embed_pq_rerank_topk",  # ADC shortlist (numpy) + codegen re-rank
 }
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

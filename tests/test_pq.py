@@ -136,3 +136,54 @@ def test_adc_ranks_match_numpy_and_recall(trained, spark, sf_dir):
         # distance is far below any cross-vector distance → rank 1
         assert have[0][0] == qid
     assert np.mean(recalls) >= 3
+
+
+def test_rerank_matches_replica_and_improves_recall(trained, spark, sf_dir):
+    """embed_pq_rerank_topk == numpy replica of the same pipeline (ADC
+    top-100 shortlist, exact-L2 re-rank, vec_id tiebreaks), and the
+    re-ranked recall@10 is at least the raw-ADC recall on average."""
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    _, books, ids, x = trained
+    out = load_all_plans()["embed_pq_rerank_topk"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["l2"])
+        )
+    dsub = DIM // M
+    xs = x.reshape(len(x), M, dsub)
+    codes = np.zeros((len(x), M), dtype=np.int64)
+    for s in range(M):
+        c2 = (books[s] * books[s]).sum(axis=1)
+        codes[:, s] = (-2.0 * (xs[:, s, :] @ books[s].T) + c2).argmin(axis=1)
+
+    def fold_l2(a, b):
+        # replicate Spark's sequential aggregate fold exactly
+        acc = 0.0
+        for u, v in zip(a, b):
+            d = u - v
+            acc = acc + d * d
+        return acc
+
+    adc_recalls, rr_recalls = [], []
+    for qi, qid in enumerate(ids[:5]):
+        lut = pq.adc_lut(x[qi], books)
+        ad = lut[np.arange(M)[:, None].repeat(len(x), 1).T, codes].sum(1)
+        short = np.lexsort((ids, np.round(ad, 12)))[:100]
+        l2s = np.array([fold_l2(x[j], x[qi]) for j in short])
+        order = short[np.lexsort((ids[short], l2s))[:10]]
+        l2map = dict(zip(short.tolist(), l2s.tolist()))
+        expect = [(int(ids[j]), round(l2map[j], 6)) for j in order]
+        have = [(v, l2) for _, v, l2 in sorted(got[qid])]
+        assert [h[0] for h in have] == [e[0] for e in expect]
+        for (hv, hl2), (_, el2) in zip(have, expect):
+            assert hl2 == pytest.approx(el2, abs=1e-9)
+
+        exact = ((x - x[qi]) ** 2).sum(axis=1)
+        true10 = set(ids[np.lexsort((ids, exact))[:10]].tolist())
+        adc10 = set(ids[np.lexsort((ids, np.round(ad, 12)))[:10]].tolist())
+        adc_recalls.append(len(true10 & adc10))
+        rr_recalls.append(len(true10 & {h[0] for h in have}))
+    assert np.mean(rr_recalls) >= np.mean(adc_recalls)
+    assert np.mean(rr_recalls) >= 5  # measured ~0.8+ at 20% shortlist
