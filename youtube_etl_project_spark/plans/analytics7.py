@@ -995,3 +995,60 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_winsorized_stats",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY 1
+        ), clipped AS (
+            SELECT e.event_type,
+                   CAST(FLOOR(LEAST(GREATEST(e.value, c.lo), c.hi) * 1e6
+                              + 0.5) AS BIGINT) AS v6
+            FROM events e JOIN cuts c USING (event_type)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(v6) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                     + 0.5) / 1e6 AS winsorized_mean
+        FROM clipped GROUP BY event_type
+    """,
+    doc="Winsorized mean per event type — the outlier-robust location "
+        "estimate feature pipelines use before z-scaling: values clip to "
+        "the per-type [p05, p95] band (identical percentile "
+        "interpolation on both engines), then each clipped value snaps "
+        "to a 1e-6 integer grid BEFORE the mean so the cross-partition "
+        "sum is associative-exact (clipped doubles would otherwise "
+        "sum in engine-dependent order). Percentile cuts are a "
+        "model-sized per-type table broadcast back onto the stream",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v6"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.floor(
+                F.sum("v6").cast("long") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("winsorized_mean"),
+    )
