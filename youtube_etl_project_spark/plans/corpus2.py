@@ -280,3 +280,59 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+        WITH {_PAIRS_DFCUT_CTE.strip()},
+        labeled AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b
+            FROM pairs p
+            JOIN documents da ON p.id_a = da.doc_id
+            JOIN documents db ON p.id_b = db.doc_id
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM labeled GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: near-dup pair counts by "
+        "unordered source pair — the 'which feed copies from which' "
+        "diagnostic (a crawl duplicating a reference corpus shows up "
+        "off-diagonal before either source's own dup_rate looks odd; "
+        "dedup_rate_by_source gives the per-source marginal, this gives "
+        "the interaction). Pairs come from the same df-cut guarded "
+        "Jaccard; the source labels attach via two broadcast-sized "
+        "id→source lookups after pair generation, so the matrix rollup "
+        "touches |pairs| rows, never the corpus",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5, max_df=5
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
