@@ -31,6 +31,26 @@ Cross-engine determinism rules used throughout the plans:
   sibling alias ``...alias("x")``, not the input column (measured in
   ``embed_quantize_rmse``: the error fold silently used the ROUNDED scale,
   324/500 rows off). Stage the computation in its own select, round after.
+* **DuckDB CAST(double AS BIGINT) ROUNDS; Spark's cast truncates.** Any
+  oracle that buckets via ``CAST(x/k AS BIGINT)`` must write
+  ``CAST(FLOOR(x/k) AS BIGINT)`` explicitly (measured: epoch-day 19752.99
+  became 19753 in DuckDB and shifted a temporal split boundary).
+* **Cross-partition sums of computed doubles snap to an integer grid**:
+  emit ``FLOOR(term·1eK + 0.5)`` as BIGINT per row and divide once after
+  the sum — bigint addition is associative, so neither engine's
+  aggregation order can move the total (PageRank contributions, chi-square
+  cells, CUPED moments, winsorized means all use this).
+* **Iterative fixed-point loops**: snap each iteration's state to the grid
+  too, so round-trip error can't accumulate differently per engine
+  (events_markov_pagerank's 1e-12 grid).
+* DuckDB reserves ``GLOB`` as a keyword — don't name a CTE ``glob``.
+* **Big literal arrays**: build with ONE ``F.lit(python_list)`` — per-
+  element ``F.lit`` costs a py4j round trip each (measured 5.3 s of pure
+  client time for a 2048-long bloom bitmap).
+* PySpark's ``F.shiftleft``/``F.bit_get`` wrappers demand literal shift
+  amounts; ``F.call_function("shiftleft", c1, c2)`` reaches the SQL
+  function that accepts column expressions. ``h1 + i*h2`` double-hashing
+  overflows int64 under ANSI — use k independently-seeded xxhash64 calls.
 """
 
 from __future__ import annotations
