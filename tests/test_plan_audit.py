@@ -36,6 +36,7 @@ ARROW_ALLOWED = {
     "multimodal_audio_features",  # same decode kernel, DSP features
     "multimodal_image_ahash",  # real pixel decode -> 32-bit aHash
     "source_quality_scorer_r2",  # per-group numpy ridge solve (applyInPandas)
+    "text_topic_clusters",  # kmeans assignment: numpy matmul per batch
     "multimodal_frame_sample",
     "text_token_count_bpe",
     "pack_sequences_bpe",

@@ -274,3 +274,77 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@register(
+    "text_topic_clusters",
+    oracle=None,  # k-means cells are model-derived; properties pinned by
+    # tests/test_topic_clusters.py (assignment totals, score ordering,
+    # run-to-run determinism)
+    doc="BERTopic-lite topic discovery: deterministic k-means (k=8, "
+        "seeds = lowest doc ids, 2 Lloyd rounds — the IVF trainer) over "
+        "the 64-dim hash embeddings assigns every doc a topic; each "
+        "topic is then labeled by its top-5 c-TF-IDF terms "
+        "(within-cluster term count weighted against corpus document "
+        "frequency, ranked by the exact ratio with a term tiebreak). "
+        "Cluster assignment is one Arrow matmul pass; the keyword "
+        "rollup is explode → (cell, term) count → broadcast df join — "
+        "all corpus-sized shuffles are single-key. The LLM-era corpus "
+        "triage view: what IS in this crawl, cluster by cluster",
+)
+def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+    from youtube_etl_project_spark.plans.corpus3 import text_hash_embedding
+
+    emb = text_hash_embedding(spark, sf_dir).localCheckpoint(
+        eager=True  # train + assign both read it; embeddings are derived
+    )
+    centroids = similarity.kmeans_centroids(
+        emb, vec="embedding", k=8, iters=2, id_col="doc_id"
+    )
+    assigned = emb.select(
+        "doc_id",
+        similarity.nearest_centroid_vectorized(centroids)(
+            F.col("embedding")
+        ).alias("cluster_id"),
+    ).localCheckpoint(eager=True)  # reused: sizes + term rollup
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.join(assigned, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            )
+        ).alias("term"),
+    )
+    df_t = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    ct = toks.groupBy("cluster_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = ct.join(df_t, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_docs",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+        )
+    )
