@@ -1052,3 +1052,108 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "events_ab_mannwhitney",
+    oracle="""
+        WITH vals AS (
+            SELECT event_type, value,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1v
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, value, n, n1v,
+                   CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type
+                                              ORDER BY value
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cb
+            FROM vals
+        ), per_type AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(n1v) AS BIGINT) AS n1,
+                   CAST(SUM(n1v * (2 * cb + n + 1)) AS BIGINT) AS r1x2,
+                   CAST(SUM(n * n * n - n) AS BIGINT) AS tie3
+            FROM cum GROUP BY 1
+        )
+        SELECT event_type, n1, nn - n1 AS n2,
+               (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+               CASE WHEN nn > 1 AND n1 > 0 AND nn - n1 > 0
+                    AND (CAST(n1 AS DOUBLE) * (nn - n1) / 12.0)
+                        * ((nn + 1) - CAST(tie3 AS DOUBLE) / (nn * (nn - 1)))
+                        > 0
+                    THEN FLOOR(((r1x2 - n1 * (n1 + 1)) / 2.0
+                                - CAST(n1 AS DOUBLE) * (nn - n1) / 2.0)
+                               / sqrt((CAST(n1 AS DOUBLE) * (nn - n1) / 12.0)
+                                      * ((nn + 1)
+                                         - CAST(tie3 AS DOUBLE)
+                                           / (nn * (nn - 1))))
+                               * 1e6 + 0.5) / 1e6
+               END AS z
+        FROM per_type
+    """,
+    doc="Mann-Whitney U per event type (variant = user-id parity): the "
+        "nonparametric A/B complement to events_ab_ttest — rank-based, "
+        "so a heavy-tailed metric can't fake significance through a few "
+        "outliers. Doubled tied-average ranks keep the rank sum exact "
+        "bigint arithmetic (2·avg_rank = 2·cum_before + n + 1), the "
+        "tie-corrected variance uses the exact Σ(t³−t) term, and the "
+        "z statistic is a handful of correctly-rounded double ops "
+        "floored to 1e-6. One shuffle on (type, value); the per-type "
+        "window runs over distinct values, not events",
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long"))
+        .cast("long")
+        .alias("n1v"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn(
+        "cb", F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long")
+    )
+    per_type = cum.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cb") + F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1 = F.col("n1")
+    n2 = F.col("nn") - F.col("n1")
+    u1 = (F.col("r1x2") - n1 * (n1 + 1)) / F.lit(2.0)
+    var = (n1.cast("double") * n2 / F.lit(12.0)) * (
+        (F.col("nn") + 1)
+        - F.col("tie3").cast("double") / (F.col("nn") * (F.col("nn") - 1))
+    )
+    z = F.when(
+        (F.col("nn") > 1) & (n1 > 0) & (n2 > 0) & (var > 0),
+        F.floor(
+            (u1 - n1.cast("double") * n2 / F.lit(2.0))
+            / F.sqrt(var)
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return per_type.select(
+        "event_type",
+        "n1",
+        n2.alias("n2"),
+        u1.alias("u1"),
+        z.alias("z"),
+    )
