@@ -951,3 +951,128 @@ def pca_project(
         return pd.Series(res)
 
     return vectors.withColumn(out, project(F.col(vec)))
+
+
+def class_nn_shortlist_blocked(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    class_col: str = "label",
+    block_rows: int = 4096,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Per-class leave-one-out 1-NN shortlist: for every non-null vector,
+    candidate ids within ``margin`` of that row's per-block maximum
+    cosine — tracked SEPARATELY for same-class and different-class
+    candidates. Returns ``(id, cand_id, same)``.
+
+    Same guarantee as :func:`nn_shortlist_blocked`, per class side: the
+    true best same-class (resp. different-class) neighbor is its own
+    block's same-class (diff-class) maximum, so it survives into the
+    shortlist and an exact-fold re-rank reproduces the full ranking. The
+    contrastive-mining primitive: positives and hard negatives in one
+    blocked pass instead of one job per label subset.
+    """
+    import numpy as np
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    id_type = vectors.schema[id_col].dataType
+    v = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec).alias("__v"),
+            F.col(class_col).alias("__c"),
+        )
+        .filter(F.col("__v").isNotNull() & F.col("__c").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    n = v.count()
+    nb = max(1, -(-n // block_rows)) if n else 1
+    fanned = v.select(
+        "id",
+        "__v",
+        "__c",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int").alias("__b"),
+    ).select(
+        "id",
+        "__v",
+        "__c",
+        "__b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.least(F.col("__b"), F.lit(o)).alias("ga"),
+                            F.greatest(F.col("__b"), F.lit(o)).alias("gb"),
+                        )
+                        for o in range(nb)
+                    ]
+                )
+            )
+        ).alias("__g"),
+    ).select(
+        "id", "__v", "__c", "__b",
+        F.col("__g.ga").alias("ga"), F.col("__g.gb").alias("gb"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("cand_id", id_type),
+            StructField("same", BooleanType()),
+        ]
+    )
+
+    def _shortlist(pdf):
+        ga = int(pdf["ga"].iloc[0])
+        gb = int(pdf["gb"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        cls = pdf["__c"].to_numpy()
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        res_i: list = []
+        res_j: list = []
+        res_s: list = []
+
+        def emit(cs, valid, rids, cids, rcls, ccls):
+            samec = rcls[:, None] == ccls[None, :]
+            for side in (True, False):
+                m = valid & (samec if side else ~samec)
+                masked = np.where(m, cs, -np.inf)
+                rowmax = masked.max(axis=1)
+                keep = m & ((cs >= rowmax[:, None] - margin) | np.isnan(cs))
+                ii, jj = np.nonzero(keep)
+                res_i.extend(rids[ii])
+                res_j.extend(cids[jj])
+                res_s.extend([side] * len(ii))
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if ga == gb:
+                col = np.arange(len(ids))[None, :]
+                for s in range(0, len(ids), 512):
+                    e = min(s + 512, len(ids))
+                    cs = (X[s:e] @ X.T) / (nrm[s:e, None] * nrm[None, :])
+                    emit(cs, col != np.arange(s, e)[:, None],
+                         ids[s:e], ids, cls[s:e], cls)
+            else:
+                am = pdf["__b"].to_numpy() == ga
+                A, B = X[am], X[~am]
+                ia, ib = ids[am], ids[~am]
+                ca, cb = cls[am], cls[~am]
+                na, nb_ = nrm[am], nrm[~am]
+                if len(ia) and len(ib):
+                    for s in range(0, len(ia), 512):
+                        e = min(s + 512, len(ia))
+                        cs = (A[s:e] @ B.T) / (na[s:e, None] * nb_[None, :])
+                        emit(cs, np.ones_like(cs, dtype=bool),
+                             ia[s:e], ib, ca[s:e], cb)
+                    for s in range(0, len(ib), 512):
+                        e = min(s + 512, len(ib))
+                        cs = (B[s:e] @ A.T) / (nb_[s:e, None] * na[None, :])
+                        emit(cs, np.ones_like(cs, dtype=bool),
+                             ib[s:e], ia, cb[s:e], ca)
+        return pd.DataFrame({"id": res_i, "cand_id": res_j, "same": res_s})
+
+    return fanned.groupBy("ga", "gb").applyInPandas(
+        _shortlist, schema=out_schema
+    )

@@ -141,3 +141,103 @@ def source_quality_scorer_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("group", "source")
         .select("source", "n", "r2", "rmse")
     )
+
+
+@register(
+    "embed_hard_negatives",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e, label
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), p AS (
+            SELECT a.vec_id AS id, b.vec_id AS cand,
+                   a.label = b.label AS same,
+                   list_inner_product(a.e, b.e)
+                   / (sqrt(list_inner_product(a.e, a.e))
+                      * sqrt(list_inner_product(b.e, b.e))) AS c
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ), r AS (
+            SELECT id, cand, same, c,
+                   ROW_NUMBER() OVER (PARTITION BY id, same
+                                      ORDER BY c DESC, cand ASC) AS rn
+            FROM p
+        ), pos AS (
+            SELECT id, cand AS pos_id, ROUND(c, 6) AS pos_cos
+            FROM r WHERE same AND rn = 1
+        ), neg AS (
+            SELECT id, cand AS neg_id, ROUND(c, 6) AS neg_cos
+            FROM r WHERE NOT same AND rn = 1
+        )
+        SELECT v.vec_id, pos_id, pos_cos, neg_id, neg_cos,
+               ROUND(pos_cos - neg_cos, 6) AS margin
+        FROM v
+        LEFT JOIN pos ON v.vec_id = pos.id
+        LEFT JOIN neg ON v.vec_id = neg.id
+    """,
+    doc="Contrastive-training data mining: for every vector, its nearest "
+        "SAME-label neighbor (the positive) and nearest DIFFERENT-label "
+        "neighbor (the hard negative) with the positive-negative margin "
+        "— the triplet/InfoNCE mining step. One blocked-matmul pass "
+        "tracks both class sides per block "
+        "(class_nn_shortlist_blocked: the true per-class argmax is its "
+        "own block's class maximum, so it survives the shortlist), then "
+        "the exact sequential-fold cosine re-ranks candidates only — "
+        "bit-identical to the DuckDB all-pairs oracle while doing "
+        "n·shortlist exact work instead of n²",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", "label"
+    ).localCheckpoint(eager=True)  # shortlist + two re-rank joins
+
+    short = similarity.class_nn_shortlist_blocked(
+        v, "vec_id", "embedding", "label"
+    )
+    a = v.select(F.col("vec_id").alias("id"), F.col("embedding").alias("va"))
+    b = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vb")
+    )
+    scored = (
+        short.join(a, "id")
+        .join(b, "cand_id")
+        .select(
+            "id",
+            "cand_id",
+            "same",
+            similarity.cosine(F.col("va"), F.col("vb")).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id", "same").orderBy(
+        F.col("c").desc(), F.col("cand_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos = best.filter("same").select(
+        F.col("id").alias("vec_id"),
+        F.col("cand_id").alias("pos_id"),
+        F.round("c", 6).alias("pos_cos"),
+    )
+    neg = best.filter("not same").select(
+        F.col("id").alias("vec_id"),
+        F.col("cand_id").alias("neg_id"),
+        F.round("c", 6).alias("neg_cos"),
+    )
+    return (
+        v.select("vec_id")
+        .join(pos, "vec_id", "left")
+        .join(neg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+    )
