@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.operators import similarity
@@ -127,3 +127,100 @@ def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@register(
+    "embed_centroid_confusion",
+    oracle="""
+        WITH cent AS (
+            SELECT label AS clabel,
+                   CAST(pos AS INTEGER) AS pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(28,9))) AS DOUBLE)
+                         / COUNT(val), 6) AS c
+            FROM (
+                SELECT label,
+                       unnest(range(0, len(embedding))) AS pos,
+                       unnest(embedding::DOUBLE[]) AS val
+                FROM embeddings WHERE embedding IS NOT NULL
+            )
+            GROUP BY label, pos
+        ), ex AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(0, len(embedding))) AS INTEGER) AS pos,
+                   unnest(embedding::DOUBLE[]) AS val
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), dist AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   CAST(SUM(CAST(FLOOR((e.val - c.c) * (e.val - c.c) * 1e12
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS d12
+            FROM ex e JOIN cent c USING (pos)
+            GROUP BY 1, 2, 3
+        ), pred AS (
+            SELECT vec_id, label, clabel AS predicted,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d12 ASC, clabel ASC) AS rn
+            FROM dist
+        )
+        SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2
+    """,
+    doc="Nearest-class-centroid classifier evaluation: per-label "
+        "centroids (6-dp rounded — the rounded table IS the shared "
+        "model, so both engines classify against identical floats), "
+        "each vector assigned to its closest centroid with per-term "
+        "1e-12 grid-snapped squared distances (associative bigint sums; "
+        "argmin ties break on the smaller label), rolled up to the full "
+        "confusion matrix. The leave-nothing-out eval twin of "
+        "embed_knn_label_accuracy: how separable are the label regions "
+        "under a linear prototype model. Centroid table is 640 rows — "
+        "broadcast; the distance join explodes dims map-side",
+)
+def embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,9)")).cast("double")
+                / F.count("val"),
+                6,
+            ).alias("c")
+        )
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "pos")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.floor(
+                (F.col("val") - F.col("c"))
+                * (F.col("val") - F.col("c"))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("t").cast("long").alias("d12"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d12").asc(), F.col("clabel").asc()
+    )
+    pred = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        "label", F.col("clabel").alias("predicted")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
