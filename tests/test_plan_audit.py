@@ -31,6 +31,7 @@ ARROW_ALLOWED = {
     "dedup_hash_embed_cosine",  # same (cosine_pairs_blocked)
     "embed_knn_label_accuracy",  # nn_shortlist_blocked + exact re-rank
     "embed_hard_negatives",  # class_nn_shortlist_blocked + exact re-rank
+    "embed_mahalanobis_outliers",  # (x-mu)@Cinv numpy matmul per batch
     "multimodal_decode",
     "multimodal_pixel_stats",  # real ppm/bmp/png pixel decode (stdlib+numpy)
     "multimodal_audio_stats",  # real PCM16 WAV decode (stdlib+numpy)

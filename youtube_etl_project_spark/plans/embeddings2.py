@@ -9,6 +9,7 @@ eigenvectors themselves aren't SQL-expressible."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -240,4 +241,48 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_cos",
             F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
         )
+    )
+
+
+@register(
+    "embed_mahalanobis_outliers",
+    oracle=None,  # needs a d×d matrix inverse — no SQL twin; numpy-exact
+    # parity pinned by tests/test_mahalanobis.py
+    doc="Embedding outlier scoring: squared Mahalanobis distance "
+        "(x−μ)ᵀ Σ⁻¹ (x−μ) per vector against the corpus mean/covariance "
+        "from the shuffle-free pca_moments pass (regularized by 1e-6·I "
+        "before the driver-side inverse — model-sized state, like the "
+        "PCA components), scored back in one Arrow matmul batch. The "
+        "corrupt-embedding filter for curation: a damaged vector that "
+        "stays inside every coordinate's range still lights up against "
+        "the joint covariance. Top-20 scores returned (rank, id, score)",
+)
+def embed_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    _, mean, cov = similarity.pca_moments(emb)
+    mu = np.asarray(mean, dtype=np.float64)
+    C = np.asarray(cov, dtype=np.float64)
+    Ci = np.linalg.inv(C + 1e-6 * np.eye(len(C)))
+
+    @pandas_udf("double")
+    def maha(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64) - mu
+        return pd.Series(((x @ Ci) * x).sum(axis=1))
+
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        emb.select(
+            "vec_id", F.round(maha(F.col("embedding")), 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "vec_id", "score")
     )
