@@ -1157,3 +1157,95 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"),
         z.alias("z"),
     )
+
+
+@register(
+    "events_decay_attribution",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_type, value,
+                   CAST(epoch_us(ts) AS BIGINT) AS us
+            FROM events
+        ), pur AS (
+            SELECT user_id, value, us FROM ev
+            WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id, event_type, us FROM ev
+            WHERE event_type <> 'purchase'
+        ), pairs AS (
+            SELECT p.user_id, p.value, p.us AS pus,
+                   t.event_type AS touch_type,
+                   power(0.5, CAST((p.us - t.us) // 3600000000 AS BIGINT))
+                       AS w
+            FROM pur p JOIN touch t
+              ON p.user_id = t.user_id
+             AND t.us < p.us AND t.us >= p.us - 86400000000
+        ), norm AS (
+            SELECT *,
+                   SUM(w) OVER (PARTITION BY user_id, pus) AS wsum
+            FROM pairs
+        )
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_credits,
+               CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(18,6))
+                                   * w / wsum * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e6 AS revenue_decay
+        FROM norm GROUP BY touch_type
+    """,
+    doc="Time-decay multi-touch attribution: every purchase splits its "
+        "value across ALL its 24h-lookback touches, weighted by "
+        "0.5^(whole hours before purchase) — weights are exact powers "
+        "of two, so the per-purchase weight sum is exact in double "
+        "regardless of order (dyadics spanning 2^0..2^-23 fit one "
+        "53-bit mantissa), each credit is a deterministic double, and "
+        "credits snap to a 1e-6 grid before the cross-purchase rollup. "
+        "Completes the attribution family next to first/last-touch "
+        "(events_touch_attribution); the purchase×touch interval join "
+        "is per-user bounded — bin it with operators/asof range "
+        "machinery at 100 TB",
+)
+def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value", F.col("us").alias("pus")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("touch_type"),
+        F.col("us").alias("tus"),
+    )
+    pairs = pur.join(touch, "user_id").filter(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - F.lit(86400000000))
+    ).select(
+        "user_id",
+        "value",
+        "pus",
+        "touch_type",
+        F.pow(
+            F.lit(0.5),
+            F.floor((F.col("pus") - F.col("tus")) / F.lit(3600000000))
+            .cast("long"),
+        ).alias("w"),
+    )
+    wsum = F.sum("w").over(Window.partitionBy("user_id", "pus"))
+    credited = pairs.withColumn("wsum", wsum).select(
+        "touch_type",
+        F.floor(
+            F.col("value").cast("decimal(18,6)")
+            * F.col("w")
+            / F.col("wsum")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c6"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        (F.sum("c6").cast("long") / F.lit(1e6)).alias("revenue_decay"),
+    )
