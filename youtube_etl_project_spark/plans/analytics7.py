@@ -1249,3 +1249,82 @@ def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_credits"),
         (F.sum("c6").cast("long") / F.lit(1e6)).alias("revenue_decay"),
     )
+
+
+@register(
+    "orders_revenue_gini",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT r,
+                   ROW_NUMBER() OVER (ORDER BY r ASC, o_custkey ASC) AS i,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   SUM(r) OVER () AS s
+            FROM cust
+        ), g AS (
+            SELECT MIN(n) AS n,
+                   CAST(MIN(s) AS DOUBLE) AS s,
+                   CAST(SUM((2 * i - n - 1)
+                            * CAST(r AS DECIMAL(28,4))) AS DOUBLE) AS num
+            FROM ranked
+        ), topd AS (
+            SELECT CAST(SUM(CASE WHEN i > n - CAST(CEIL(n / 10.0) AS BIGINT)
+                                 THEN r END) AS DOUBLE) AS top_rev
+            FROM ranked
+        )
+        SELECT g.n AS n_customers,
+               FLOOR(num / (g.n * g.s) * 1e6 + 0.5) / 1e6 AS gini,
+               FLOOR(top_rev / g.s * 1e6 + 0.5) / 1e6 AS top_decile_share
+        FROM g CROSS JOIN topd
+    """,
+    doc="Revenue concentration: exact Gini coefficient over per-customer "
+        "revenue (Σ(2i−n−1)·r_i / (n·Σr) on the ascending rank with a "
+        "custkey tiebreak) plus the top-decile revenue share — the "
+        "whale-dependence readout. Every sum stays in the decimal "
+        "domain (customer revenue, the rank-weighted numerator, the "
+        "decile slice), so both engines divide identical exact totals; "
+        "the global sort runs over the CUSTOMER aggregate, not orders "
+        "(same posture as orders_rfm_segments' NTILEs)",
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
+    )
+    wall = Window.partitionBy()
+    ranked = cust.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc()))
+        .alias("i"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("r").over(wall).alias("s"),
+    )
+    agg = ranked.agg(
+        F.min("n").alias("n"),
+        F.min("s").cast("double").alias("s"),
+        F.sum(
+            (2 * F.col("i") - F.col("n") - 1)
+            * F.col("r").cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            F.when(
+                F.col("i")
+                > F.col("n") - F.ceil(F.col("n") / F.lit(10.0)).cast("long"),
+                F.col("r"),
+            )
+        )
+        .cast("double")
+        .alias("top_rev"),
+    )
+    grid6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        grid6(F.col("num") / (F.col("n") * F.col("s"))).alias("gini"),
+        grid6(F.col("top_rev") / F.col("s")).alias("top_decile_share"),
+    )
