@@ -348,3 +348,58 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@register(
+    "corpus_source_diversity",
+    oracle="""
+        WITH per_source AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(chars) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM per_source
+        ), shares AS (
+            SELECT source,
+                   CAST(chars AS DOUBLE) / t AS p, t, k
+            FROM per_source CROSS JOIN tot
+        )
+        SELECT MIN(k) AS n_sources,
+               CAST(SUM(CAST(FLOOR(p * p * 1e9 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e9 AS hhi,
+               CAST(SUM(CAST(FLOOR(-p * FLOOR(ln(p) * 1e6 + 0.5) / 1e6
+                                   * 1e9 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1e9 AS entropy_nats
+        FROM shares
+    """,
+    doc="Corpus diversity report: Herfindahl index and Shannon entropy "
+        "of the per-source character shares — the one-look answer to "
+        "'is this corpus one crawl wearing a trench coat'. Shares are "
+        "exact bigint ratios; each p² and −p·ln(p) term snaps to a 1e-9 "
+        "grid before summing (ln terms 6-dp-rounded first, the "
+        "text_bigram_logprob discipline for libm parity), so the "
+        "rollup survives any aggregation order. Model-sized: the whole "
+        "computation happens on the per-source aggregate",
+)
+def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    tot = per_source.agg(
+        F.sum("chars").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    shares = per_source.join(F.broadcast(tot)).select(
+        (F.col("chars").cast("double") / F.col("t")).alias("p"), "k"
+    )
+    ln6 = F.floor(F.log(F.col("p")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    snap9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    return shares.agg(
+        F.min("k").alias("n_sources"),
+        (F.sum(snap9(F.col("p") * F.col("p"))).cast("long") / F.lit(1e9))
+        .alias("hhi"),
+        (F.sum(snap9(-F.col("p") * ln6)).cast("long") / F.lit(1e9))
+        .alias("entropy_nats"),
+    )
