@@ -1328,3 +1328,66 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid6(F.col("num") / (F.col("n") * F.col("s"))).alias("gini"),
         grid6(F.col("top_rev") / F.col("s")).alias("top_decile_share"),
     )
+
+
+@register(
+    "events_error_pchart",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errs
+            FROM events GROUP BY 1
+        ), base AS (
+            SELECT CAST(SUM(errs) AS BIGINT) AS te,
+                   CAST(SUM(n) AS BIGINT) AS tn
+            FROM daily
+        )
+        SELECT day, n, errs,
+               FLOOR(CAST(errs AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS p,
+               FLOOR((CAST(te AS DOUBLE) / tn
+                      + 3 * sqrt((CAST(te AS DOUBLE) / tn)
+                                 * (1 - CAST(te AS DOUBLE) / tn) / n))
+                     * 1e6 + 0.5) / 1e6 AS ucl,
+               CAST(CAST(errs AS DOUBLE) / n
+                    > CAST(te AS DOUBLE) / tn
+                      + 3 * sqrt((CAST(te AS DOUBLE) / tn)
+                                 * (1 - CAST(te AS DOUBLE) / tn) / n)
+                    AS BIGINT) AS out_of_control
+        FROM daily CROSS JOIN base
+    """,
+    doc="p-chart (statistical process control) on the daily error rate: "
+        "each day's error proportion against the corpus-wide center "
+        "line with a 3-sigma binomial upper control limit scaled to "
+        "that day's volume — the SRE anomaly readout that accounts for "
+        "small-day variance, unlike a fixed threshold. Counts are exact "
+        "bigints; the center/limit/flag are a handful of correctly-"
+        "rounded double ops on identical inputs, floored to 1e-6. One "
+        "shuffle into days; the baseline is a broadcast scalar",
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("errs"),
+    )
+    base = daily.agg(
+        F.sum("errs").cast("long").alias("te"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    pbar = F.col("te").cast("double") / F.col("tn")
+    ucl = pbar + 3 * F.sqrt(pbar * (1 - pbar) / F.col("n"))
+    grid6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return daily.join(F.broadcast(base)).select(
+        "day",
+        "n",
+        "errs",
+        grid6(F.col("errs").cast("double") / F.col("n")).alias("p"),
+        grid6(ucl).alias("ucl"),
+        (F.col("errs").cast("double") / F.col("n") > ucl)
+        .cast("long")
+        .alias("out_of_control"),
+    )
