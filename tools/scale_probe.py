@@ -98,6 +98,15 @@ PROBE_QUERIES = (
     "embed_pq_adc_topk",
     "bloom_semi_join",
     "events_ab_cuped",
+    # round-3 continuation wave
+    "embed_hard_negatives",
+    "embed_centroid_confusion",
+    "events_touch_attribution",
+    "events_decay_attribution",
+    "events_ab_bootstrap",
+    "events_ab_mannwhitney",
+    "streaming_tumbling_parity",
+    "text_topic_clusters",
 )
 
 # Hot-shingle stress: same replicas but every document carries one shared

@@ -22,6 +22,32 @@ from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming source over the events table, layout-aware: a
+    directory-shaped table (part files under events.parquet/) streams
+    directly; a single-file table streams its parent with a glob filter
+    (a glob on the parent would silently match ZERO part files in the
+    directory case — measured: the scale-probe replicas read 0 rows).
+    Applies the same nanos normalization as the batch catalog."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    if os.path.isdir(path):
+        src = spark.readStream.schema(raw.schema).parquet(path)
+    else:
+        src = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    if isinstance(src.schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(src.schema["ts"].dataType, TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
 @register(
     "streaming_tumbling_parity",
     oracle="""
@@ -46,18 +72,7 @@ from youtube_etl_project_spark.sources import load_table
 def streaming_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins session confs (UTC, nanosAsLong) exactly like every batch query
     load_table(spark, sf_dir, "events")
-    import os
-
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    src = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(src.schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(src.schema["ts"].dataType, TimestampNTZType):
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _events_stream(spark, sf_dir)
 
     agg = (
         src.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -119,18 +134,7 @@ def streaming_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")
-    import os
-
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    src = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(src.schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(src.schema["ts"].dataType, TimestampNTZType):
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _events_stream(spark, sf_dir)
 
     agg = (
         src.groupBy(
