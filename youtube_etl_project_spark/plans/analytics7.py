@@ -1391,3 +1391,64 @@ def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("out_of_control"),
     )
+
+
+@register(
+    "events_ab_power_mde",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(value) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))
+                            * CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n,
+               FLOOR(sqrt(GREATEST(s2 - s1 * s1 / n, 0) / (n - 1))
+                     * 1e6 + 0.5) / 1e6 AS sd,
+               FLOOR((1.959964 + 0.841621)
+                     * sqrt(2 * (GREATEST(s2 - s1 * s1 / n, 0) / (n - 1))
+                            / (n / 2.0))
+                     * 1e6 + 0.5) / 1e6 AS mde_abs,
+               FLOOR((1.959964 + 0.841621)
+                     * sqrt(2 * (GREATEST(s2 - s1 * s1 / n, 0) / (n - 1))
+                            / (n / 2.0))
+                     / (s1 / n) * 1e6 + 0.5) / 1e6 AS mde_rel
+        FROM g WHERE n >= 2
+    """,
+    doc="Experiment design: minimum detectable effect per event_type at "
+        "80% power / 5% two-sided alpha (z constants 1.959964 + 0.841621 "
+        "as exact literals — no quantile function needed), given the "
+        "observed metric variance and an even split of today's traffic. "
+        "The design-phase complement to the readout stack: how small a "
+        "lift COULD this experiment see. Variance comes from the same "
+        "decimal-exact S1/S2 sums as events_ab_ttest; every output is "
+        "floored to 1e-6",
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d6 = F.col("value").cast("decimal(18,6)")
+    d10 = F.col("value").cast("decimal(28,10)")
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            F.sum(d6).cast("double").alias("s1"),
+            F.sum(d10 * d10).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    var = F.greatest(
+        F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"), F.lit(0.0)
+    ) / (F.col("n") - 1)
+    z = F.lit(1.959964 + 0.841621)
+    mde = z * F.sqrt(2 * var / (F.col("n") / F.lit(2.0)))
+    grid6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return g.select(
+        "event_type",
+        "n",
+        grid6(F.sqrt(var)).alias("sd"),
+        grid6(mde).alias("mde_abs"),
+        grid6(mde / (F.col("s1") / F.col("n"))).alias("mde_rel"),
+    )
