@@ -403,3 +403,83 @@ def corpus_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(snap9(-F.col("p") * ln6)).cast("long") / F.lit(1e9))
         .alias("entropy_nats"),
     )
+
+
+@register(
+    "text_quality_auc",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   CAST(len(list_filter(string_split(text,' '),
+                        x -> list_contains(['the','a','of','and','to'], x)))
+                        AS BIGINT)
+                   / CAST(len(list_filter(string_split(text,' '),
+                              x -> x <> '')) AS DOUBLE) AS s
+            FROM documents
+            WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+        ), vals AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n1v
+            FROM scored GROUP BY 1
+        ), cum AS (
+            SELECT s, n, n1v,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY s
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cb
+            FROM vals
+        ), agg AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(n1v) AS BIGINT) AS n1,
+                   CAST(SUM(n1v * (2 * cb + n + 1)) AS BIGINT) AS r1x2
+            FROM cum
+        )
+        SELECT n1 AS n_en, nn - n1 AS n_other,
+               FLOOR((r1x2 - n1 * (n1 + 1)) / 2.0
+                     / (CAST(n1 AS DOUBLE) * (nn - n1)) * 1e6 + 0.5) / 1e6
+                   AS auc
+        FROM agg
+    """,
+    doc="Scorer evaluation without sklearn: AUC of the stopword-ratio "
+        "quality signal for predicting lang='en', via the rank-sum "
+        "identity AUC = (R1 − n1(n1+1)/2) / (n1·n0) — the doubled "
+        "tied-average-rank machinery from events_ab_mannwhitney keeps "
+        "everything exact bigint until one final division. The pattern "
+        "generalizes to ANY (score, label) pair the engine computes — "
+        "classifier eval as a two-shuffle SQL-checkable query",
+)
+def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    stops = F.filter(
+        toks,
+        lambda x: x.isin("the", "a", "of", "and", "to"),
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (F.size(stops).cast("long") / F.size(toks).cast("double")).alias("s"),
+    ).filter(F.size(toks) > 0)
+    vals = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n1v"),
+    )
+    wo = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.withColumn(
+        "cb", F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("n1v") * (2 * F.col("cb") + F.col("n") + 1))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    auc = (
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / F.lit(2.0)
+        / (F.col("n1").cast("double") * (F.col("nn") - F.col("n1")))
+    )
+    return agg.select(
+        F.col("n1").alias("n_en"),
+        (F.col("nn") - F.col("n1")).alias("n_other"),
+        (F.floor(auc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("auc"),
+    )
