@@ -1452,3 +1452,49 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid6(mde).alias("mde_abs"),
         grid6(mde / (F.col("s1") / F.col("n"))).alias("mde_rel"),
     )
+
+
+@register(
+    "orders_ship_lag_percentiles",
+    oracle="""
+        WITH lag_ AS (
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                       AS lag_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+               ROUND(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+               CAST(MAX(lag_days) AS BIGINT) AS max_days
+        FROM lag_ GROUP BY 1
+    """,
+    doc="Fulfillment-lag SLA readout: days from order to line shipment, "
+        "p50/p90/max per order priority — does paying for urgency buy "
+        "faster shipping. Lags are exact integer day diffs; percentile "
+        "interpolation is identical on both engines. The orderkey join "
+        "is the standard fact-fact equi-join (same key distribution the "
+        "TPC-H suite exercises); the percentile runs per 5-row priority "
+        "group after aggregation pushes partial state map-side",
+)
+def orders_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lag_days"),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.percentile(F.col("lag_days"), F.lit(0.5)), 6).alias(
+            "p50_days"
+        ),
+        F.round(F.percentile(F.col("lag_days"), F.lit(0.9)), 6).alias(
+            "p90_days"
+        ),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )
