@@ -190,3 +190,19 @@ def test_streaming_ann_ingest_builds_then_appends(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_registered_query_matches_inmemory_twin(spark, sf_dir):
+    """The REGISTERED serving query (embed_ivf_index_ann, rows-only in the
+    gate) is pinned result-identical to the oracle-shaped in-memory twin
+    (embed_ivf_ann): same frozen geometry (K=8, 2 Lloyd rounds, seeded
+    init) -> same centroids -> same probes -> same top-k."""
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    plans = load_all_plans()
+    served = plans["embed_ivf_index_ann"].fn(spark, sf_dir)
+    twin = plans["embed_ivf_ann"].fn(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    assert served.schema == twin.schema

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -26,6 +27,7 @@ ARROW_ALLOWED = {
     "embed_cosine_topk",
     "embed_lsh_ann",
     "embed_ivf_ann",
+    "embed_ivf_index_ann",  # persisted-index probe: same numpy cell-assign
     "dedup_embed_cosine_lsh",  # hyperplane-LSH bucket keys: numpy matmul
     "dedup_embed_cosine",  # blocked matmul prefilter + exact-fold verify
     "dedup_hash_embed_cosine",  # same (cosine_pairs_blocked)
@@ -135,3 +137,62 @@ def test_whole_stage_codegen_everywhere(plans):
         and n not in CODEGEN_EXEMPT
     ]
     assert not missing, f"no codegen span in: {missing}"
+
+
+# Queries allowed an unpartitioned Window node — each one's window input is
+# bounded by construction (shard-first or model/vocab-sized frames), so the
+# single task sees a small, fixed-size partition, never the full dataset:
+#   pack_sequences / pack_sequences_bpe — greedy packing is per-SHARD (the
+#       docstrings name the shard-first plan); the window runs inside a
+#       shard, not across the corpus.
+#   text_zipf_fit — ranks the VOCABULARY aggregate (vocab-sized, not
+#       corpus-sized).
+#   text_quality_auc — cumulative over DISTINCT score values (score-grid-
+#       sized).
+# Everything else must rank/tile via operators/ranking.global_rank (range
+# shuffle + per-partition offsets) or partitioned windows — an
+# unpartitioned WindowExec serializes the whole frame through ONE task.
+#   events_ab_chi2 — the grand/row/col totals run over the CONTINGENCY
+#       GRID (distinct event types x 2 variants), a domain-bounded frame.
+#   events_gap_fill_ffill — forward-fill is inherently sequential over the
+#       DAILY aggregate (calendar-day-sized, ~10^3-10^4 rows at any scale).
+GLOBAL_WINDOW_ALLOWED = {
+    "pack_sequences",
+    "pack_sequences_bpe",
+    "text_zipf_fit",
+    "text_quality_auc",
+    "events_ab_chi2",
+    "events_gap_fill_ffill",
+}
+
+_WSPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
+
+
+def _unpartitioned_window(plan: str) -> bool:
+    # Inside windowspecdefinition(...), everything before specifiedwindowframe
+    # is "partition cols, order cols": partition cols are bare attribute refs,
+    # order cols carry ASC/DESC. An UNPARTITIONED window therefore starts
+    # with either specifiedwindowframe directly (no partition, no order) or
+    # with a sort spec (probed empirically; matches WindowExec's "No
+    # Partition Defined" warning).
+    for m in _WSPEC.finditer(plan):
+        prefix = m.group(1).strip().rstrip(",")
+        if not prefix:
+            return True
+        first = prefix.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            return True
+    return False
+
+
+def test_no_unpartitioned_window_exec(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if _unpartitioned_window(p) and n not in GLOBAL_WINDOW_ALLOWED
+    ]
+    assert not offenders, (
+        f"single-partition global window (WindowExec: No Partition Defined) "
+        f"in: {offenders} — use operators/ranking.global_rank / exact_ntile "
+        f"or a partitioned window instead"
+    )

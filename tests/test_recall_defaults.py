@@ -79,3 +79,30 @@ def test_ivf_default_recall_at_10(topk_inputs):
         similarity.ivf_topk(queries, candidates, centroids, k=K, n_probe=4)
     )
     assert _recall(ann, gt) >= 0.9
+
+
+def test_auto_ivf_geometry_values():
+    # K tracks n/target_cell as a power of two (bounded cell size); n_probe
+    # is back-solved from the measured first-cell mass (0.79) to hold
+    # recall >= 0.9 under the uniform-tail floor model
+    assert similarity.auto_ivf_geometry(2000) == (8, 5)
+    assert similarity.auto_ivf_geometry(200) == (4, 3)
+    assert similarity.auto_ivf_geometry(32000) == (128, 68)
+    assert similarity.auto_ivf_geometry(10**9)[0] == 4096  # K cap
+    # cell size stays ~constant: n/K within 2x of target for uncapped K
+    for n in (10_000, 100_000, 1_000_000):
+        k, _ = similarity.auto_ivf_geometry(n)
+        assert n / k <= 2 * 256
+
+
+def test_ivf_auto_geometry_recall_at_10(topk_inputs):
+    """The registered embed_ivf_ann path: geometry derived from the corpus
+    count must hold the recall floor (resolves to (8, 5) at sf0.1 — one
+    step above the measured (8, 4) knee)."""
+    emb, queries, candidates, gt = topk_inputs
+    k_cells, n_probe = similarity.auto_ivf_geometry(emb.count())
+    centroids = similarity.kmeans_centroids(emb, k=k_cells, iters=2)
+    ann = _sets(
+        similarity.ivf_topk(queries, candidates, centroids, k=K, n_probe=n_probe)
+    )
+    assert _recall(ann, gt) >= 0.9

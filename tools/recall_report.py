@@ -26,8 +26,8 @@ N_QUERIES = 10  # same fixed query set as plans/similarity_queries.py
 LSH_GRID = [(p, t) for p in (2, 4, 6, 8) for t in (2, 4, 8, 16)]
 LSH_DEFAULT = (4, 16)  # registered-query default (plans/similarity_queries)
 IVF_K = 8
-IVF_PROBES = (1, 2, 3, 4, 6, 8)
-IVF_DEFAULT = 4
+IVF_PROBES = (1, 2, 3, 4, 5, 6, 8)
+IVF_DEFAULT = 5  # auto_ivf_geometry(2000) -> (K=8, n_probe=5)
 
 
 def _topk_sets(df) -> dict[int, set[int]]:

@@ -322,6 +322,51 @@ def ivf_topk(
     )
 
 
+def auto_ivf_geometry(
+    n_candidates: int,
+    target_cell: int = 256,
+    p_first: float = 0.79,
+    recall: float = 0.9,
+    min_k: int = 4,
+    max_k: int = 4096,
+) -> tuple[int, int]:
+    """Derive (K, n_probe) from the corpus size — the IVF twin of
+    ``auto_lsh_geometry`` (round-3 left K fixed at 8, which degrades the
+    same way fixed LSH planes did: at 100x corpus, 8 cells of 12.5% each
+    make every probe a near-full scan).
+
+    * ``K = 2^ceil(log2(n / target_cell))``: expected cell size stays
+      ≈ target_cell as n grows, so one probed cell is a bounded unit of
+      work and the K×dim centroid model stays driver-sized (capped).
+    * ``n_probe = ceil(1 + (recall - p_first)/(1 - p_first) · (K-1))``:
+      back-solved from the measured RECALL.md sweep at sf0.1 — the
+      nearest cell holds ``p_first ≈ 0.79`` of true top-10 mass
+      (n_probe=1 → recall 0.79) and the remainder spreads ≈ uniformly
+      over the other cells (0.83/0.87/0.90/0.96/1.0 at 2/3/4/6/8 of 8).
+      That uniform tail is the conservative floor for this near-random
+      synthetic corpus; real clustered embeddings concentrate mass in
+      the first cells, so this over-probes rather than under-recalls.
+
+    At sf0.1 (n=2000) this yields (8, 5) — one step above the measured
+    (8, 4) recall=0.90 knee, landing between 0.90 and 0.96.
+    """
+    import math
+
+    k = max(
+        min_k,
+        min(
+            max_k,
+            2 ** math.ceil(math.log2(max(max(n_candidates, 1) / target_cell, 1.0))),
+        ),
+    )
+    if recall <= p_first:
+        probe = 1
+    else:
+        frac = (recall - p_first) / (1.0 - p_first)
+        probe = min(k, max(1, math.ceil(1 + frac * (k - 1))))
+    return k, probe
+
+
 def auto_lsh_geometry(
     n_candidates: int,
     target_bucket: int = 128,

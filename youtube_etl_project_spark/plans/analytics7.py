@@ -162,15 +162,18 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     """,
     doc="RFM segmentation: per-customer recency/frequency/monetary, "
-        "quartiled (NTILE with explicit custkey tiebreaks — identical "
-        "bucketing on both engines), rolled up to the 64-segment grid. "
-        "Monetary sums in the decimal domain. The three global NTILEs "
-        "are single-partition windows over the CUSTOMER aggregate (rows "
-        "= customers, not orders) — acceptable to ~10^8 customers; "
-        "beyond that switch to approx_percentile cut points, which is "
-        "how percentile_by_type's sketch twin scales",
+        "quartiled with NTILE fill-rule semantics and explicit custkey "
+        "tiebreaks — identical bucketing on both engines — rolled up to "
+        "the 64-segment grid. Monetary sums in the decimal domain. The "
+        "three quartile assignments run through operators/ranking."
+        "exact_ntile (range-shuffle + per-partition offsets + "
+        "partition-local row_number): bit-identical to the NTILE window "
+        "the oracle uses, with no single-partition WindowExec — the "
+        "customer aggregate stays distributed at any customer count",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.ranking import exact_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("md"))
     rfm = (
@@ -186,18 +189,14 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tiles = rfm.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency"), F.asc("o_custkey")))
-        .alias("r_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_tile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_tile"),
+    tiles = exact_ntile(
+        rfm, 4, [F.asc("recency"), F.asc("o_custkey")], "r_tile"
+    )
+    tiles = exact_ntile(
+        tiles, 4, [F.desc("frequency"), F.asc("o_custkey")], "f_tile"
+    )
+    tiles = exact_ntile(
+        tiles, 4, [F.desc("monetary"), F.asc("o_custkey")], "m_tile"
     )
     return (
         tiles.groupBy("r_tile", "f_tile", "m_tile")
@@ -1286,39 +1285,34 @@ def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whale-dependence readout. Every sum stays in the decimal "
         "domain (customer revenue, the rank-weighted numerator, the "
         "decile slice), so both engines divide identical exact totals; "
-        "the global sort runs over the CUSTOMER aggregate, not orders "
-        "(same posture as orders_rfm_segments' NTILEs)",
+        "ranks come from operators/ranking.global_rank (range shuffle + "
+        "per-partition offsets), so the customer aggregate is never "
+        "funneled through a single-partition window — n arrives as "
+        "driver-side model state from the rank pass, like a codebook",
 )
 def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from youtube_etl_project_spark.operators.ranking import global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
     )
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        "r",
-        F.row_number()
-        .over(Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc()))
-        .alias("i"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
-        F.sum("r").over(wall).alias("s"),
+    ranked, n = global_rank(
+        cust, [F.col("r").asc(), F.col("o_custkey").asc()], "i"
     )
+    cut = n - math.ceil(n / 10)
     agg = ranked.agg(
-        F.min("n").alias("n"),
-        F.min("s").cast("double").alias("s"),
+        F.max(F.lit(n)).cast("long").alias("n"),
+        F.sum("r").cast("double").alias("s"),
         F.sum(
-            (2 * F.col("i") - F.col("n") - 1)
+            (2 * F.col("i") - F.lit(n) - 1)
             * F.col("r").cast("decimal(28,4)")
         )
         .cast("double")
         .alias("num"),
-        F.sum(
-            F.when(
-                F.col("i")
-                > F.col("n") - F.ceil(F.col("n") / F.lit(10.0)).cast("long"),
-                F.col("r"),
-            )
-        )
+        F.sum(F.when(F.col("i") > F.lit(cut), F.col("r")))
         .cast("double")
         .alias("top_rev"),
     )

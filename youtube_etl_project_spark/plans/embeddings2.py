@@ -259,7 +259,6 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
-    from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     from youtube_etl_project_spark.operators import similarity
@@ -277,12 +276,23 @@ def embed_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.stack(v.to_numpy()).astype(np.float64) - mu
         return pd.Series(((x @ Ci) * x).sum(axis=1))
 
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
+    from youtube_etl_project_spark.operators.ranking import global_rank
+
+    # Distributed top-k: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heaps, no global sort, no
+    # single-partition window); ranks are then assigned on the bounded
+    # 20-row survivor set via the two-pass distributed rank.
+    top = (
         emb.select(
             "vec_id", F.round(maha(F.col("embedding")), 6).alias("score")
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "vec_id", "score")
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    ranked, _ = global_rank(
+        top, [F.col("score").desc(), F.col("vec_id").asc()], "rank",
+        num_partitions=4,
+    )
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"), "vec_id", "score"
     )

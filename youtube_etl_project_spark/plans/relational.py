@@ -328,10 +328,16 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     grouped = ev.groupBy("event_type").agg(cnt("n_events"))
-    # Window over the (tiny) aggregated result — the global-total shuffle
-    # touches a handful of rows, never the base table.
-    total = F.sum("n_events").over(Window.partitionBy())
-    return grouped.withColumn("pct", F.lit(100.0) * F.col("n_events") / total)
+    # Broadcast the one-row grand total instead of a window-over-(): same
+    # values (one associative count), but no single-partition WindowExec.
+    total = grouped.agg(F.sum("n_events").alias("__total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .withColumn(
+            "pct", F.lit(100.0) * F.col("n_events") / F.col("__total")
+        )
+        .drop("__total")
+    )
 
 
 @register(

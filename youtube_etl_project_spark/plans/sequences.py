@@ -168,22 +168,24 @@ def chunk_tokens_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Seeded global training-order shuffle: rank by md5(seed || id) — "
         "deterministic, reshufflable per epoch by changing the seed, and "
-        "identical on any engine (no RNG state). At 100 TB this is a "
-        "sort-by-computed-key, i.e. one range-partitioned shuffle, and "
-        "the property that matters — any contiguous worker slice is an "
-        "unbiased sample — comes from the hash, not from a central "
-        "shuffler. Tiebreak on doc_id guards md5 collisions",
+        "identical on any engine (no RNG state). Ranks come from "
+        "operators/ranking.global_rank: ONE range-partitioned shuffle on "
+        "the hash key, per-partition offsets, partition-local row_number "
+        "— no single-partition window anywhere, so any contiguous worker "
+        "slice is an unbiased sample AND the rank assignment itself is "
+        "distributed. Tiebreak on doc_id guards md5 collisions",
 )
 def corpus_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.ranking import global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch7~"), F.col("doc_id").cast("string")))
-    return docs.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(key, F.col("doc_id")))
-        .cast("long")
-        .alias("shuffle_rank"),
+    ranked, _ = global_rank(
+        docs.select("doc_id", key.alias("__k")),
+        [F.col("__k").asc(), F.col("doc_id").asc()],
+        "shuffle_rank",
     )
+    return ranked.select("doc_id", "shuffle_rank")
 
 
 @register(

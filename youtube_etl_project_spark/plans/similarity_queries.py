@@ -79,18 +79,75 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # data-derived centroids; pinned by tests/test_ivf.py
     doc="X3 scale path #2: IVF — k-means-lite coarse quantizer (2 Lloyd "
         "rounds, only the K×dim model reaches the driver), cell equi-join, "
-        "n_probe cells per query. Default n_probe=4 of K=8 is the "
-        "recall@10 = 0.9 knee (RECALL.md); recall=1.0 at n_probe=K in "
-        "tests",
+        "n_probe cells per query. Geometry is AUTO-derived from the corpus "
+        "count (auto_ivf_geometry: K ≈ n/256 power-of-two keeps cell size "
+        "bounded as n grows; n_probe back-solved from the RECALL.md sweep "
+        "to hold recall ≥ 0.9) — at sf0.1 this resolves to (K=8, "
+        "n_probe=5), one step above the measured (8,4) knee; pinned by "
+        "tests/test_recall_defaults.py",
 )
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = similarity.kmeans_centroids(emb, k=8, iters=2)
+    k_cells, n_probe = similarity.auto_ivf_geometry(emb.count())
+    centroids = similarity.kmeans_centroids(emb, k=k_cells, iters=2)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return similarity.ivf_topk(queries, candidates, centroids, k=5, n_probe=4)
+    return similarity.ivf_topk(
+        queries, candidates, centroids, k=5, n_probe=n_probe
+    )
+
+
+# Built persisted indexes, keyed by sf_dir — the registered query below is
+# the "query many" half of build-once/query-many, so repeated gate runs
+# probe the SAME materialized index instead of retraining per call.
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from youtube_etl_project_spark.operators import ann_index
+
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(f"{path}/assignments"):
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        # Same AUTO geometry as embed_ivf_ann (auto_ivf_geometry, 2 Lloyd
+        # rounds, seeded sample init) → identical centroids, so the
+        # persisted path is pinned result-identical to the in-memory twin
+        # by tests/test_ann_index.py.
+        k_cells, _ = similarity.auto_ivf_geometry(emb.count())
+        ann_index.ivf_build(emb, path, k=k_cells, iters=2)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "embed_ivf_index_ann",
+    oracle=None,  # data-derived centroids; pinned result-identical to
+    # embed_ivf_ann (same frozen geometry) by tests/test_ann_index.py
+    doc="X3 serving path: the PERSISTED IVF index (operators/ann_index) — "
+        "build-once (K×dim centroid model + assignments partitioned by "
+        "cell), probe-many. The query batch derives its probe cells "
+        "map-side from the driver-held centroid model; the assignments "
+        "scan carries cell IN (probed) which Spark turns into partition "
+        "pruning, so a probe physically reads n_probe/K of the index "
+        "files — the production serving plan, vs embed_ivf_ann's "
+        "train-on-every-call oracle shape",
+)
+def embed_ivf_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import ann_index
+
+    path = _ivf_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    _, n_probe = similarity.auto_ivf_geometry(emb.count())
+    return ann_index.ivf_query(queries, path, k=5, n_probe=n_probe)
 
 
 @register(
