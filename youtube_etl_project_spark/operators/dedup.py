@@ -294,6 +294,112 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash-LSH with an **md5-domain signature** — the
+    oracle-twin variant of :func:`minhash_lsh_pairs`.
+
+    The xxhash64-seeded flagship has no DuckDB twin (rows-only in the
+    gate); this variant keeps the identical pipeline shape (shingle →
+    per-seed hash → min-aggregate → band → bucket join → exact-Jaccard
+    verify) but hashes with ``substr(md5(seed || '~' || shingle), 1, 16)``
+    and takes the LEXICOGRAPHIC min — md5 hex is lowercase on both
+    engines and fixed-width, so the string min IS the numeric min and
+    every signature component, band hash, candidate set and verified
+    Jaccard is reproducible bit-for-bit in ANSI SQL. Word 3-shingles are
+    kept as strings (space-joined, like the ngram_jaccard oracle family)
+    so both engines hash identical bytes.
+
+    Same scale posture as the flagship: signatures are n_hashes flat
+    columns computed post-explode (whole-stage codegen, one shuffle on
+    doc), candidates travel as bare id pairs, shingle sets re-attach only
+    for the verify. md5-per-seed is ~2x the hash cost of xxhash64 — the
+    price of cross-engine checkability; production uses the flagship.
+    """
+    rows_per_band = n_hashes // n_bands
+    t = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    shingles = F.when(
+        F.size(t) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
+            )
+        ),
+    )
+    base = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc"), shingles.alias("shingles"))
+        .filter(F.col("shingles").isNotNull())
+    )
+    sh = base.select("doc", F.explode("shingles").alias("sh"))
+    sig = sh.groupBy("doc").agg(
+        F.collect_set("sh").alias("sh_set"),
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat_ws("~", F.lit(str(i)), F.col("sh"))),
+                    1,
+                    16,
+                )
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc", F.explode(bands).alias("b")).select(
+        "doc", "b.band_id", "b.band_hash"
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sig.select(F.col("doc").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sig.select(F.col("doc").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def lsh_index(
     docs: DataFrame,
     id_col: str,

@@ -195,6 +195,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD5_HASHES, _MD5_BANDS = 16, 4
+_MD5_RPB = _MD5_HASHES // _MD5_BANDS
+_MD5_SIG_COLS = ",\n                   ".join(
+    f"MIN(substr(md5('{i}~' || s), 1, 16)) AS h{i}"
+    for i in range(_MD5_HASHES)
+)
+_MD5_BAND_SELECTS = "\n            UNION ALL\n            ".join(
+    "SELECT doc_id, {b} AS band_id, md5({cat}) AS band_hash FROM sig".format(
+        b=b,
+        cat=" || ',' || ".join(
+            f"h{b * _MD5_RPB + r}" for r in range(_MD5_RPB)
+        ),
+    )
+    for b in range(_MD5_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), shl AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM shl
+        ), sig AS (
+            SELECT doc_id,
+                   {_MD5_SIG_COLS}
+            FROM ex GROUP BY doc_id
+        ), bands AS (
+            {_MD5_BAND_SELECTS}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM shl
+        ), inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN ex a ON a.doc_id = c.id_a
+            JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="X2 flagship, ORACLE-CHECKED end-to-end: banded MinHash-LSH whose "
+        "signature lives in the md5 domain — substr(md5(seed||'~'||"
+        "shingle),1,16) with a lexicographic min (fixed-width lowercase "
+        "hex: string min == numeric min on both engines) — so candidate "
+        "generation AND verify hash-match a pure-SQL DuckDB twin, closing "
+        "the rows-only gap round 3 flagged for the LSH family. Same "
+        "pipeline shape and scale posture as dedup_minhash_lsh (16 flat "
+        "signature columns post-explode, bucket equi-join, verify on "
+        "candidates only)",
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n_hashes=_MD5_HASHES, n_bands=_MD5_BANDS,
+        threshold=0.5,
+    )
+
+
 @register(
     "dedup_embed_cosine",
     oracle="""

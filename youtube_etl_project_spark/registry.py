@@ -159,12 +159,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline flagships: dedup + similarity (+ the round-3 graph op;
     # X1 exact dedup keeps its driver row via dedup_exact_keyed)
     "dedup_exact_keyed", "events_markov_pagerank", "dedup_ngram_jaccard",
-    "dedup_jaccard_dfcut", "dedup_minhash_lsh", "dedup_cluster_cc",
-    "dedup_cluster_lsh", "dedup_exact_substring", "embed_cosine_topk",
-    "embed_lsh_ann", "embed_ivf_ann",
-    # TPC-H shapes (Q1 is q1_pricing_summary above)
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "tpch_q18_large_orders",
+    "dedup_jaccard_dfcut", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
+    "dedup_cluster_cc", "dedup_cluster_lsh", "dedup_exact_substring",
+    "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann",
+    # temporal join family (round-4: swapped in, with the md5-oracle LSH
+    # twin, for tpch_q18/q5 per VERDICT r3 #9 — those TPC-H shapes stay
+    # covered by the local full gate and the plan audit's broadcast gate)
+    "scd2_point_in_time",
+    # TPC-H shape (Q1 is q1_pricing_summary above)
+    "tpch_q3_shipping_priority",
 )
 
 
