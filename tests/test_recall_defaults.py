@@ -87,12 +87,13 @@ def test_auto_ivf_geometry_values():
     # recall >= 0.9 under the uniform-tail floor model
     assert similarity.auto_ivf_geometry(2000) == (8, 5)
     assert similarity.auto_ivf_geometry(200) == (4, 3)
-    assert similarity.auto_ivf_geometry(32000) == (128, 68)
+    assert similarity.auto_ivf_geometry(32000) == (32, 18)
     assert similarity.auto_ivf_geometry(10**9)[0] == 4096  # K cap
-    # cell size stays ~constant: n/K within 2x of target for uncapped K
+    # K ~ sqrt(n) regime: n/K^2 stays <= the calibration constant for
+    # uncapped K (training flops n*K ~ n^1.5, never quadratic)
     for n in (10_000, 100_000, 1_000_000):
         k, _ = similarity.auto_ivf_geometry(n)
-        assert n / k <= 2 * 256
+        assert n / k**2 <= 31.25
 
 
 def test_ivf_auto_geometry_recall_at_10(topk_inputs):

@@ -107,7 +107,44 @@ PROBE_QUERIES = (
     "events_ab_mannwhitney",
     "streaming_tumbling_parity",
     "text_topic_clusters",
+    # round-4 wave: oracle-checked LSH, persisted-index serving, graph,
+    # two-pass distributed rank
+    "dedup_minhash_lsh_md5",
+    "embed_ivf_index_ann",
+    "graph_triangle_count",
+    "orders_revenue_gini",
 )
+
+# Measured-justification notes appended to the t16/t1 column — for rows
+# whose super-linearity is BY CONSTRUCTION (exact baselines whose scale
+# twins are registered alongside), so regeneration keeps the judgment.
+NOTES = {
+    "embed_hard_negatives": (
+        "exact all-class-pairs baseline — quadratic flops BY DESIGN, like "
+        "the Jaccard baseline; the blocked matmul is what keeps 256x flops "
+        "at 6.5x wall"
+    ),
+    "dedup_ngram_jaccard": (
+        "exact all-pairs baseline — quadratic co-occurrence join BY "
+        "DESIGN; dedup_jaccard_dfcut / dedup_minhash_lsh are the scale "
+        "paths"
+    ),
+    "dedup_hash_embed_cosine": (
+        "exact all-pairs cosine baseline — 256x flops by construction; "
+        "the blocked matmul prefilter holds the wall near-linear, "
+        "dedup_embed_cosine_lsh is the scale path"
+    ),
+    "dedup_semantic": (
+        "SemDeDup with k ∝ √n: within-cell pairs ∝ n^1.5 by the "
+        "algorithm's own regime (cells stay √n-sized); the lexical LSH "
+        "family is the linear-cost complement"
+    ),
+    "graph_triangle_count": (
+        "edge list from the quadratic exact-Jaccard baseline (its cost "
+        "dominates); triangle join itself is id-oriented and "
+        "checkpointed once"
+    ),
+}
 
 # Hot-shingle stress: same replicas but every document carries one shared
 # (NOT replica-remapped) boilerplate sentence, so its shingles' df grows
@@ -338,8 +375,10 @@ def main() -> None:
     for q in PROBE_QUERIES:
         r = results[q]
         ratio = r[16] / r[1] if r[1] > 0 else float("nan")
+        note = f" ({NOTES[q]})" if q in NOTES else ""
         print(
-            f"| {q} | {r[1]:.2f} | {r[4]:.2f} | {r[16]:.2f} | {ratio:.1f} |"
+            f"| {q} | {r[1]:.2f} | {r[4]:.2f} | {r[16]:.2f} | "
+            f"{ratio:.1f}{note} |"
         )
 
     hot_results: dict[str, dict[int, float]] = {q: {} for q in HOT_QUERIES}

@@ -113,23 +113,21 @@ def ivf_query(
     """
     spark = queries.sparkSession
     centroids = ivf_centroids(spark, path)
-
-    def cdist(c_: "list[float]", qv):
-        lit = F.array(*[F.lit(x) for x in c_])
-        return F.aggregate(
-            F.zip_with(qv, lit, lambda a, b: (a.cast("double") - b) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(
-                cdist(centroids[i], F.col(vec)).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i in range(len(centroids))
-        ]
+    # One nested centroid-matrix literal + indexed transform (see
+    # similarity.ivf_topk): per-element F.lit at auto-scaled K is a py4j
+    # and expression-tree blowup.
+    dists = F.transform(
+        F.lit(centroids),
+        lambda cvec, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec), cvec, lambda a, b: (a.cast("double") - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
     )
     probed = queries.select(
         query_id,

@@ -278,22 +278,22 @@ def ivf_topk(
     c = candidates.withColumn(
         "__cell", nearest_centroid_vectorized(centroids)(F.col(vec))
     )
-
-    def cdist(c_: list[float], qv: Column) -> Column:
-        lit = F.array(*[F.lit(x) for x in c_])
-        return F.aggregate(
-            F.zip_with(qv, lit, lambda a, b: (a.cast("double") - b) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(
-                cdist(centroids[i], F.col(vec)).alias("d"), F.lit(i).alias("cell")
-            )
-            for i in range(len(centroids))
-        ]
+    # ONE nested literal for the centroid matrix + an indexed transform —
+    # never K*dim per-element F.lit calls (at auto-scaled K=128/dim=64
+    # that is 8k py4j round trips and a giant expression tree; module
+    # docstring rule, re-measured on embed_ivf_index_ann at 16x).
+    dists = F.transform(
+        F.lit(centroids),
+        lambda cvec, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec), cvec, lambda a, b: (a.cast("double") - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
     )
     q = queries.withColumn(
         "__probes",
@@ -324,7 +324,7 @@ def ivf_topk(
 
 def auto_ivf_geometry(
     n_candidates: int,
-    target_cell: int = 256,
+    cell_sq: float = 31.25,
     p_first: float = 0.79,
     recall: float = 0.9,
     min_k: int = 4,
@@ -335,9 +335,13 @@ def auto_ivf_geometry(
     same way fixed LSH planes did: at 100x corpus, 8 cells of 12.5% each
     make every probe a near-full scan).
 
-    * ``K = 2^ceil(log2(n / target_cell))``: expected cell size stays
-      ≈ target_cell as n grows, so one probed cell is a bounded unit of
-      work and the K×dim centroid model stays driver-sized (capped).
+    * ``K = 2^ceil(log2(sqrt(n / cell_sq)))`` — the classic **K ∝ √n**
+      IVF regime (cells grow as √n too, so k-means training flops stay
+      n·K ∝ n^1.5; a constant-cell-size rule would make K ∝ n and
+      training quadratic — measured 1.4x worse at the 16x probe).
+      ``cell_sq = 31.25`` calibrates K(2000) = √(2000/31.25) = 8, the
+      measured RECALL.md knee geometry. The K×dim centroid model stays
+      driver-sized (capped at ``max_k``).
     * ``n_probe = ceil(1 + (recall - p_first)/(1 - p_first) · (K-1))``:
       back-solved from the measured RECALL.md sweep at sf0.1 — the
       nearest cell holds ``p_first ≈ 0.79`` of true top-10 mass
@@ -348,7 +352,8 @@ def auto_ivf_geometry(
       the first cells, so this over-probes rather than under-recalls.
 
     At sf0.1 (n=2000) this yields (8, 5) — one step above the measured
-    (8, 4) recall=0.90 knee, landing between 0.90 and 0.96.
+    (8, 4) recall=0.90 knee, landing between 0.90 and 0.96. At 16x
+    (n=32000): (32, 18).
     """
     import math
 
@@ -356,7 +361,12 @@ def auto_ivf_geometry(
         min_k,
         min(
             max_k,
-            2 ** math.ceil(math.log2(max(max(n_candidates, 1) / target_cell, 1.0))),
+            2
+            ** math.ceil(
+                math.log2(
+                    max(math.sqrt(max(n_candidates, 1) / cell_sq), 1.0)
+                )
+            ),
         ),
     )
     if recall <= p_first:

@@ -31,14 +31,35 @@ _SEED_STEP = 104729  # distinct seed per hash row; any fixed odd prime works
 
 
 def _probe_cells(key: Column, d: int, w: int) -> Column:
-    """Array of (row, col) probe structs for one key."""
+    """Array of (row, col) probe structs for one key.
+
+    Probe columns live in the md5 domain since round 4 —
+    ``conv(substr(md5(r || '~' || key), 1, 8), 16, 10) % w`` — so the
+    whole sketch (build, merge, estimate) is reproducible in ANSI SQL
+    (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT % w``) and the
+    CMS query is oracle-checked instead of rows-only. md5 vs the previous
+    seeded xxhash64 changes nothing about the (ε, δ) guarantees — only
+    hash-family uniformity matters."""
     return F.array(
         *[
             F.struct(
                 F.lit(r).alias("row"),
-                F.pmod(F.xxhash64(key, F.lit(r * _SEED_STEP)), F.lit(w)).alias(
-                    "col"
-                ),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "~", F.lit(str(r)), key.cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(w),
+                ).alias("col"),
             )
             for r in range(d)
         ]

@@ -90,12 +90,22 @@ def fingerprint_sha(text: Column | str) -> Column:
 
 
 def rolling_hash(text: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
-    """Polynomial rolling hash over tokens (Rabin-Karp style), token hashes
-    via xxhash64 folded left-to-right: h = (h*base + xxhash64(tok)) % mod.
-    Content-order-sensitive, cheap, and streamable."""
+    """Polynomial rolling hash over tokens (Rabin-Karp style):
+    h = (h*base + v(tok)) % mod with v(tok) = first 32 md5 bits
+    (``conv(substr(md5(tok),1,8),16,10)``). Content-order-sensitive,
+    cheap, streamable — and, since round 4, reproducible in ANSI SQL:
+    DuckDB computes the identical fold via
+    ``('0x' || substr(md5(tok),1,8))::BIGINT`` + ``list_reduce``, so the
+    fingerprint query is oracle-checked instead of rows-only (xxhash64,
+    the previous token hash, has no cross-engine twin). Intermediate
+    ``acc*31 + v`` stays < 2^37 — exact in int64 on both engines."""
     t = tokens(text)
     return F.aggregate(
         t,
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * base + F.pmod(F.xxhash64(w), F.lit(mod))) % mod,
+        lambda acc, w: (
+            acc * base
+            + F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % mod
+        )
+        % mod,
     )

@@ -88,16 +88,46 @@ def approx_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_cms_token_counts",
-    oracle=None,  # xxhash64-seeded counters — no DuckDB twin;
-    # tests/test_cms.py pins the overcount-only invariant, the error
-    # bound, and sketch mergeability
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '')) AS tok
+            FROM documents
+        ), rs AS (
+            SELECT unnest(range(0, 4)) AS r
+        ), cells AS (
+            SELECT rs.r AS row,
+                   ('0x' || substr(md5(rs.r::VARCHAR || '~' || tok), 1, 8))
+                       ::BIGINT % 2048 AS col,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok CROSS JOIN rs
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM tok GROUP BY 1
+            ORDER BY exact_count DESC, tok ASC LIMIT 50
+        ), probes AS (
+            SELECT t.tok, t.exact_count, rs.r AS row,
+                   ('0x' || substr(md5(rs.r::VARCHAR || '~' || t.tok), 1, 8))
+                       ::BIGINT % 2048 AS col
+            FROM top t CROSS JOIN rs
+        )
+        SELECT p.tok, p.exact_count,
+               CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+        FROM probes p
+        LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+        GROUP BY 1, 2
+    """,
     doc="X7 frequency twin of the HLL sketch: count-min sketch (4 × 2048 "
-        "xxhash64 counters, kept as a cell DataFrame, never collected) "
-        "over document tokens; outputs the exact top-50 tokens with "
-        "their exact and CM-estimated counts side by side. Build is one "
-        "explode + groupBy shuffle; estimates broadcast-join the probe "
-        "cells — the mergeable-partial-aggregate frequency shape for "
-        "100 TB corpora",
+        "counters, kept as a cell DataFrame, never collected) over "
+        "document tokens; outputs the exact top-50 tokens with their "
+        "exact and CM-estimated counts side by side. Probe columns live "
+        "in the md5 domain, so build AND estimate are reproduced in "
+        "DuckDB and the sketch itself is ORACLE-CHECKED (converted from "
+        "rows-only in round 4). Build is one explode + groupBy shuffle; "
+        "estimates broadcast-join the probe cells — the mergeable-"
+        "partial-aggregate frequency shape for 100 TB corpora",
 )
 def approx_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.functions.text import tokens

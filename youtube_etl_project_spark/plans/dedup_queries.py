@@ -197,8 +197,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MD5_HASHES, _MD5_BANDS = 16, 4
 _MD5_RPB = _MD5_HASHES // _MD5_BANDS
+# 4 signature slots per seeded digest: slice i reads 8 hex chars at
+# offset 8*(i%4) of md5((i//4) || '~' || shingle) — mirrors
+# dedup.minhash_lsh_pairs_md5's shared-digest projection exactly.
 _MD5_SIG_COLS = ",\n                   ".join(
-    f"MIN(substr(md5('{i}~' || s), 1, 16)) AS h{i}"
+    f"MIN(substr(md5('{i // 4}~' || s), {8 * (i % 4) + 1}, 8)) AS h{i}"
     for i in range(_MD5_HASHES)
 )
 _MD5_BAND_SELECTS = "\n            UNION ALL\n            ".join(
@@ -359,15 +362,58 @@ def dedup_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_SUMS = ",\n                   ".join(
+    f"SUM(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS b{i}"
+    for i in range(64)
+)
+_SIMHASH_FOLD = "\n                 + ".join(
+    (
+        f"CASE WHEN b{i}*2 > n_tokens THEN (1::BIGINT << {i}) "
+        f"ELSE 0 END"
+    )
+    if i < 63
+    else (
+        f"CASE WHEN b{i}*2 > n_tokens THEN "
+        f"(-9223372036854775808)::BIGINT ELSE 0 END"
+    )
+    for i in range(64)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based bits
-    doc="X2: 64-bit SimHash fingerprints (near-dup via small Hamming "
-        "distance); deterministic, rows-only check",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   {_SIMHASH_SUMS}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {_SIMHASH_FOLD} AS simhash
+        FROM votes
+    """,
+    doc="X2: 64-bit SimHash fingerprints — token bits in the md5 domain "
+        "(two 32-bit hex-cast halves), so the full bit-vote majority fold "
+        "is reproduced in DuckDB and the fingerprints are ORACLE-CHECKED "
+        "(converted from rows-only in round 4; the xxhash64 production "
+        "twin remains inside dedup_simhash_pairs). Same plan shape: "
+        "explode → hash once → 64 bit-count sums in one aggregate → "
+        "majority fold, one shuffle on doc",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash64_df(docs, "doc_id", "text").select("doc_id", "simhash")
+    return dedup.simhash64_md5_df(docs, "doc_id", "text").select(
+        "doc_id", "simhash"
+    )
 
 
 @register(

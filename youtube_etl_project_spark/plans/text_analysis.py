@@ -132,9 +132,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_rolling_hash",
-    oracle=None,  # xxhash64 token hashes are not reproducible in DuckDB
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       0::BIGINT,
+                       list_transform(t, tok ->
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT
+                           % 2147483647)
+                   ),
+                   (acc, v) -> (acc * 31 + v) % 2147483647
+               ) AS rhash
+        FROM toks
+    """,
     doc="X4: polynomial rolling hash over tokens (Rabin-Karp) — order-"
-        "sensitive content fingerprint; rows-only check",
+        "sensitive content fingerprint. Token values live in the md5 "
+        "domain (first 32 bits), so the exact fold is reproduced in "
+        "DuckDB (hex-cast + list_reduce) and the fingerprint is "
+        "oracle-checked — converted from rows-only in round 4",
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
