@@ -294,42 +294,29 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_md5(
+def md5_signature_df(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 16,
-    n_bands: int = 4,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Banded MinHash-LSH with an **md5-domain signature** — the
-    oracle-twin variant of :func:`minhash_lsh_pairs`.
+    """MinHash signatures in the **md5 domain** — the oracle-checkable
+    twin of :func:`minhash_signature_df` (whose seeded xxhash64 has no
+    DuckDB equivalent).
 
-    The xxhash64-seeded flagship has no DuckDB twin (rows-only in the
-    gate); this variant keeps the identical pipeline shape (shingle →
-    per-seed hash → min-aggregate → band → bucket join → exact-Jaccard
-    verify) but hashes with ``substr(md5(seed || '~' || shingle), 1, 16)``
-    and takes the LEXICOGRAPHIC min — md5 hex is lowercase on both
-    engines and fixed-width, so the string min IS the numeric min and
-    every signature component, band hash, candidate set and verified
-    Jaccard is reproducible bit-for-bit in ANSI SQL. Word 3-shingles are
-    kept as strings (space-joined, like the ngram_jaccard oracle family)
-    so both engines hash identical bytes.
-
-    Same scale posture as the flagship: signatures are n_hashes flat
-    columns computed post-explode (whole-stage codegen, one shuffle on
-    doc), candidates travel as bare id pairs, shingle sets re-attach only
-    for the verify. md5-per-seed is ~2x the hash cost of xxhash64 — the
-    price of cross-engine checkability; production uses the flagship.
-    """
-    rows_per_band = n_hashes // n_bands
+    Word 3-shingles are kept as STRINGS (space-joined via the same
+    zip_with ladder as ``word_shingle_ids`` — the indexed
+    transform(sequence, element_at...) form measured 5x slower), so both
+    engines hash identical bytes. Each seeded digest
+    ``md5(seed || '~' || shingle)`` contributes FOUR signature slots (the
+    4 disjoint 8-hex-char / 32-bit slices): n_hashes/4 md5 calls per
+    shingle row, measured 3-4x off the naive one-md5-per-slot form.
+    Mins are LEXICOGRAPHIC — md5 hex is fixed-width lowercase on both
+    engines, so the string min IS the numeric min. Returns
+    (doc, sh_set, h0..h{n-1}); same explode → flat columns → one-shuffle
+    aggregate shape as the flagship."""
     assert n_hashes % 4 == 0, "md5 slicing packs 4 hashes per digest"
     t = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    # Same zip_with ladder as word_shingle_ids (the indexed
-    # transform(sequence, element_at...) form measured 5x slower on the
-    # same fixture): s3[i] = t[i] + " " + t[i+1] + " " + t[i+2]; the
-    # overhang entries concat_ws produces at the tail (null right side)
-    # are dropped by the length slice.
     s2 = F.zip_with(
         t, F.slice(t, 2, F.size(t)), lambda a, b: F.concat_ws(" ", a, b)
     )
@@ -343,23 +330,17 @@ def minhash_lsh_pairs_md5(
         .select(F.col(id_col).alias("doc"), shingles.alias("shingles"))
         .filter(F.col("shingles").isNotNull())
     )
-    sh = base.select("doc", F.explode("shingles").alias("sh"))
-    # 4 signature slots per md5 digest (4 disjoint 8-hex-char / 32-bit
-    # slices of each seeded digest): n_hashes/4 md5 calls per shingle row
-    # instead of n_hashes — measured 3-4x off the signature stage. 32-bit
-    # mins keep per-doc collision odds ~n_shingles/2^32 (and candidates
-    # are exact-verified anyway).
-    sh = sh.select(
+    sh = base.select("doc", F.explode("shingles").alias("sh")).select(
         "doc",
         "sh",
         *[
-            F.md5(F.concat_ws("~", F.lit(str(s)), F.col("sh"))).alias(
-                f"d{s}"
+            F.md5(F.concat_ws("~", F.lit(str(s_)), F.col("sh"))).alias(
+                f"d{s_}"
             )
-            for s in range(n_hashes // 4)
+            for s_ in range(n_hashes // 4)
         ],
     )
-    sig = sh.groupBy("doc").agg(
+    return sh.groupBy("doc").agg(
         F.collect_set("sh").alias("sh_set"),
         *[
             F.min(
@@ -368,6 +349,14 @@ def minhash_lsh_pairs_md5(
             for i in range(n_hashes)
         ],
     )
+
+
+def md5_band_rows(
+    sig: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band_id, band_hash) rows with md5 band hashes over the
+    comma-joined signature slices — the banding half of the md5-domain
+    LSH, reproducible as ``md5(h0 || ',' || h1 ...)`` in SQL."""
     bands = F.array(
         *[
             F.struct(
@@ -385,9 +374,32 @@ def minhash_lsh_pairs_md5(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc", F.explode(bands).alias("b")).select(
+    return sig.select("doc", F.explode(bands).alias("b")).select(
         "doc", "b.band_id", "b.band_hash"
     )
+
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash-LSH with an **md5-domain signature** — the
+    oracle-twin variant of :func:`minhash_lsh_pairs`: every signature
+    component, band hash, candidate set and verified Jaccard is
+    reproducible bit-for-bit in ANSI SQL (see :func:`md5_signature_df`).
+
+    Same scale posture as the flagship: flat signature columns in
+    whole-stage codegen, one shuffle on doc, candidates travel as bare
+    id pairs, shingle sets re-attach only for the verify. md5 is ~2x the
+    hash cost of xxhash64 — the price of cross-engine checkability.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = md5_signature_df(docs, id_col, text_col, n_hashes)
+    banded = md5_band_rows(sig.drop("sh_set"), n_bands, rows_per_band)
     left, right = banded.alias("l"), banded.alias("r")
     candidates = (
         left.join(
@@ -408,6 +420,63 @@ def minhash_lsh_pairs_md5(
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def incremental_minhash_pairs_md5(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The md5-domain twin of :func:`incremental_minhash_pairs` — same
+    contract (batch-vs-corpus + within-batch pairs, the corpus never
+    self-joins, batch bands broadcast so the corpus streams map-side; the
+    batch id rides in id_a for cross pairs, batch-batch pairs ordered
+    id_a < id_b) — but with oracle-checkable signatures: because a pair
+    collides in a band iff both docs agree on it, regardless of which
+    join produced it, the result equals the FULL md5 pipeline's pairs
+    restricted to batch-touching ones, which is exactly what the DuckDB
+    twin computes."""
+    rows_per_band = n_hashes // n_bands
+    sig_b = md5_signature_df(batch, id_col, text_col, n_hashes)
+    sig_c = md5_signature_df(corpus, id_col, text_col, n_hashes)
+    bands_b = md5_band_rows(sig_b.drop("sh_set"), n_bands, rows_per_band)
+    bands_c = md5_band_rows(sig_c.drop("sh_set"), n_bands, rows_per_band)
+    bb = (
+        bands_b.alias("l")
+        .join(
+            bands_b.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+    )
+    bc = (
+        F.broadcast(bands_b.alias("l"))
+        .join(
+            bands_c.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+    )
+    candidates = bb.unionByName(bc).dropDuplicates(["id_a", "id_b"])
+    sig_all = sig_b.unionByName(sig_c)
+    a = sig_b.select(F.col("doc").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sig_all.select(
+        F.col("doc").alias("id_b"), F.col("sh_set").alias("sh_b")
+    )
+    return (
+        candidates.join(F.broadcast(a), "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

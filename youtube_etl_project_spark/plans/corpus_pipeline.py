@@ -303,20 +303,49 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_lsh_cluster_oracle() -> str:
+    from youtube_etl_project_spark.plans.dedup_queries import (
+        MD5_LSH_PAIRS_CTES,
+    )
+
+    return f"""
+        WITH RECURSIVE {MD5_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM mpairs
+            UNION
+            SELECT id_b, id_a FROM mpairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ),
+        cc AS (SELECT n AS doc_id, MIN(m) AS root FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               COALESCE(cc.root, d.doc_id) AS cluster_id,
+               CAST(COALESCE(cc.root, d.doc_id) = d.doc_id AS BIGINT)
+                   AS is_canonical
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """
+
+
 @register(
     "dedup_cluster_lsh",
-    oracle=None,  # LSH candidates are xxhash64-seeded; tests/test_graph_lsh.py
-    # pins the refinement property against the exact-pair clustering
-    doc="X2 at 100 TB: the production dedup path — MinHash-LSH candidate "
-        "pairs (cost ∝ collisions, not n²) → connected components → "
-        "cluster id + survivor flag. Same output contract as "
-        "dedup_cluster_cc, which is its exact-pair oracle twin",
+    oracle=_md5_lsh_cluster_oracle(),
+    doc="X2 at 100 TB: the production dedup path — banded MinHash-LSH "
+        "candidate pairs (cost ∝ collisions, not n²) → connected "
+        "components → cluster id + survivor flag. Since round 4 the "
+        "signatures live in the md5 domain (dedup.minhash_lsh_pairs_md5), "
+        "so the ENTIRE path — banding, candidate join, exact-Jaccard "
+        "verify, transitive closure — is ORACLE-CHECKED against a DuckDB "
+        "recursive CTE (was rows-only with xxhash64 signatures). "
+        "tests/test_graph_lsh.py still pins the refinement property vs "
+        "the exact-pair clustering",
 )
 def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
-        threshold=0.5,
+    pairs = dedup.minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.5,
     )
     labels = graph.connected_components(pairs, src="id_a", dst="id_b")
     return docs.join(

@@ -215,10 +215,10 @@ _MD5_BAND_SELECTS = "\n            UNION ALL\n            ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh_md5",
-    oracle=f"""
-        WITH toks AS (
+# The whole md5-LSH pair pipeline as a reusable CTE chain ending in
+# ``mpairs (id_a, id_b, jaccard)`` — shared by the pair query here and the
+# LSH clustering oracle in plans/corpus_pipeline.py.
+MD5_LSH_PAIRS_CTES = f"""toks AS (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t
             FROM documents
@@ -250,13 +250,22 @@ _MD5_BAND_SELECTS = "\n            UNION ALL\n            ".join(
             JOIN ex a ON a.doc_id = c.id_a
             JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
             GROUP BY 1, 2
-        )
-        SELECT i.id_a, i.id_b,
-               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.id_a = sa.doc_id
-        JOIN sizes sb ON i.id_b = sb.doc_id
-        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        ), mpairs AS (
+            SELECT i.id_a, i.id_b,
+                   ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        )"""
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=f"""
+        WITH {MD5_LSH_PAIRS_CTES}
+        SELECT id_a, id_b, jaccard FROM mpairs
     """,
     doc="X2 flagship, ORACLE-CHECKED end-to-end: banded MinHash-LSH whose "
         "signature lives in the md5 domain — substr(md5(seed||'~'||"
@@ -418,15 +427,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_lsh",
-    oracle=None,  # xxhash64-seeded signatures; equivalence with the full
-    # recompute is pinned by tests/test_incremental_dedup.py
+    oracle=f"""
+        WITH {MD5_LSH_PAIRS_CTES},
+        flagged AS (
+            SELECT id_a, id_b, jaccard,
+                   substr(md5(id_a::VARCHAR), 1, 2) < '1a' AS ba,
+                   substr(md5(id_b::VARCHAR), 1, 2) < '1a' AS bb
+            FROM mpairs
+        )
+        SELECT CASE WHEN ba THEN id_a ELSE id_b END AS id_a,
+               CASE WHEN ba THEN id_b ELSE id_a END AS id_b,
+               jaccard
+        FROM flagged WHERE ba OR bb
+    """,
     doc="X2 incremental: near-dup pairs of a new batch (~10% of documents "
         "by deterministic md5 split) against the already-indexed corpus "
         "plus within-batch — the corpus never self-joins, and the batch's "
         "band rows broadcast so the corpus band index streams map-side "
         "with no corpus shuffle. The operational answer to 'a day of "
         "crawl arrived; which of its docs are dups?' without re-running "
-        "dedup over 100 TB",
+        "dedup over 100 TB. Since round 4 the signatures live in the md5 "
+        "domain, so the incremental answer is ORACLE-CHECKED against the "
+        "full pipeline's pairs restricted to batch-touching ones — the "
+        "very incremental == full-recompute equivalence "
+        "tests/test_incremental_dedup.py pins, now enforced cross-engine "
+        "(batch id rides in id_a for cross pairs; batch-batch pairs "
+        "already satisfy both flags so ordering is preserved)",
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -436,13 +462,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < "1a"
     )
-    return dedup.incremental_minhash_pairs(
+    return dedup.incremental_minhash_pairs_md5(
         docs.filter(~is_batch),
         docs.filter(is_batch),
         "doc_id",
         "text",
-        shingle_k=3,
-        n_hashes=32,
-        n_bands=8,
+        n_hashes=_MD5_HASHES,
+        n_bands=_MD5_BANDS,
         threshold=0.5,
     )
