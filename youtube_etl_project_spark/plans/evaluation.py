@@ -1,0 +1,259 @@
+"""Pipeline-evaluation queries (round 4): measure the quality of the
+dedup/retrieval operators themselves, under the same oracle gate as the
+operators — the "is the LSH actually catching the dups?" and "is the
+retrieval ranking actually surfacing relevant docs?" reports a corpus
+team runs before trusting a 100 TB cleaning pass.
+
+Determinism rules: every ranking metric folds INTEGER-grid terms
+(discount constants pre-rounded to a 1e6 grid and embedded as the same
+literals on both engines; counts are exact bigints), so no
+aggregation-order or libm-log divergence is possible; single divisions
+happen once at the end (see registry docstring rules).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators import dedup
+from youtube_etl_project_spark.plans.dedup_queries import (
+    _MD5_BANDS,
+    _MD5_HASHES,
+    MD5_LSH_PAIRS_CTES,
+)
+from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.sources import load_table
+
+# 1e6-grid DCG discounts: D_r = round(1e6 / log2(r + 1)), r = 1..10, and
+# their prefix sums (IDCG at k relevant). Shared literals on both engines;
+# sums of these stay < 2^53, so double arithmetic is exact everywhere.
+_DISC = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+_IDCG = [sum(_DISC[: k + 1]) for k in range(10)]
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+        WITH {MD5_LSH_PAIRS_CTES},
+        eex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM shl
+        ), einter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), epairs AS (
+            SELECT id_a, id_b,
+                   ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                       AS jaccard
+            FROM einter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        )
+        SELECT CAST(FLOOR(e.jaccard * 10) AS BIGINT) AS j_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_caught,
+               ROUND(SUM(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                     / COUNT(*), 6) AS recall
+        FROM epairs e
+        LEFT JOIN mpairs m ON m.id_a = e.id_a AND m.id_b = e.id_b
+        GROUP BY 1
+    """,
+    doc="Dedup-quality report, itself oracle-checked: recall of the "
+        "banded md5 MinHash-LSH path against the exact all-pairs Jaccard "
+        "ground truth, bucketed by true similarity (floor(jaccard*10): "
+        "bucket 5 = [0.5,0.6) ... 10 = exact dups). The verified LSH "
+        "pairs are a subset of the exact pairs by construction, so each "
+        "bucket's recall isolates where banding loses candidates — the "
+        "S-curve every LSH deployment reviews before trusting a corpus "
+        "sweep. Both pair sets reuse the one shingle pass shape; the "
+        "report is a broadcast-sized left join over pair keys",
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    caught = dedup.minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n_hashes=_MD5_HASHES, n_bands=_MD5_BANDS,
+        threshold=0.5,
+    ).select("id_a", "id_b", F.lit(1).alias("caught"))
+    return (
+        exact.join(caught, ["id_a", "id_b"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket")
+        )
+        .agg(
+            cnt("n_true"),
+            F.sum(F.coalesce("caught", F.lit(0))).cast("long").alias(
+                "n_caught"
+            ),
+            F.round(
+                F.sum(F.coalesce("caught", F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "retrieval_eval_mrr_ndcg",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), shl AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), ex AS (
+            SELECT doc_id, source, unnest(shingles) AS s FROM shl
+        ), qx AS (
+            SELECT doc_id AS q, source AS q_src, s FROM ex WHERE doc_id < 10
+        ), inter AS (
+            SELECT qx.q, MIN(qx.q_src) AS q_src,
+                   ex.doc_id AS d, MIN(ex.source) AS d_src,
+                   COUNT(*) AS n_inter
+            FROM qx JOIN ex ON ex.s = qx.s AND ex.doc_id <> qx.q
+            GROUP BY qx.q, ex.doc_id
+        ), ranked AS (
+            SELECT q, q_src, d, d_src,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q ORDER BY n_inter DESC, d ASC
+                   ) AS r
+            FROM inter
+        ), top AS (
+            SELECT q, r,
+                   CASE WHEN d_src = q_src THEN 1 ELSE 0 END AS rel,
+                   [{", ".join(str(x) for x in _DISC)}][r] AS disc
+            FROM ranked WHERE r <= 10
+        ), nrel AS (
+            SELECT a.doc_id AS q,
+                   CAST(COUNT(b.doc_id) AS BIGINT) AS n_rel_total
+            FROM shl a JOIN shl b
+              ON b.source = a.source AND b.doc_id <> a.doc_id
+            WHERE a.doc_id < 10
+            GROUP BY 1
+        ), perq AS (
+            SELECT q,
+                   MIN(CASE WHEN rel = 1 THEN r END) AS first_rel_rank,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel_in_10,
+                   CAST(SUM(rel * disc) AS BIGINT) AS dcg
+            FROM top GROUP BY q
+        )
+        SELECT p.q AS query_id,
+               CAST(COALESCE(p.first_rel_rank, 0) AS BIGINT)
+                   AS first_rel_rank,
+               p.n_rel_in_10,
+               CASE WHEN p.first_rel_rank IS NULL THEN 0.0
+                    ELSE FLOOR(1000000.0 / p.first_rel_rank) / 1e6
+               END AS mrr_at_10,
+               CASE WHEN n.n_rel_total = 0 OR p.dcg IS NULL THEN 0.0
+                    ELSE FLOOR(p.dcg * 1000000.0 /
+                        ([{", ".join(str(x) for x in _IDCG)}]
+                         [LEAST(n.n_rel_total, 10)])) / 1e6
+               END AS ndcg_at_10
+        FROM perq p JOIN nrel n ON n.q = p.q
+    """,
+    doc="Retrieval-quality report, itself oracle-checked: MRR@10 and "
+        "nDCG@10 (binary relevance = same-source, the pseudo-label every "
+        "search eval bootstraps from) for 10 fixed query docs ranked by "
+        "3-gram shingle overlap (n_inter desc, doc_id tiebreak). DCG "
+        "discounts are 1e6-grid integer literals shared by both engines "
+        "and summed as exact bigints — no libm log or float-order "
+        "divergence can split the hash. The ranking reuses the one "
+        "query-side shingle join (O(query shingles), never O(corpus²)); "
+        "ranks come from a per-query partitioned window",
+)
+def retrieval_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    base = dedup.spread(docs).select(
+        "doc_id",
+        "source",
+        dedup.word_shingle_ids(toks, 3).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    ex = base.select(
+        "doc_id", "source", F.explode("shingles").alias("s")
+    )
+    qx = ex.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q"),
+        F.col("source").alias("q_src"),
+        F.col("s").alias("qs"),
+    )
+    inter = (
+        F.broadcast(qx)
+        .join(
+            ex,
+            (F.col("s") == F.col("qs")) & (F.col("doc_id") != F.col("q")),
+        )
+        .groupBy("q", "doc_id")
+        .agg(
+            F.min("q_src").alias("q_src"),
+            F.min("source").alias("d_src"),
+            F.count(F.lit(1)).alias("n_inter"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("n_inter").desc(), F.col("doc_id").asc()
+    )
+    disc = F.lit(_DISC)
+    top = (
+        inter.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select(
+            "q",
+            "q_src",
+            "r",
+            F.when(F.col("d_src") == F.col("q_src"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.element_at(disc, F.col("r")).alias("disc"),
+        )
+    )
+    nrel = (
+        base.filter(F.col("doc_id") < 10)
+        .alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("q"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    )
+    perq = top.groupBy("q").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("r"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum("rel").cast("long").alias("n_rel_in_10"),
+        F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg"),
+    )
+    idcg = F.element_at(F.lit(_IDCG), F.least(F.col("n_rel_total"), F.lit(10)).cast("int"))
+    return perq.join(nrel, "q").select(
+        F.col("q").alias("query_id"),
+        F.coalesce("first_rel_rank", F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        "n_rel_in_10",
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+        .otherwise(
+            F.floor(F.lit(1000000.0) / F.col("first_rel_rank")) / F.lit(1e6)
+        )
+        .alias("mrr_at_10"),
+        F.when(
+            (F.col("n_rel_total") == 0) | F.col("dcg").isNull(), F.lit(0.0)
+        )
+        .otherwise(
+            F.floor(F.col("dcg") * F.lit(1000000.0) / idcg) / F.lit(1e6)
+        )
+        .alias("ndcg_at_10"),
+    )

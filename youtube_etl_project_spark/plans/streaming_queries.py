@@ -159,3 +159,149 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _streaming_dedup_oracle() -> str:
+    from youtube_etl_project_spark.plans.dedup_queries import (
+        MD5_LSH_PAIRS_CTES,
+    )
+
+    return f"""
+        WITH {MD5_LSH_PAIRS_CTES},
+        bflag AS (
+            SELECT doc_id,
+                   substr(md5(doc_id::VARCHAR), 1, 1) < '8' AS in_b1
+            FROM documents
+        ),
+        p11 AS (
+            SELECT m.id_a, m.id_b FROM mpairs m
+            JOIN bflag a ON a.doc_id = m.id_a
+            JOIN bflag c ON c.doc_id = m.id_b
+            WHERE a.in_b1 AND c.in_b1
+        ),
+        d1 AS (SELECT DISTINCT GREATEST(id_a, id_b) AS doc_id FROM p11),
+        s1 AS (
+            SELECT doc_id FROM bflag WHERE in_b1
+              AND doc_id NOT IN (SELECT doc_id FROM d1)
+        ),
+        p2c AS (
+            SELECT CASE WHEN a.in_b1 THEN m.id_b ELSE m.id_a END AS b2doc
+            FROM mpairs m
+            JOIN bflag a ON a.doc_id = m.id_a
+            JOIN bflag c ON c.doc_id = m.id_b
+            WHERE a.in_b1 <> c.in_b1
+              AND (CASE WHEN a.in_b1 THEN m.id_a ELSE m.id_b END)
+                  IN (SELECT doc_id FROM s1)
+        ),
+        p22 AS (
+            SELECT m.id_a, m.id_b FROM mpairs m
+            JOIN bflag a ON a.doc_id = m.id_a
+            JOIN bflag c ON c.doc_id = m.id_b
+            WHERE NOT a.in_b1 AND NOT c.in_b1
+        ),
+        d2 AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT b2doc AS doc_id FROM p2c
+                UNION SELECT GREATEST(id_a, id_b) FROM p22
+            )
+        ),
+        kept AS (
+            SELECT doc_id FROM s1
+            UNION ALL
+            SELECT doc_id FROM bflag WHERE NOT in_b1
+              AND doc_id NOT IN (SELECT doc_id FROM d2)
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_kept
+        FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    """
+
+
+@register(
+    "streaming_dedup_parity",
+    oracle=_streaming_dedup_oracle(),
+    doc="X2/T2 through a REAL stream, under the oracle gate: documents "
+        "arrive as two deterministic micro-batches (md5 50/50 split, "
+        "mtime-ordered files, maxFilesPerTrigger=1) into a foreachBatch "
+        "incremental-dedup loop — each batch runs the md5-domain "
+        "incremental LSH (dedup.incremental_minhash_pairs_md5) against "
+        "the survivors accumulated so far, drops duplicates "
+        "(batch-vs-corpus pairs drop the batch doc; within-batch pairs "
+        "drop the larger id), and appends survivors. The DuckDB twin "
+        "replays the same two-step process declaratively over the full "
+        "pipeline's pair set, so the sequential streaming answer is "
+        "hash-checked, not just pytest-pinned. Cost per batch is "
+        "O(|batch| + touched buckets), the corpus never self-joins — "
+        "the operational 'a day of crawl arrived' loop as a verified "
+        "query",
+)
+def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from youtube_etl_project_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    flag = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        )
+        < "8"
+    )
+    tmp = tempfile.mkdtemp(prefix="sdp_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+
+    def _one_file(df: DataFrame, name: str, mtime: float) -> None:
+        stage = os.path.join(tmp, name + "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, name + ".parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    _one_file(base.filter(flag), "b1", now - 120)
+    _one_file(base.filter(~flag), "b2", now - 60)
+
+    surv_path = os.path.join(tmp, "survivors")
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        try:
+            corpus = s.read.parquet(surv_path)
+        except Exception:
+            corpus = batch.limit(0)
+        pairs = dedup.incremental_minhash_pairs_md5(
+            corpus, batch, "doc_id", "text",
+            n_hashes=16, n_bands=4, threshold=0.5,
+        )
+        dup = dedup.batch_duplicate_ids(pairs, batch.select("doc_id"))
+        fresh = batch.join(dup, "doc_id", "left_anti")
+        fresh.write.mode("append").parquet(surv_path)
+
+    q = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    surv = spark.read.parquet(surv_path).select(
+        "doc_id", F.lit(1).alias("__k")
+    )
+    return docs.select("doc_id").join(surv, "doc_id", "left").select(
+        "doc_id", F.coalesce("__k", F.lit(0)).cast("long").alias("is_kept")
+    )

@@ -216,6 +216,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         graph_analytics,
         quantization_queries,
         streaming_queries,
+        evaluation,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
