@@ -9,12 +9,14 @@ flagships the window exists to showcase.
 
 from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 
+# round 4: q5/q18 ceded their slots to scd2_point_in_time (temporal-join
+# family) and dedup_minhash_lsh_md5 (the oracle-checked LSH twin) — those
+# TPC-H shapes stay covered by the local full gate + plan audit.
 FLAGSHIPS = {
-    "dedup_minhash_lsh", "dedup_cluster_lsh", "dedup_jaccard_dfcut",
-    "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann",
-    "dedup_exact_substring", "scd2_upsert_customers", "cdc_apply_latest",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
-    "tpch_q18_large_orders",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
+    "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann",
+    "embed_ivf_ann", "dedup_exact_substring", "scd2_upsert_customers",
+    "cdc_apply_latest", "scd2_point_in_time", "tpch_q3_shipping_priority",
 }
 
 
@@ -31,9 +33,10 @@ def test_window_contains_flagships():
 def test_window_rows_only_is_bounded():
     reg = load_all_plans()
     rows_only = {n for n in DRIVER_WINDOW if reg[n].oracle is None}
+    # round 4 shrank this: dedup_cluster_lsh gained a recursive-CTE
+    # oracle via the md5-domain signatures
     assert rows_only == {
-        "dedup_minhash_lsh", "dedup_cluster_lsh",
-        "embed_lsh_ann", "embed_ivf_ann",
+        "dedup_minhash_lsh", "embed_lsh_ann", "embed_ivf_ann",
     }
 
 

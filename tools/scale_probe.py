@@ -144,6 +144,12 @@ NOTES = {
         "dominates); triangle join itself is id-oriented and "
         "checkpointed once"
     ),
+    "embed_ivf_ann": (
+        "trains the quantizer on every call: k-means flops are n·K ∝ "
+        "n^1.5 under the K ∝ √n auto-geometry — by construction for the "
+        "oracle-shaped twin; embed_ivf_index_ann (build once, probe "
+        "many) is the serving path and scales at ~1.5"
+    ),
 }
 
 # Hot-shingle stress: same replicas but every document carries one shared

@@ -299,6 +299,7 @@ def md5_signature_df(
     id_col: str,
     text_col: str,
     n_hashes: int = 16,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash signatures in the **md5 domain** — the oracle-checkable
     twin of :func:`minhash_signature_df` (whose seeded xxhash64 has no
@@ -330,7 +331,12 @@ def md5_signature_df(
         .select(F.col(id_col).alias("doc"), shingles.alias("shingles"))
         .filter(F.col("shingles").isNotNull())
     )
-    sh = base.select("doc", F.explode("shingles").alias("sh")).select(
+    sh = base.select("doc", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        # same end-to-end cut semantics as minhash_signature_df: bands
+        # AND verify sets see the filtered shingle space
+        sh = df_cut(sh, "sh", max_df)
+    sh = sh.select(
         "doc",
         "sh",
         *[
@@ -386,6 +392,8 @@ def minhash_lsh_pairs_md5(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH with an **md5-domain signature** — the
     oracle-twin variant of :func:`minhash_lsh_pairs`: every signature
@@ -398,8 +406,15 @@ def minhash_lsh_pairs_md5(
     hash cost of xxhash64 — the price of cross-engine checkability.
     """
     rows_per_band = n_hashes // n_bands
-    sig = md5_signature_df(docs, id_col, text_col, n_hashes)
+    sig = md5_signature_df(docs, id_col, text_col, n_hashes, max_df=max_df)
     banded = md5_band_rows(sig.drop("sh_set"), n_bands, rows_per_band)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     left, right = banded.alias("l"), banded.alias("r")
     candidates = (
         left.join(
@@ -424,13 +439,14 @@ def minhash_lsh_pairs_md5(
 
 
 def incremental_minhash_pairs_md5(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """The md5-domain twin of :func:`incremental_minhash_pairs` — same
     contract (batch-vs-corpus + within-batch pairs, the corpus never
@@ -440,10 +456,20 @@ def incremental_minhash_pairs_md5(
     collides in a band iff both docs agree on it, regardless of which
     join produced it, the result equals the FULL md5 pipeline's pairs
     restricted to batch-touching ones, which is exactly what the DuckDB
-    twin computes."""
+    twin computes.
+
+    Pass ``corpus_index`` (a persisted :func:`md5_signature_df` table;
+    ``corpus`` is then ignored and may be None) and the corpus is never
+    re-shingled — only its flat signature columns are scanned, the
+    production serving shape."""
     rows_per_band = n_hashes // n_bands
     sig_b = md5_signature_df(batch, id_col, text_col, n_hashes)
-    sig_c = md5_signature_df(corpus, id_col, text_col, n_hashes)
+    if corpus_index is not None:
+        sig_c = corpus_index
+    elif corpus is not None:
+        sig_c = md5_signature_df(corpus, id_col, text_col, n_hashes)
+    else:
+        raise ValueError("need corpus or corpus_index")
     bands_b = md5_band_rows(sig_b.drop("sh_set"), n_bands, rows_per_band)
     bands_c = md5_band_rows(sig_c.drop("sh_set"), n_bands, rows_per_band)
     bb = (

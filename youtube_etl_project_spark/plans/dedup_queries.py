@@ -216,41 +216,85 @@ _MD5_BAND_SELECTS = "\n            UNION ALL\n            ".join(
 
 
 # The whole md5-LSH pair pipeline as a reusable CTE chain ending in
-# ``mpairs (id_a, id_b, jaccard)`` — shared by the pair query here and the
-# LSH clustering oracle in plans/corpus_pipeline.py.
-MD5_LSH_PAIRS_CTES = f"""toks AS (
+# ``mpairs (id_a, id_b, jaccard)`` — shared by the pair query here, the
+# LSH clustering oracle in plans/corpus_pipeline.py, and (via
+# ``md5_lsh_pairs_ctes`` with caps) the guarded production config.
+def md5_lsh_pairs_ctes(
+    max_df: int | None = None, max_bucket: int | None = None
+) -> str:
+    """Generate the md5-LSH pair pipeline as a CTE chain ending in
+    ``mpairs (id_a, id_b, jaccard)``, with the optional production
+    guards mirrored exactly: ``max_df`` cuts hot shingles BEFORE
+    signatures (bands and verify sets see the filtered space, sizes are
+    recounted post-cut), ``max_bucket`` drops oversized
+    (band_id, band_hash) buckets before the candidate join."""
+    ex_src = "ex"
+    band_src = "bands"
+    parts = [
+        """toks AS (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t
             FROM documents
-        ), shl AS (
+        )""",
+        """shl AS (
             SELECT doc_id,
                    list_distinct(list_transform(range(1, len(t) - 1),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                        AS shingles
             FROM toks WHERE len(t) >= 3
-        ), ex AS (
+        )""",
+        """ex AS (
             SELECT doc_id, unnest(shingles) AS s FROM shl
-        ), sig AS (
+        )""",
+    ]
+    if max_df is not None:
+        parts.append(f"""exg AS (
+            SELECT doc_id, s FROM (
+                SELECT doc_id, s,
+                       COUNT(*) OVER (PARTITION BY s) AS df FROM ex
+            ) WHERE df <= {max_df}
+        )""")
+        ex_src = "exg"
+    parts.append(f"""sig AS (
             SELECT doc_id,
                    {_MD5_SIG_COLS}
-            FROM ex GROUP BY doc_id
-        ), bands AS (
+            FROM {ex_src} GROUP BY doc_id
+        )""")
+    parts.append(f"""bands AS (
             {_MD5_BAND_SELECTS}
-        ), cand AS (
+        )""")
+    if max_bucket is not None:
+        parts.append(f"""bandsg AS (
+            SELECT doc_id, band_id, band_hash FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash)
+                       AS bn FROM bands
+            ) WHERE bn <= {max_bucket}
+        )""")
+        band_src = "bandsg"
+    parts.append(f"""cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a
-            JOIN bands b ON a.band_id = b.band_id
+            FROM {band_src} a
+            JOIN {band_src} b ON a.band_id = b.band_id
                         AND a.band_hash = b.band_hash
                         AND a.doc_id < b.doc_id
-        ), sizes AS (
+        )""")
+    if max_df is not None:
+        parts.append("""sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM exg GROUP BY 1
+        )""")
+    else:
+        parts.append("""sizes AS (
             SELECT doc_id, len(shingles) AS n_sh FROM shl
-        ), inter AS (
+        )""")
+    parts.append(f"""inter AS (
             SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
             FROM cand c
-            JOIN ex a ON a.doc_id = c.id_a
-            JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+            JOIN {ex_src} a ON a.doc_id = c.id_a
+            JOIN {ex_src} b ON b.doc_id = c.id_b AND b.s = a.s
             GROUP BY 1, 2
-        ), mpairs AS (
+        )""")
+    parts.append("""mpairs AS (
             SELECT i.id_a, i.id_b,
                    ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
                        AS jaccard
@@ -258,7 +302,11 @@ MD5_LSH_PAIRS_CTES = f"""toks AS (
             JOIN sizes sa ON i.id_a = sa.doc_id
             JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-        )"""
+        )""")
+    return ", ".join(parts)
+
+
+MD5_LSH_PAIRS_CTES = md5_lsh_pairs_ctes()
 
 
 @register(
@@ -355,18 +403,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_guarded",
-    oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
+    oracle=f"""
+        WITH {md5_lsh_pairs_ctes(max_df=50, max_bucket=50)}
+        SELECT id_a, id_b, jaccard FROM mpairs
+    """,
     doc="X2 production posture: MinHash-LSH with BOTH hot-key guards on "
-        "(shingle df ≤ 50, band bucket ≤ 50). On clean corpora the caps "
-        "are inert (sf0.1 max shingle df = 25 — results identical to "
-        "dedup_minhash_lsh, pinned by tests/test_dedup.py); on "
-        "boilerplate-heavy corpora they bound the band self-join. This is "
-        "the configuration to run at 100 TB",
+        "(shingle df ≤ 50, band bucket ≤ 50) — the configuration to run "
+        "at 100 TB. Since round 4 it runs on md5-domain signatures, so "
+        "the GUARDED pipeline itself — df cut before signatures, bucket "
+        "cap before the candidate join, verify over the filtered "
+        "shingle space — is ORACLE-CHECKED (the caps are window-count "
+        "filters in SQL too). On clean corpora the caps are inert "
+        "(results identical to dedup_minhash_lsh_md5); on boilerplate-"
+        "heavy corpora they bound the band self-join (hot-shingle "
+        "fixture in SCALE.md)",
 )
 def dedup_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
+    return dedup.minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n_hashes=_MD5_HASHES, n_bands=_MD5_BANDS,
         threshold=0.5, max_df=50, max_bucket=50,
     )
 
@@ -425,9 +480,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_lsh",
-    oracle=f"""
+# Shared by the recompute and the persisted-index serving queries — both
+# must return byte-identical incremental pairs.
+_INCREMENTAL_ORACLE = f"""
         WITH {MD5_LSH_PAIRS_CTES},
         flagged AS (
             SELECT id_a, id_b, jaccard,
@@ -439,7 +494,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN ba THEN id_b ELSE id_a END AS id_b,
                jaccard
         FROM flagged WHERE ba OR bb
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=_INCREMENTAL_ORACLE,
     doc="X2 incremental: near-dup pairs of a new batch (~10% of documents "
         "by deterministic md5 split) against the already-indexed corpus "
         "plus within-batch — the corpus never self-joins, and the batch's "
@@ -470,4 +530,66 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_MD5_HASHES,
         n_bands=_MD5_BANDS,
         threshold=0.5,
+    )
+
+
+# Persisted md5 LSH indexes, keyed by sf_dir — the indexed serving query
+# below probes the SAME materialized signature table across gate runs
+# instead of re-shingling the corpus per call (the dedup twin of the
+# persisted-IVF cache in plans/similarity_queries.py).
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    path = _LSH_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="lsh_index_") + "/sig"
+        docs = load_table(spark, sf_dir, "documents")
+        is_batch = (
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            )
+            < "1a"
+        )
+        dedup.md5_signature_df(
+            docs.filter(~is_batch), "doc_id", "text", _MD5_HASHES
+        ).write.mode("overwrite").parquet(path)
+        _LSH_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_incremental_indexed",
+    oracle=_INCREMENTAL_ORACLE,
+    doc="X2 serving path: the same incremental answer as "
+        "dedup_incremental_lsh, but the corpus side is a PERSISTED md5 "
+        "signature index (build-once parquet of flat h0..h15 + shingle "
+        "sets) — the corpus is never re-shingled, only its index columns "
+        "are scanned while the batch's bands broadcast. Shares "
+        "dedup_incremental_lsh's oracle verbatim: the indexed and "
+        "recompute paths must return byte-identical pairs, so "
+        "index-staleness or signature-drift bugs fail the gate, not just "
+        "a pytest",
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+        )
+        < "1a"
+    )
+    idx = spark.read.parquet(_lsh_index_path(spark, sf_dir))
+    return dedup.incremental_minhash_pairs_md5(
+        None,
+        docs.filter(is_batch),
+        "doc_id",
+        "text",
+        n_hashes=_MD5_HASHES,
+        n_bands=_MD5_BANDS,
+        threshold=0.5,
+        corpus_index=idx,
     )
