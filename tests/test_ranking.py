@@ -1,0 +1,78 @@
+"""operators/ranking: the two-pass distributed rank must be bit-identical
+to the single-partition window forms it replaces (row_number / ntile),
+including the NTILE fill rule at every n % k remainder, descending
+orders, and degenerate sizes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.ranking import (
+    exact_ntile,
+    global_rank,
+)
+
+
+def _frame(spark, n):
+    # deterministic scramble with ties in the value column (md5 ordering,
+    # v has only 7 distinct values -> tiebreaker required and exercised)
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+    )
+
+
+def test_global_rank_matches_window(spark):
+    df = _frame(spark, 1000)
+    ranked, total = global_rank(
+        df, [F.col("v").desc(), F.col("k").asc()], "r", num_partitions=8
+    )
+    assert total == 1000
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    expected = df.withColumn("r", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, ranked.select("id", "r").collect())) == sorted(
+        map(tuple, expected.select("id", "r").collect())
+    )
+
+
+def test_global_rank_no_unpartitioned_window(spark):
+    import contextlib
+    import io
+
+    df = _frame(spark, 100)
+    ranked, _ = global_rank(df, [F.col("k").asc()], "r", num_partitions=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked.explain("formatted")
+    plan = buf.getvalue()
+    # every windowspecdefinition must carry a partition spec
+    import re
+
+    for m in re.finditer(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    ):
+        prefix = m.group(1).strip().rstrip(",")
+        assert prefix and " ASC" not in prefix.split(",")[0], plan
+
+
+@pytest.mark.parametrize("n,k", [(1000, 4), (17, 4), (3, 4), (16, 4), (101, 10)])
+def test_exact_ntile_matches_window_ntile(spark, n, k):
+    df = _frame(spark, n)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    tiled = exact_ntile(df, k, order, "t", num_partitions=4)
+    w = Window.orderBy(*order)
+    expected = df.withColumn("t", F.ntile(k).over(w))
+    assert sorted(map(tuple, tiled.select("id", "t").collect())) == sorted(
+        map(tuple, expected.select("id", "t").collect())
+    )
+    assert dict(tiled.schema["t"].jsonValue().items())["type"] == "integer"
+
+
+def test_global_rank_empty(spark):
+    df = _frame(spark, 10).filter(F.col("id") < 0)
+    ranked, total = global_rank(df, [F.col("k").asc()], "r")
+    assert total == 0
+    assert ranked.count() == 0

@@ -461,16 +461,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_incremental",
-    oracle=None,  # xxhash64-seeded pairs; tests/test_incremental_components.py
-    # pins the operator, and test_graph_lsh.py::test_incremental_cluster_equiv
-    # pins this query's output against dedup_cluster_lsh's full recompute
+    oracle=_md5_lsh_cluster_oracle(),  # identical-to-full-recompute is the
+    # contract, so it SHARES dedup_cluster_lsh's oracle: the incremental
+    # label update must hash-match CC over the full md5 pair set
     doc="X2 incremental, end-to-end: the corpus's stored cluster labels + "
-        "an arriving batch → incremental LSH pairs (no corpus self-join) → "
-        "contract-and-solve component update (CC runs on a graph sized by "
-        "the new pairs, relabeling joins map-side) → same (doc_id, "
-        "cluster_id, is_canonical) contract as dedup_cluster_lsh, and "
-        "identical output to re-running it from scratch — per-day cost "
-        "O(batch), not O(corpus)",
+        "an arriving batch → incremental md5-LSH pairs (no corpus "
+        "self-join) → contract-and-solve component update (CC runs on a "
+        "graph sized by the new pairs, relabeling joins map-side) → same "
+        "(doc_id, cluster_id, is_canonical) contract as "
+        "dedup_cluster_lsh, and identical output to re-running from "
+        "scratch — per-day cost O(batch), not O(corpus). Since round 4 "
+        "that equivalence is ORACLE-ENFORCED (shares the recursive-CTE "
+        "twin), not just pytest-pinned",
 )
 def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -481,15 +483,15 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         < "1a"
     )
     corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
-    lsh = dict(shingle_k=3, n_hashes=32, n_bands=8, threshold=0.5)
+    lsh = dict(n_hashes=16, n_bands=4, threshold=0.5)
 
     # day-0 state: the corpus's labels (stored in production, rebuilt here)
-    old_pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", **lsh)
+    old_pairs = dedup.minhash_lsh_pairs_md5(corpus, "doc_id", "text", **lsh)
     old_labels = graph.connected_components(
         old_pairs, src="id_a", dst="id_b"
     )
 
-    new_pairs = dedup.incremental_minhash_pairs(
+    new_pairs = dedup.incremental_minhash_pairs_md5(
         corpus, batch, "doc_id", "text", **lsh
     )
     labels = graph.incremental_components(
