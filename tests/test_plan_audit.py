@@ -196,3 +196,12 @@ def test_no_unpartitioned_window_exec(plans):
         f"in: {offenders} — use operators/ranking.global_rank / exact_ntile "
         f"or a partitioned window instead"
     )
+
+
+def test_no_cartesian_product_exec(plans):
+    # crossJoin against a broadcast one-row/model-sized dim compiles to
+    # BroadcastNestedLoopJoin (bounded build side — fine); a
+    # CartesianProductExec means BOTH sides are data-sized and the join
+    # is n*m — never acceptable in a registered plan.
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"data-sized cartesian product in: {offenders}"
