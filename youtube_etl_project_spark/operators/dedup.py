@@ -21,6 +21,13 @@ Design notes per operator:
 * ngram_jaccard_pairs: exact all-pairs Jaccard via shingle explode +
   self-join (the oracle-checkable baseline; quadratic in colliding docs —
   use minhash_lsh_pairs at scale).
+* md5_* twins (round 4): the same LSH pipeline with signatures in the md5
+  domain — lexicographic mins of fixed-width md5 hex slices, 4 signature
+  slots per digest — so every signature, band hash, candidate set and
+  verified Jaccard is reproducible in ANSI SQL and the full/guarded/
+  incremental/indexed paths are value-hash oracle-checked. ~2x the hash
+  cost of xxhash64; production keeps the xxhash flagship, the gate keeps
+  the md5 proof.
 """
 
 from __future__ import annotations

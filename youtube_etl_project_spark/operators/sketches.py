@@ -12,10 +12,10 @@ and take the row-wise min — the classic CM upper bound: the estimate
 never undercounts, and overcounts by at most the collision mass
 (E[err] ≈ N/w per cell).
 
-Hashes are xxhash64 with fixed per-row seeds, so the sketch is
-deterministic and pinned by ``tests/test_cms.py``; there is no DuckDB
-twin (xxhash64) — the registered query is rows-only by design, like the
-other hash-seeded sketches.
+Probe hashes live in the md5 domain (round 4): the sketch is
+deterministic, pinned by ``tests/test_cms.py``, AND reproducible in
+ANSI SQL — the registered query hash-matches a DuckDB twin that
+rebuilds the cells and min-estimates from the same md5 arithmetic.
 
 Reference parity: the reference has no sketch surface (its counts are
 exact Snowflake aggregates, e.g. function_app.py's per-day statistics);
@@ -26,8 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-_SEED_STEP = 104729  # distinct seed per hash row; any fixed odd prime works
 
 
 def _probe_cells(key: Column, d: int, w: int) -> Column:

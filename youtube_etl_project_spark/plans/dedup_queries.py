@@ -1,7 +1,13 @@
 """Dedup queries (SURVEY §2b X1/X2) — exact keyed, content-hash, exact
-n-gram Jaccard (oracle-checked), MinHash-LSH and SimHash (rows-only: their
-xxhash64 signatures have no DuckDB twin; tests/test_dedup.py asserts the
-LSH candidates against the exact-Jaccard ground truth instead)."""
+n-gram Jaccard, and the banded LSH family. Since round 4 most of the LSH
+stack runs in the **md5 domain** (signatures = lexicographic mins of
+fixed-width md5 hex slices), which makes every hash reproducible in ANSI
+SQL — the md5 pair pipeline, its guarded production config, the
+incremental and persisted-index serving paths, and the SimHash bit-vote
+fold are all value-hash oracle-checked. Only the xxhash64 flagship
+(`dedup_minhash_lsh`, the fastest production hash) stays rows-only, with
+tests/test_dedup.py asserting its candidates against the exact-Jaccard
+ground truth and the md5 twin carrying the cross-engine proof."""
 
 from __future__ import annotations
 

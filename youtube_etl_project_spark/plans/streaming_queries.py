@@ -305,3 +305,54 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(surv, "doc_id", "left").select(
         "doc_id", F.coalesce("__k", F.lit(0)).cast("long").alias("is_kept")
     )
+
+
+@register(
+    "streaming_dropdup_parity",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    doc="T2/X1 through the STATEFUL streaming dedup operator: the events "
+        "stream is unioned with itself (every row arrives twice), "
+        "watermarked, and deduplicated with dropDuplicatesWithinWatermark "
+        "on event_id — the state-bounded production form (per-key state "
+        "is dropped once the watermark passes, so state never grows with "
+        "the corpus, unlike plain streaming dropDuplicates). The "
+        "append-mode drain lands in a memory sink and is batch-aggregated "
+        "per event type; the oracle is the plain batch aggregate over the "
+        "ORIGINAL table — exact parity proves the doubled rows were all "
+        "eliminated by streaming state, under the same hash gate as "
+        "every batch operator",
+)
+def streaming_dropdup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events")
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    dd = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "sdd_" + uuid.uuid4().hex[:12]
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
