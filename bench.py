@@ -73,6 +73,7 @@ HEADLINE = [
     "embed_ivf_index_ann",
     "orders_rfm_segments",
     "corpus_shuffle_hash",
+    "lineitem_exact_percentiles",
 ]
 
 # Host-speed reference: the calib_jvm_sec recorded in BENCH_r03.json.

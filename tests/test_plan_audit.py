@@ -31,6 +31,7 @@ ARROW_ALLOWED = {
     "dedup_embed_cosine_lsh",  # hyperplane-LSH bucket keys: numpy matmul
     "dedup_embed_cosine",  # blocked matmul prefilter + exact-fold verify
     "dedup_hash_embed_cosine",  # same (cosine_pairs_blocked)
+    "dedup_ensemble_matrix",  # composes the blocked-matmul cosine pairs
     "embed_knn_label_accuracy",  # nn_shortlist_blocked + exact re-rank
     "embed_hard_negatives",  # class_nn_shortlist_blocked + exact re-rank
     "embed_mahalanobis_outliers",  # (x-mu)@Cinv numpy matmul per batch

@@ -113,6 +113,8 @@ PROBE_QUERIES = (
     "embed_ivf_index_ann",
     "graph_triangle_count",
     "orders_revenue_gini",
+    "lineitem_exact_percentiles",
+    "streaming_dropdup_parity",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

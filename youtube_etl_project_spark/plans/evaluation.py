@@ -257,3 +257,124 @@ def retrieval_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_at_10"),
     )
+
+
+_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "lineitem_exact_percentiles",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_extendedprice AS v,
+                   ROW_NUMBER() OVER (
+                       ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                                l_linenumber ASC
+                   ) AS rn
+            FROM lineitem
+        ), t(p) AS (VALUES {", ".join(f"({p})" for p in _PCTS)})
+        SELECT CAST(t.p AS INTEGER) AS p, r.v AS value
+        FROM t JOIN r ON r.rn = CAST(CEIL(
+            t.p / 100.0 * (SELECT COUNT(*) FROM lineitem)) AS BIGINT)
+    """,
+    doc="Exact distributed percentiles over the LARGEST table: the value "
+        "at rank ceil(p/100 · n) of l_extendedprice under a total order "
+        "(price, orderkey, linenumber tiebreaks), ranks from "
+        "operators/ranking.global_rank — no single-partition sort, no "
+        "sketch approximation, no percentile-function interpolation "
+        "semantics to reconcile (the selected values are raw stored "
+        "doubles, so the hash cannot drift). The exact-quantile "
+        "complement to approx_percentile_value: at 100 TB this is the "
+        "two-pass rank everybody actually ships for exact P99s",
+)
+def lineitem_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.ranking import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked, n = global_rank(
+        li,
+        [
+            F.col("v").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "rn",
+    )
+    targets = spark.createDataFrame(
+        [(p, math.ceil(p / 100.0 * n)) for p in _PCTS],
+        "p int, __target long",
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked["rn"] == targets["__target"]
+        )
+        .select("p", F.col("v").alias("value"))
+    )
+
+
+def _ensemble_oracle() -> str:
+    from youtube_etl_project_spark.plans.corpus3 import _hash_embed_oracle
+
+    cos = (
+        "list_inner_product(a.embedding, b.embedding) / "
+        "(sqrt(list_inner_product(a.embedding, a.embedding)) * "
+        "sqrt(list_inner_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH {MD5_LSH_PAIRS_CTES},
+        hemb AS ({_hash_embed_oracle().strip()}),
+        spairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM hemb a JOIN hemb b ON a.doc_id < b.doc_id
+            WHERE {cos} >= 0.95
+        ),
+        j AS (
+            SELECT CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS lexical,
+                   CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS semantic
+            FROM mpairs m
+            FULL OUTER JOIN spairs s
+              ON s.id_a = m.id_a AND s.id_b = m.id_b
+        )
+        SELECT lexical, semantic, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY 1, 2
+    """
+
+
+@register(
+    "dedup_ensemble_matrix",
+    oracle=_ensemble_oracle(),
+    doc="Ensemble dedup agreement: the md5 MinHash-LSH pairs (lexical "
+        "near-dups) full-outer-joined with the hash-embedding cosine "
+        "pairs ≥ 0.95 (semantic near-dups, same text-derived vectors as "
+        "dedup_hash_embed_cosine), rolled up to the 2x2 "
+        "(lexical, semantic) agreement matrix — the 'do my two dedup "
+        "signals agree, and what does each catch alone?' report every "
+        "ensemble cleaning pass starts from. Composes two already-"
+        "oracle-checked families, so the composition is hash-checked "
+        "end-to-end; the join runs over pair KEYS only (both sides "
+        "pre-thresholded), never over documents",
+)
+def dedup_ensemble_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.plans.corpus3 import (
+        dedup_hash_embed_cosine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = dedup.minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("__lex"))
+    sem = dedup_hash_embed_cosine(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__sem")
+    )
+    return (
+        lex.join(sem, ["id_a", "id_b"], "full_outer")
+        .groupBy(
+            F.coalesce("__lex", F.lit(0)).alias("lexical"),
+            F.coalesce("__sem", F.lit(0)).alias("semantic"),
+        )
+        .agg(cnt("n_pairs"))
+    )
