@@ -5,6 +5,8 @@ instead of minutes into the full hash gate."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -14,7 +16,12 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_PARSE_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF),
+    reason=f"fixture dir {SF} not present on this machine",
+)
 
 
 @pytest.fixture(scope="module")

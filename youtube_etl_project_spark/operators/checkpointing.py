@@ -1,0 +1,79 @@
+"""Lineage pinning with a survivable-on-a-real-cluster option.
+
+Multi-referenced DataFrames (iterative loops, branch-then-reuse pipelines)
+must truncate lineage or every reference re-executes the whole upstream
+plan (measured 4x on the LSH→CC path) and iterative plans double per round.
+The repo-wide primitive for that is :func:`pin`.
+
+Recovery contract
+-----------------
+``localCheckpoint`` stores blocks in executor block managers: fast (no
+FS write), but **unrecoverable** — on a real cluster a lost executor makes
+the pinned frame's blocks unavailable and the JOB fails (Spark cannot
+recompute a localCheckpoint'ed lineage: it was truncated). On local[n]
+(one JVM) there is no executor loss short of process death, so local mode
+is always safe.
+
+At 100 TB on 1000 executors, executor loss is routine. For that
+environment set ``SPARK_GRAFT_CHECKPOINT_DIR`` to a durable path
+(``hdfs://...``, ``s3a://...``) — every :func:`pin` then upgrades itself
+to a RELIABLE checkpoint (``df.checkpoint()``): partitions are written to
+the directory once and re-read on loss, so executor death costs a re-read
+instead of the job. The trade is one FS round-trip per pin; for the
+iterative operators here (edge lists, range-partitioned rank frames) the
+pinned data is orders of magnitude smaller than the input, so the write
+is cheap relative to the recompute it insures.
+
+Checkpoint files accumulate per app; enable
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean the
+directory per run) in long-lived drivers.
+
+Streaming ``foreachBatch`` bodies intentionally keep plain
+``localCheckpoint``: a failed micro-batch is retried whole by the
+streaming engine from the source+state checkpoint, so batch-scoped pins
+never need to survive an executor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def pin(
+    df: DataFrame, eager: bool = True, reliable: bool | None = None
+) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage, pinning partition
+    placement for multi-reference use.
+
+    ``reliable=None`` (default) auto-selects: a RELIABLE checkpoint when
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` is set (the cluster posture), else
+    ``localCheckpoint`` (the local[n] posture — see module docstring for
+    the recovery contract). Pass ``reliable=True/False`` to force a mode;
+    forcing ``True`` uses the SparkContext's already-set checkpoint dir
+    or the env var, and raises if neither exists.
+    """
+    env_dir = os.environ.get(ENV_DIR)
+    if reliable is None:
+        reliable = bool(env_dir)
+    if not reliable:
+        return df.localCheckpoint(eager=eager)
+
+    sc = df.sparkSession.sparkContext
+    current = None
+    try:
+        current = sc.getCheckpointDir()
+    except AttributeError:  # pragma: no cover - very old PySpark
+        opt = sc._jsc.sc().getCheckpointDir()
+        current = opt.get() if opt.isDefined() else None
+    if current is None:
+        if not env_dir:
+            raise ValueError(
+                "reliable pin needs a checkpoint dir: set "
+                f"{ENV_DIR} or call sc.setCheckpointDir()"
+            )
+        sc.setCheckpointDir(env_dir)
+    return df.checkpoint(eager=eager)

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from youtube_etl_project_spark.operators.checkpointing import pin
+
 
 def df_cut(
     exploded: DataFrame, item_col: str, max_df: int
@@ -412,6 +414,10 @@ def minhash_lsh_pairs_md5(
     id pairs, shingle sets re-attach only for the verify. md5 is ~2x the
     hash cost of xxhash64 — the price of cross-engine checkability.
     """
+    assert n_hashes % n_bands == 0, (
+        "n_hashes must divide evenly into n_bands — a remainder would "
+        "silently drop trailing signature rows from every band"
+    )
     rows_per_band = n_hashes // n_bands
     sig = md5_signature_df(docs, id_col, text_col, n_hashes, max_df=max_df)
     banded = md5_band_rows(sig.drop("sh_set"), n_bands, rows_per_band)
@@ -469,6 +475,10 @@ def incremental_minhash_pairs_md5(
     ``corpus`` is then ignored and may be None) and the corpus is never
     re-shingled — only its flat signature columns are scanned, the
     production serving shape."""
+    assert n_hashes % n_bands == 0, (
+        "n_hashes must divide evenly into n_bands — a remainder would "
+        "silently drop trailing signature rows from every band"
+    )
     rows_per_band = n_hashes // n_bands
     sig_b = md5_signature_df(batch, id_col, text_col, n_hashes)
     if corpus_index is not None:
@@ -903,7 +913,8 @@ def simhash_pairs(
     width = 64 // n_bands
     sig = simhash64_df(docs, id_col, text_col, seed).select(
         F.col(id_col).alias("doc"), "simhash"
-    ).localCheckpoint(eager=True)  # referenced by bands + both verify sides
+    )
+    sig = pin(sig)  # referenced by bands + both verify sides
 
     def band_bits(i: int) -> Column:
         length = width if i < n_bands - 1 else 64 - width * (n_bands - 1)

@@ -27,9 +27,13 @@ Scale posture (100 TB / 1000-executor notes):
   to the large-star/small-star variant (Kiveris et al., "Connected
   Components in MapReduce and Beyond"), which this module's propagation
   primitive composes into.
-* ``localCheckpoint(eager=True)`` after every round truncates the lineage —
-  without it the plan doubles per iteration and Catalyst analysis time
-  explodes by round ~8.
+* ``checkpointing.pin`` after every round truncates the lineage — without
+  it the plan doubles per iteration and Catalyst analysis time explodes by
+  round ~8. In local mode pin() is a localCheckpoint; on a real cluster
+  set ``SPARK_GRAFT_CHECKPOINT_DIR`` and every pinned round becomes a
+  RELIABLE checkpoint, so an executor lost mid-loop re-reads the round's
+  edge/label partitions from durable storage instead of killing the job
+  (the recovery contract is in the ``checkpointing`` module docstring).
 * Convergence is detected with a count of changed labels: a scalar driver
   aggregate (one long), NOT a data collect.
 """
@@ -40,6 +44,8 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.checkpointing import pin
 
 
 def connected_components(
@@ -73,13 +79,11 @@ def connected_components(
     # expensive pipeline (LSH or all-pairs Jaccard), and every downstream
     # branch below references it — without this cut the pair pipeline
     # re-executes once per branch (measured 4x at sf0.1).
-    edges = edges.select(
+    edges = pin(edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
-    sym = (
-        edges.union(edges.select(F.col("b"), F.col("a")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    ))
+    sym = pin(
+        edges.union(edges.select(F.col("b"), F.col("a"))).distinct()
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
@@ -104,8 +108,8 @@ def connected_components(
                     F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = pin(new_labels)
         changed = new_labels.agg(
             F.sum(F.col("_changed").cast("long")).alias("n")
         ).first()["n"]
@@ -160,17 +164,13 @@ def connected_components_star(
     data collect. At the fixed point every edge is (node, component-min);
     labels fall out by orienting once more.
     """
-    e = (
+    e = pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    nodes = pin(
+        e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
@@ -211,7 +211,7 @@ def connected_components_star(
 
     prev_fp = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = pin(_small_star(_large_star(e)))
         fp = _fingerprint(e)
         if fp == prev_fp:
             break
@@ -262,9 +262,9 @@ def incremental_components(
     edge-less newcomers get singleton labels; endpoints of ``new_edges``
     are included automatically.
     """
-    edges = new_edges.select(
+    edges = pin(new_edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)  # referenced for both endpoint maps
+    ))  # referenced for both endpoint maps
 
     lab = old_labels.select("id", "cluster_id")
     amap = lab.select(

@@ -37,6 +37,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.checkpointing import pin
 from pyspark.sql.functions import pandas_udf
 
 _GRID = 1e9  # mean-snap grid: exact in bigint, ~9 fractional digits
@@ -97,9 +99,9 @@ def pq_train(
     grid-snapped integer mean. Empty cells keep their previous centroid.
     """
     dsub = dim // m
-    sub = _subvector_rows(df, id_col, vec, m, dim).localCheckpoint(
-        eager=True  # reused every iteration; never re-explode upstream
-    )
+    sub = pin(
+        _subvector_rows(df, id_col, vec, m, dim)
+    )  # reused every iteration; never re-explode upstream
 
     seed_rows = (
         sub.withColumn(

@@ -13,11 +13,16 @@ TeraSort's range-partitioned total order):
    disjoint key range.  One range shuffle: the same data movement the
    global sort inside a window needs anyway, except the result stays
    spread over N partitions instead of collapsing to one.
-2. ``localCheckpoint(eager=True)`` pins the partition assignment.  The
-   frame is consumed by two jobs below (counts, then ranks); un-pinned,
-   the range partitioner's reservoir sample could re-draw boundaries
-   between jobs and the offsets would disagree with the placement.  Same
-   branch-then-checkpoint discipline as ``operators/graph.py``.
+2. ``checkpointing.pin`` pins the partition assignment.  The frame is
+   consumed by two jobs below (counts, then ranks); un-pinned, the range
+   partitioner's reservoir sample could re-draw boundaries between jobs
+   and the offsets would disagree with the placement.  Same
+   branch-then-checkpoint discipline as ``operators/graph.py``.  On a
+   real cluster set ``SPARK_GRAFT_CHECKPOINT_DIR`` and the pin becomes a
+   RELIABLE checkpoint, so executor loss re-reads the pinned partitions
+   from durable storage instead of failing the job (localCheckpoint
+   blocks are unrecoverable — see ``checkpointing`` module docstring for
+   the full recovery contract).
 3. Per-partition row counts → cumulative offsets.  Driver state is one
    (partition_id, count) row per partition — bounded model-sized state,
    like the PCA moments or PQ codebooks.
@@ -37,6 +42,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.checkpointing import pin
 
 _PID = "__gr_pid"
 _OFF = "__gr_offset"
@@ -64,8 +71,8 @@ def global_rank(
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    part = pin(part)
     counts = sorted(
         part.groupBy(_PID).count().collect(), key=lambda r: r[_PID]
     )

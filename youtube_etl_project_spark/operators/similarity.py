@@ -19,6 +19,8 @@ import pandas as pd  # noqa: TCH002 — pandas_udf resolves type hints at runtim
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from youtube_etl_project_spark.operators.checkpointing import pin
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i], accumulated in double left-to-right."""
@@ -589,10 +591,9 @@ def _checkpointed_blocks(
     """Project to (id, __v), drop nulls, checkpoint (the subtree is
     referenced by the fan-out AND the exact-verify joins, and counted
     once), and derive the block count nb = ceil(n / block_rows)."""
-    v = (
+    v = pin(
         vectors.select(F.col(id_col).alias("id"), F.col(vec).alias("__v"))
         .filter(F.col("__v").isNotNull())
-        .localCheckpoint(eager=True)
     )
     n = v.count()
     return v, max(1, -(-n // block_rows)) if n else 1
@@ -857,10 +858,9 @@ def semantic_dedup(
     from . import graph
 
     cents = kmeans_centroids(vectors, vec=vec, k=k, iters=iters, id_col=id_col)
-    assigned = (
+    assigned = pin(
         vectors.select(F.col(id_col).alias("id"), F.col(vec).alias("__v"))
         .withColumn("cell", nearest_centroid_vectorized(cents)(F.col("__v")))
-        .localCheckpoint(eager=True)
     )
     # cell -1 = NULL embedding: excluded from BOTH join sides up front —
     # otherwise all null rows share one cell and generate O(n_null²)
@@ -1039,8 +1039,8 @@ def class_nn_shortlist_blocked(
             F.col(class_col).alias("__c"),
         )
         .filter(F.col("__v").isNotNull() & F.col("__c").isNotNull())
-        .localCheckpoint(eager=True)
     )
+    v = pin(v)
     n = v.count()
     nb = max(1, -(-n // block_rows)) if n else 1
     fanned = v.select(

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.plans.corpus_pipeline import _PAIRS_CTE
+from youtube_etl_project_spark.operators.checkpointing import pin
 from youtube_etl_project_spark.registry import cnt, register
 from youtube_etl_project_spark.sources import load_table
 
@@ -151,7 +152,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", shingle_k=3, threshold=0.5
         )
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(

@@ -21,7 +21,8 @@ from youtube_etl_project_spark.sources import load_table
 _PAIRS_DFCUT_CTE = """
     toks AS (
         SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS t
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT doc_id,

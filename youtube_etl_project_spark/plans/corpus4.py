@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from youtube_etl_project_spark.operators.checkpointing import pin
 from youtube_etl_project_spark.registry import cnt, register
 from youtube_etl_project_spark.sources import load_table
 
@@ -296,8 +297,8 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import similarity
     from youtube_etl_project_spark.plans.corpus3 import text_hash_embedding
 
-    emb = text_hash_embedding(spark, sf_dir).localCheckpoint(
-        eager=True  # train + assign both read it; embeddings are derived
+    emb = text_hash_embedding(spark, sf_dir).transform(
+        pin  # train + assign both read it; embeddings are derived
     )
     centroids = similarity.kmeans_centroids(
         emb, vec="embedding", k=8, iters=2, id_col="doc_id"
@@ -307,7 +308,7 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.nearest_centroid_vectorized(centroids)(
             F.col("embedding")
         ).alias("cluster_id"),
-    ).localCheckpoint(eager=True)  # reused: sizes + term rollup
+    ).transform(pin)  # reused: sizes + term rollup
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.join(assigned, "doc_id").select(

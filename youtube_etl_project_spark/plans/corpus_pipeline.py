@@ -23,7 +23,8 @@ from youtube_etl_project_spark.sources import load_table
 _PAIRS_CTE = """
     toks AS (
         SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS t
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT doc_id,
@@ -364,7 +365,8 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id, source,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
             FROM documents
         ), sh AS (
             SELECT doc_id, source,

@@ -62,7 +62,8 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
             FROM documents
         ), sh AS (
             SELECT doc_id,
@@ -99,7 +100,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
             FROM documents
         ), sh AS (
             SELECT doc_id,
@@ -142,7 +144,8 @@ def dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
             FROM documents
         ), sh AS (
             SELECT doc_id,
@@ -239,7 +242,8 @@ def md5_lsh_pairs_ctes(
     parts = [
         """toks AS (
             SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
             FROM documents
         )""",
         """shl AS (

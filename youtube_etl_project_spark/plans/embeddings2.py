@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from youtube_etl_project_spark.operators.checkpointing import pin
 from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
 
@@ -192,7 +193,7 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding", "label"
-    ).localCheckpoint(eager=True)  # shortlist + two re-rank joins
+    ).transform(pin)  # shortlist + two re-rank joins
 
     short = similarity.class_nn_shortlist_blocked(
         v, "vec_id", "embedding", "label"

@@ -106,7 +106,8 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, source,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
             FROM documents
         ), shl AS (
             SELECT doc_id, source,

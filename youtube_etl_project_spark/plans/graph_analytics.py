@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.operators import dedup
+from youtube_etl_project_spark.operators.checkpointing import pin
 from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
 
@@ -116,12 +117,12 @@ def events_markov_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w")
             / F.sum("w").over(Window.partitionBy("src")).cast("double")
         ).alias("p"),
-    ).localCheckpoint(eager=True)  # reused every iteration
+    ).transform(pin)  # reused every iteration
     nodes = (
         p.select(F.col("src").alias("node"))
         .union(p.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     r = nodes.join(F.broadcast(nn)).select(
@@ -170,7 +171,8 @@ def events_markov_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_ORACLE = """
     WITH toks AS (
         SELECT doc_id, source,
-               list_filter(string_split(text, ' '), x -> x <> '') AS t
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), sh AS (
         SELECT doc_id, source,
@@ -251,8 +253,8 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         dedup.word_shingle_ids(toks, 3).alias("shingles"),
-    ).filter(F.size("shingles") > 0).localCheckpoint(
-        eager=True  # shingled ONCE; bench, seeds, and edges all derive
+    ).filter(F.size("shingles") > 0).transform(
+        pin  # shingled ONCE; bench, seeds, and edges all derive
     )
 
     bench = (
@@ -269,7 +271,7 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 8)
         .select("doc_id")
-        .localCheckpoint(eager=True)  # reused as h0 filter in both hops
+        .transform(pin)  # reused as h0 filter in both hops
     )
 
     # edge build = dedup._shingle_intersections' df-cut path, inlined on
@@ -296,7 +298,7 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.5
         )
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)  # both directions + both hops
+        .transform(pin)  # both directions + both hops
     )
     und = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -308,7 +310,7 @@ def decontaminate_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dst").alias("doc_id"))
         .distinct()
         .join(h0, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)  # frontier for hop 2 + anti filter
+        .transform(pin)  # frontier for hop 2 + anti filter
     )
     h2 = (
         und.join(h1.withColumnRenamed("doc_id", "src"), "src")

@@ -80,8 +80,9 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="X3 scale path #2: IVF — k-means-lite coarse quantizer (2 Lloyd "
         "rounds, only the K×dim model reaches the driver), cell equi-join, "
         "n_probe cells per query. Geometry is AUTO-derived from the corpus "
-        "count (auto_ivf_geometry: K ≈ n/256 power-of-two keeps cell size "
-        "bounded as n grows; n_probe back-solved from the RECALL.md sweep "
+        "count (auto_ivf_geometry: K ∝ √n rounded to a power of two — "
+        "the classic IVF balance point where cell count and cell size "
+        "grow together as √n; n_probe back-solved from the RECALL.md sweep "
         "to hold recall ≥ 0.9) — at sf0.1 this resolves to (K=8, "
         "n_probe=5), one step above the measured (8,4) knee; pinned by "
         "tests/test_recall_defaults.py",

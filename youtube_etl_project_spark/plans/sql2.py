@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from youtube_etl_project_spark.plans.corpus_pipeline import _PAIRS_CTE
+from youtube_etl_project_spark.operators.checkpointing import pin
 from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
 from youtube_etl_project_spark.sql import sql
@@ -52,7 +53,7 @@ def sql_recursive_dup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/graph.py.
     dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_k=3, threshold=0.5
-    ).localCheckpoint(eager=True).createOrReplaceTempView("__dup_pairs")
+    ).transform(pin).createOrReplaceTempView("__dup_pairs")
     return spark.sql(
         """
         WITH RECURSIVE paths (s, e, len) AS (
