@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.operators.ranking import (
     exact_ntile,
+    exact_ntile_multi,
     global_rank,
 )
 
@@ -69,6 +70,58 @@ def test_exact_ntile_matches_window_ntile(spark, n, k):
         map(tuple, expected.select("id", "t").collect())
     )
     assert dict(tiled.schema["t"].jsonValue().items())["type"] == "integer"
+
+
+@pytest.mark.parametrize("n,k", [(1000, 4), (17, 4), (101, 10)])
+def test_exact_ntile_multi_matches_windows(spark, n, k):
+    # three orderings (one DESC via negation) fused into one ranking
+    # pass must match three independent window NTILEs exactly
+    df = _frame(spark, n).withColumn(
+        "w", (F.col("id") * 37 % 11).cast("decimal(38,6)")
+    )
+    # slot types must be union-compatible ACROSS measures (mixing string
+    # and decimal would coerce to string and silently re-order numerics)
+    tiled = exact_ntile_multi(
+        df,
+        k,
+        ["id"],
+        [
+            ("t_v", [F.col("v").cast("decimal(38,6)"), F.col("id")]),
+            ("t_w", [(-F.col("w")).cast("decimal(38,6)"), F.col("id")]),
+            ("t_m", [(F.col("id") * 37 % 13).cast("decimal(38,6)"), F.col("id")]),
+        ],
+        num_partitions=4,
+    )
+    expected = df.select(
+        "id",
+        F.ntile(k).over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("t_v"),
+        F.ntile(k).over(Window.orderBy(F.desc("w"), F.asc("id"))).alias("t_w"),
+        F.ntile(k)
+        .over(Window.orderBy(F.asc(F.col("id") * 37 % 13), F.asc("id")))
+        .alias("t_m"),
+    )
+    assert sorted(map(tuple, tiled.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_exact_ntile_multi_matches_sequential(spark):
+    df = _frame(spark, 200)
+    fused = exact_ntile_multi(
+        df,
+        4,
+        ["id"],
+        [
+            ("a", [F.col("v").cast("long"), F.col("id")]),
+            ("b", [(-F.col("v")).cast("long"), F.col("id")]),
+        ],
+        num_partitions=4,
+    )
+    seq = exact_ntile(df, 4, [F.asc("v"), F.asc("id")], "a", 4)
+    seq = exact_ntile(seq, 4, [F.desc("v"), F.asc("id")], "b", 4)
+    assert sorted(map(tuple, fused.select("id", "a", "b").collect())) == sorted(
+        map(tuple, seq.select("id", "a", "b").collect())
+    )
 
 
 def test_global_rank_empty(spark):

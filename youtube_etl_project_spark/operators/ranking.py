@@ -110,8 +110,16 @@ def exact_ntile(
     Spark's ``F.ntile``."""
     rank = f"__ntile_rank_{tile_col}"
     ranked, n = global_rank(df, order_cols, rank, num_partitions)
+    return ranked.withColumn(
+        tile_col, _tile_of_rank(F.col(rank), n, k)
+    ).drop(rank)
+
+
+def _tile_of_rank(r: Column, n: int, k: int) -> Column:
+    """NTILE(k) bucket of 1-based rank ``r`` among ``n`` rows — the
+    shared fill rule (first ``n % k`` tiles take the extra row), matching
+    Spark's and DuckDB's window NTILE bit-for-bit."""
     q, rem = divmod(n, k)
-    r = F.col(rank)
     if q == 0:
         tile = r
     else:
@@ -119,4 +127,61 @@ def exact_ntile(
         tile = F.when(
             r <= F.lit(big), F.floor((r - 1) / F.lit(q + 1)) + 1
         ).otherwise(F.lit(rem) + F.floor((r - F.lit(big) - 1) / F.lit(q)) + 1)
-    return ranked.withColumn(tile_col, tile.cast("int")).drop(rank)
+    return tile.cast("int")
+
+
+def exact_ntile_multi(
+    df: DataFrame,
+    k: int,
+    key_cols: Sequence[str],
+    measures: Sequence[tuple[str, Sequence[Column]]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NTILE(k) under SEVERAL orderings of the same frame in ONE ranking
+    job — the fused form of calling :func:`exact_ntile` once per measure
+    (which pays one range shuffle + one pin + one offsets collect EACH).
+
+    ``measures`` is an ordered list of ``(tile_col, order_exprs)``. Every
+    ``order_exprs`` list must be ASCENDING-sortable Column expressions of
+    the same arity and union-compatible types across measures — for a
+    descending numeric order pass its negation (exact for ints and
+    decimals), and include a tiebreaker so each ordering is total.
+
+    How the fusion works: melt the frame to ``len(measures) × n`` rows
+    tagged with the measure index, then range-partition ONCE on
+    ``(measure_idx, order_exprs...)`` — the index is the leading range
+    key, so each measure's rows stay contiguous and range-ordered and its
+    per-measure rank is just ``global_rank - measure_idx * n``. One range
+    shuffle, one pin, one offsets collect, regardless of how many
+    measures ride along. Returns ``key_cols`` + one IntegerType tile
+    column per measure (join back on the key for payload columns).
+    """
+    names = [t for t, _ in measures]
+    arity = len(measures[0][1])
+    assert all(len(cols) == arity for _, cols in measures), (
+        "every measure needs the same number of order expressions"
+    )
+    slots = [f"__s{i}" for i in range(arity)]
+    melted = None
+    for j, (_, cols) in enumerate(measures):
+        part = df.select(
+            *key_cols,
+            F.lit(j).alias("__m"),
+            *[c.alias(s) for c, s in zip(cols, slots)],
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    order = [F.col("__m").asc()] + [F.col(s).asc() for s in slots]
+    ranked, total = global_rank(melted, order, "__r", num_partitions)
+    n = total // len(measures)
+    local_rank = F.col("__r") - F.col("__m").cast("long") * F.lit(n)
+    long_tiles = ranked.select(
+        *key_cols, "__m", _tile_of_rank(local_rank, n, k).alias("__t")
+    )
+    # pivot back to one row per key: conditional max per measure index
+    # (one hash shuffle on the key — cheap next to the range pass saved)
+    return long_tiles.groupBy(*key_cols).agg(
+        *[
+            F.max(F.when(F.col("__m") == j, F.col("__t"))).alias(names[j])
+            for j in range(len(names))
+        ]
+    )

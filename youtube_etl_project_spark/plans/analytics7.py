@@ -164,19 +164,23 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM segmentation: per-customer recency/frequency/monetary, "
         "quartiled with NTILE fill-rule semantics and explicit custkey "
         "tiebreaks — identical bucketing on both engines — rolled up to "
-        "the 64-segment grid. Monetary sums in the decimal domain. The "
-        "three quartile assignments run through operators/ranking."
-        "exact_ntile (range-shuffle + per-partition offsets + "
-        "partition-local row_number): bit-identical to the NTILE window "
-        "the oracle uses, with no single-partition WindowExec — the "
-        "customer aggregate stays distributed at any customer count",
+        "the 64-segment grid. Monetary sums in the decimal domain. All "
+        "THREE quartile assignments ride ONE fused ranking pass "
+        "(operators/ranking.exact_ntile_multi: melt to 3n tagged rows, "
+        "one range shuffle with the measure index as leading key, "
+        "per-partition offsets, partition-local row_number) — "
+        "bit-identical to the three NTILE windows the oracle uses, with "
+        "no single-partition WindowExec and a third of the shuffles/"
+        "pins/collects the per-measure form paid. DESC orders melt as "
+        "exact decimal negations",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_etl_project_spark.operators.ranking import exact_ntile
+    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.operators.ranking import exact_ntile_multi
 
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("md"))
-    rfm = (
+    rfm = pin(  # referenced by all three melt branches + the join-back
         orders.crossJoin(F.broadcast(mx))
         .groupBy("o_custkey")
         .agg(
@@ -189,17 +193,24 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tiles = exact_ntile(
-        rfm, 4, [F.asc("recency"), F.asc("o_custkey")], "r_tile"
-    )
-    tiles = exact_ntile(
-        tiles, 4, [F.desc("frequency"), F.asc("o_custkey")], "f_tile"
-    )
-    tiles = exact_ntile(
-        tiles, 4, [F.desc("monetary"), F.asc("o_custkey")], "m_tile"
+    # one melted slot per measure: ascending-sortable, union-compatible
+    # decimals (negation + widening are exact — ties and order match the
+    # oracle's ASC/DESC NTILE specs bit-for-bit)
+    sortable = "decimal(38,6)"
+    tiles = exact_ntile_multi(
+        rfm,
+        4,
+        ["o_custkey"],
+        [
+            ("r_tile", [F.col("recency").cast(sortable), F.col("o_custkey")]),
+            ("f_tile", [(-F.col("frequency")).cast(sortable), F.col("o_custkey")]),
+            ("m_tile", [(-F.col("monetary")).cast(sortable), F.col("o_custkey")]),
+        ],
     )
     return (
-        tiles.groupBy("r_tile", "f_tile", "m_tile")
+        rfm.select("o_custkey", "monetary")
+        .join(tiles, "o_custkey")
+        .groupBy("r_tile", "f_tile", "m_tile")
         .agg(
             cnt("n_customers"),
             F.round(
