@@ -12,11 +12,15 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # round 4: q5/q18 ceded their slots to scd2_point_in_time (temporal-join
 # family) and dedup_minhash_lsh_md5 (the oracle-checked LSH twin) — those
 # TPC-H shapes stay covered by the local full gate + plan audit.
+# round 5 (VERDICT r4 #4): filter_like / sort_mixed / param_fanout /
+# distinct_projection ceded their slots to the round-4 capstones.
 FLAGSHIPS = {
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
     "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann",
     "embed_ivf_ann", "dedup_exact_substring", "scd2_upsert_customers",
     "cdc_apply_latest", "scd2_point_in_time", "tpch_q3_shipping_priority",
+    "streaming_dedup_parity", "lineitem_exact_percentiles",
+    "dedup_ensemble_matrix", "dedup_incremental_indexed",
 }
 
 

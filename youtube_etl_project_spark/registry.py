@@ -139,13 +139,16 @@ def cnt(alias: str) -> Column:
 # else follows in module-import order and is covered by the local full
 # gate (tools/check_correctness.py) + the judge's independent re-run.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2a relational core
+    # §2a relational core (round 5: filter_like / sort_mixed /
+    # param_fanout / distinct_projection ceded their slots to the round-4
+    # capstones below — those four trivial shapes stay covered by the
+    # local full gate, like fn_format_string since round 3)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
-    "filter_kind", "filter_like", "filter_notnull",
+    "filter_kind", "filter_notnull",
     "filter_date_incremental", "json_extract_typed", "join_fact_dim",
     "join_semi", "join_anti", "group_pct_of_total", "group_count_region",
-    "distinct_projection", "scalar_subquery_counts", "agg_refresh_daily",
-    "window_latest_per_key", "topk_per_group", "sort_mixed", "param_fanout",
+    "scalar_subquery_counts", "agg_refresh_daily",
+    "window_latest_per_key", "topk_per_group",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
     "fn_text_blob", "fn_keyword_hits", "fn_classify_sentiment",
@@ -168,6 +171,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_point_in_time",
     # TPC-H shape (Q1 is q1_pricing_summary above)
     "tpch_q3_shipping_priority",
+    # round-5 rotation (VERDICT r4 #4): the strongest round-4 proofs —
+    # streaming dedup running under the gate itself, exact percentiles of
+    # the largest table via two-pass values-at-rank, the lexical⊗semantic
+    # dedup agreement matrix, and the persisted-signature-index serving
+    # path sharing its oracle with the recompute twin
+    "streaming_dedup_parity", "lineitem_exact_percentiles",
+    "dedup_ensemble_matrix", "dedup_incremental_indexed",
 )
 
 
