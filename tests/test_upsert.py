@@ -3,6 +3,9 @@ partition overwrite, truncate."""
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.operators.upsert import (
@@ -234,3 +237,84 @@ def test_delete_where(spark, tmp_path):
     depth = len(t.history())
     assert t.delete_where("id = 99") == 0
     assert len(t.history()) == depth
+
+
+def test_concurrent_writer_loses_cleanly(spark, tmp_path):
+    """Two interleaved writers: exactly one commits, the loser raises
+    ConcurrentWriteError, its version directory is discarded, and the
+    table serves the winner's data uncorrupted (VERDICT r4 #6)."""
+    import pytest
+
+    from youtube_etl_project_spark.operators.upsert import (
+        ConcurrentWriteError,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "race"), keep_versions=3)
+    t.write(spark.createDataFrame([(1, "base")], "id long, v string"))
+
+    # writer A starts: snapshots its CAS base and writes its data dir
+    base_a = t._pointer_version()
+    prior_a = t.history()
+    v_a = "v_writer_a_dir"
+    spark.createDataFrame([(2, "a")], "id long, v string").write.parquet(
+        os.path.join(t.root, v_a)
+    )
+
+    # writer B commits in between (a full, normal write)
+    t.write(spark.createDataFrame([(3, "b")], "id long, v string"))
+    winner = t._pointer_version()
+
+    # writer A's commit must detect the moved pointer and fail cleanly
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        t._commit(v_a, base_a, prior_a)
+
+    assert t._pointer_version() == winner  # pointer untouched by loser
+    assert [r["v"] for r in t.read().collect()] == ["b"]
+    assert not os.path.exists(os.path.join(t.root, v_a))  # orphan gone
+    assert not os.path.exists(t._lock)  # lock released
+
+
+def test_concurrent_writer_force_overwrites(spark, tmp_path):
+    """force=True opts a blind overwrite out of the CAS (it genuinely
+    doesn't care what it replaces)."""
+    t = ParquetTable(spark, str(tmp_path / "force"))
+    t.write(spark.createDataFrame([(1, "x")], "id long, v string"))
+    base_a = t._pointer_version()
+    prior_a = t.history()
+    v_a = "v_forced_dir"
+    spark.createDataFrame([(2, "forced")], "id long, v string").write.parquet(
+        os.path.join(t.root, v_a)
+    )
+    t.write(spark.createDataFrame([(3, "mid")], "id long, v string"))
+    t._commit(v_a, base_a, prior_a, force=True)
+    assert [r["v"] for r in t.read().collect()] == ["forced"]
+
+
+def test_commit_lock_contention_and_staleness(spark, tmp_path):
+    """A live competitor's lock blocks until timeout; a dead writer's
+    stale lock is stolen."""
+    import pytest
+
+    from youtube_etl_project_spark.operators.upsert import (
+        ConcurrentWriteError,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "lock"))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+
+    # fresh (live) foreign lock -> the writer times out cleanly
+    t.lock_timeout_sec = 0.3
+    with open(t._lock, "w"):
+        pass
+    with pytest.raises(ConcurrentWriteError, match="commit lock"):
+        t.write(df)
+    os.unlink(t._lock)
+
+    # stale lock (dead writer) -> stolen, write proceeds
+    with open(t._lock, "w"):
+        pass
+    old = time.time() - 3600
+    os.utime(t._lock, (old, old))
+    t.write(df)
+    assert t.read().count() == 1
+    assert not os.path.exists(t._lock)

@@ -22,12 +22,20 @@ duplicate keys — same ordering the reference encodes (SL:82 before SL:86).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this write's snapshot and its
+    pointer swap — this writer's version was discarded, the table holds
+    the competitor's commit intact. Re-read and retry the write."""
 
 
 def _presence(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -105,6 +113,13 @@ class ParquetTable:
     data — the parquet stand-in for Delta's ACID commit (SURVEY §4
     transaction row; reference FA:294-365 semantics).
 
+    Concurrent writers are guarded Delta-OCC-style since round 5: the
+    pointer swap is a compare-and-swap inside a lock-file critical
+    section, so when two writers race, exactly one commits and the other
+    gets ``ConcurrentWriteError`` with its version discarded and the
+    table intact (see ``write()``; previously last-wins could silently
+    drop a competitor's commit).
+
     ``keep_versions`` adds Delta-style time travel: the newest N committed
     versions survive (``history()``, ``read_version(n_back)``); older ones
     are pruned on write. The default 1 keeps only the current version —
@@ -132,14 +147,63 @@ class ParquetTable:
     def _log(self) -> str:
         return os.path.join(self.root, "_LOG")
 
+    # Commit-lock tuning: how long to wait for a competitor's in-flight
+    # pointer swap (the critical section is milliseconds — file writes,
+    # no data IO), and when to declare a leftover lock dead (a writer
+    # that crashed INSIDE the critical section).
+    lock_timeout_sec: float = 10.0
+    lock_stale_sec: float = 60.0
+
+    @property
+    def _lock(self) -> str:
+        return os.path.join(self.root, "_LOCK")
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Mutual exclusion for the pointer CAS: O_CREAT|O_EXCL lock file.
+        A lock older than ``lock_stale_sec`` belongs to a writer that died
+        mid-commit and is stolen; a live competitor's lock is waited on up
+        to ``lock_timeout_sec`` (the guarded section never does data IO,
+        so waits are milliseconds in practice)."""
+        deadline = time.monotonic() + self.lock_timeout_sec
+        while True:
+            try:
+                fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock)
+                except OSError:  # competitor released between tries
+                    continue
+                if age > self.lock_stale_sec:
+                    with contextlib.suppress(OSError):
+                        os.unlink(self._lock)  # steal the dead lock
+                    continue
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"commit lock {self._lock} held for "
+                        f"{age:.1f}s by another writer"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(self._lock)
+
     def exists(self) -> bool:
         return os.path.exists(self._pointer)
 
-    def current_path(self) -> str | None:
+    def _pointer_version(self) -> str | None:
         if not self.exists():
             return None
         with open(self._pointer) as f:
-            return os.path.join(self.root, f.read().strip())
+            return f.read().strip()
+
+    def current_path(self) -> str | None:
+        v = self._pointer_version()
+        return None if v is None else os.path.join(self.root, v)
 
     def read(self) -> DataFrame:
         path = self.current_path()
@@ -147,23 +211,60 @@ class ParquetTable:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         return self.spark.read.parquet(path)
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
-        # Snapshot history BEFORE the swap: a pre-_LOG current version is
-        # only reachable through the pointer fallback, and it must still
-        # be pruned by the retention pass below once superseded.
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", force: bool = False
+    ) -> None:
+        """Commit ``df`` as the new current version.
+
+        Concurrent-writer guard (optimistic concurrency, Delta-OCC
+        style): the pointer value is snapshotted HERE, before the data
+        write, and the commit succeeds only if the pointer is unchanged
+        at swap time — checked and swapped inside the ``_LOCK`` critical
+        section, so two interleaved writers can never both swap. The
+        loser's data directory is removed and ``ConcurrentWriteError``
+        raised (re-read + retry is the caller's move — blind last-wins
+        would silently drop the competitor's commit, which for
+        read-modify-write verbs like delete_where means losing its
+        changes entirely). ``force=True`` skips the check for pure blind
+        overwrites that genuinely don't care what they replace.
+        """
+        # Snapshot pointer + history BEFORE the data write: the CAS base,
+        # and (for retention) a pre-_LOG current version only reachable
+        # through the pointer fallback.
+        base = self._pointer_version()
         prior = self.history()
         version = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, version)
         df.write.mode("errorifexists").parquet(out)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer)  # atomic commit
-        # Log after the swap: every logged entry is a real commit (a crash
-        # right here leaves the commit unlisted; history() repairs that
-        # from the pointer).
-        with open(self._log, "a") as f:
-            f.write(version + "\n")
+        self._commit(version, base, prior, force)
+
+    def _commit(
+        self,
+        version: str,
+        base: str | None,
+        prior: list[str],
+        force: bool = False,
+    ) -> None:
+        """Swap the pointer to ``version`` iff it still reads ``base``."""
+        with self._commit_lock():
+            now = self._pointer_version()
+            if not force and now != base:
+                shutil.rmtree(
+                    os.path.join(self.root, version), ignore_errors=True
+                )
+                raise ConcurrentWriteError(
+                    f"table {self.root} advanced {base!r} -> {now!r} "
+                    "during this write; this version was discarded"
+                )
+            tmp = self._pointer + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, self._pointer)  # atomic commit
+            # Log after the swap: every logged entry is a real commit (a
+            # crash right here leaves the commit unlisted; history()
+            # repairs that from the pointer).
+            with open(self._log, "a") as f:
+                f.write(version + "\n")
         # Retention: drop committed versions beyond the keep window.
         for stale in ([version] + prior)[self.keep_versions:]:
             p = os.path.join(self.root, stale)
