@@ -46,6 +46,8 @@ ARROW_ALLOWED = {
     "text_token_count_bpe",
     "pack_sequences_bpe",
     "embed_pca_project",  # PCA apply: (x-mean)@W numpy matmul per batch
+    "embed_pca_project_v1",  # same matmul, frozen released model
+    "text_topic_assign_v1",  # frozen-centroid assignment: numpy matmul
     "embed_pq_rmse",  # PQ encode+reconstruct: numpy matmul per batch
     "embed_pq_adc_topk",  # ADC LUT gather over codes: numpy per batch
     "embed_pq_rerank_topk",  # ADC shortlist (numpy) + codegen re-rank

@@ -1,0 +1,157 @@
+"""Build the released embedding-model artifacts (run once; committed —
+the BPE-artifact pattern, tools/build_bpe_artifact.py, extended to the
+PCA/topic family per VERDICT r4 #3):
+
+1. ``youtube_etl_project_spark/functions/pca_model_v1.json`` — mean + 16
+   PCA components trained once on the sf0.01 embeddings (numpy moment
+   pass over the raw parquet; eigh + sign-fix via the same
+   ``similarity.pca_components`` rules the runtime uses).
+2. ``tests/fixtures/pca_proj_v1.parquet`` — golden ``(content_md5, pos,
+   pq)``: the 1e4-grid projection of every distinct embedding across the
+   sf0.001/0.01/0.1 fixtures under the frozen model, keyed by the DuckDB
+   content hash of the 1e6-quantized components (the key expression is
+   computed IN DuckDB here and reused verbatim by the oracle, so the two
+   can never drift).
+3. ``youtube_etl_project_spark/functions/topic_centroids_v1.json`` — the
+   k=8 kmeans centroids over the sf0.01 hash embeddings (trained once
+   via the repo's deterministic ``kmeans_centroids``).
+4. ``tests/fixtures/topic_assign_v1.parquet`` — golden ``(content_md5,
+   cluster_id)`` for every distinct document text across the fixtures:
+   embedding via the hash-embed oracle SQL (already proven hash-equal to
+   the Spark side), assignment via the same ``-2XCᵀ + |C|²`` argmin the
+   runtime's ``nearest_centroid_vectorized`` computes.
+
+Re-run only on a deliberate model-version bump; training is
+deterministic, so a re-run over unchanged fixtures is a no-op diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from youtube_etl_project_spark.operators import similarity  # noqa: E402
+from youtube_etl_project_spark.plans.corpus3 import (  # noqa: E402
+    _hash_embed_oracle,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+FN_DIR = os.path.join(REPO, "youtube_etl_project_spark", "functions")
+FIX_DIR = os.path.join(REPO, "tests", "fixtures")
+PCA_MODEL = os.path.join(FN_DIR, "pca_model_v1.json")
+PCA_GOLDEN = os.path.join(FIX_DIR, "pca_proj_v1.parquet")
+TOPIC_MODEL = os.path.join(FN_DIR, "topic_centroids_v1.json")
+TOPIC_GOLDEN = os.path.join(FIX_DIR, "topic_assign_v1.parquet")
+
+# MUST stay identical to the oracle join keys in plans/embeddings2.py /
+# plans/corpus4.py — the golden tables are keyed with these expressions.
+PCA_KEY_SQL = (
+    "md5(array_to_string(list_transform(embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ','))"
+)
+N_COMPONENTS = 16
+PROJ_GRID = 10_000  # 1e4: coarse enough that batch-boundary ULP drift
+# in the runtime's per-Arrow-batch matmul cannot straddle a cell
+
+
+def build_pca() -> None:
+    emb = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in duckdb.sql(
+            "SELECT embedding FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "WHERE embedding IS NOT NULL ORDER BY vec_id"
+        ).fetchall()
+    ]
+    X = np.stack(emb)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    _, comps = similarity.pca_components(cov.tolist())
+    with open(PCA_MODEL, "w") as f:
+        json.dump({"mean": mean.tolist(), "components": comps}, f)
+    print(f"wrote PCA model (d={X.shape[1]}, k={N_COMPONENTS}) -> {PCA_MODEL}")
+
+    W = np.asarray(comps)[:, :N_COMPONENTS]
+    con = duckdb.connect()
+    seen: dict[str, np.ndarray] = {}
+    for d in SF_DIRS:
+        rows = con.sql(
+            f"SELECT {PCA_KEY_SQL} AS k, embedding FROM "
+            f"read_parquet('{d}/embeddings.parquet') "
+            "WHERE embedding IS NOT NULL"
+        ).fetchall()
+        for key, e in rows:
+            if key not in seen:
+                p = (np.asarray(e, dtype=np.float64) - mean) @ W
+                seen[key] = np.floor(p * PROJ_GRID + 0.5).astype(np.int64)
+    ks, poss, pqs = [], [], []
+    for key, pq in seen.items():
+        for pos, v in enumerate(pq):
+            ks.append(key)
+            poss.append(pos)
+            pqs.append(int(v))
+    con.sql(
+        "CREATE TABLE g (content_md5 VARCHAR, pos BIGINT, pq BIGINT)"
+    )
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)", list(zip(ks, poss, pqs)))
+    con.sql(f"COPY g TO '{PCA_GOLDEN}' (FORMAT PARQUET)")
+    print(f"wrote {len(seen)} golden projections -> {PCA_GOLDEN}")
+
+
+def build_topic() -> None:
+    # centroids train once via the repo's deterministic Spark kmeans
+    from youtube_etl_project_spark.plans.corpus3 import text_hash_embedding
+    from youtube_etl_project_spark.session import get_spark
+
+    spark = get_spark("build_topic_artifact")
+    emb = text_hash_embedding(spark, "/root/testdata/sf0.01")
+    cents = similarity.kmeans_centroids(
+        emb, vec="embedding", k=8, iters=2, id_col="doc_id"
+    )
+    with open(TOPIC_MODEL, "w") as f:
+        json.dump({"centroids": cents}, f)
+    print(f"wrote {len(cents)} centroids -> {TOPIC_MODEL}")
+
+    C = np.asarray(cents, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    con = duckdb.connect()
+    seen: dict[str, int] = {}
+    for d in SF_DIRS:
+        con.sql("DROP VIEW IF EXISTS documents")
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        rows = con.sql(
+            f"""
+            WITH emb AS ({_hash_embed_oracle()})
+            SELECT md5(dd.text) AS k, emb.embedding
+            FROM emb JOIN documents dd USING (doc_id)
+            """
+        ).fetchall()
+        for key, e in rows:
+            if key not in seen:
+                x = np.asarray(e, dtype=np.float64)
+                dist = -2.0 * (x @ C.T) + c2
+                seen[key] = int(dist.argmin())
+    con.sql("CREATE TABLE g (content_md5 VARCHAR, cluster_id BIGINT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", list(seen.items()))
+    con.sql(f"COPY g TO '{TOPIC_GOLDEN}' (FORMAT PARQUET)")
+    print(f"wrote {len(seen)} golden assignments -> {TOPIC_GOLDEN}")
+
+
+if __name__ == "__main__":
+    os.makedirs(FIX_DIR, exist_ok=True)
+    build_pca()
+    build_topic()

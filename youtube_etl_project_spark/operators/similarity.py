@@ -510,6 +510,139 @@ def lsh_topk(
     )
 
 
+def md5_plane_signs(
+    n_tables: int, n_planes: int, dim: int
+) -> list[tuple[int, int, int, int]]:
+    """±1 hyperplane components in the **md5 domain**: sign(t, p, j) = +1
+    iff the first hex char of ``md5(f"{t}~{p}~{j}")`` is ≥ '8' (the high
+    bit of the first nibble). Computed driver-side with hashlib (model-
+    sized: tables × planes × dim rows) and reproduced verbatim in SQL as
+    ``substr(md5(t || '~' || p || '~' || j), 1, 1) BETWEEN '8' AND 'f'``
+    — the ANN analogue of dedup's md5-domain MinHash signatures."""
+    import hashlib
+
+    return [
+        (
+            t,
+            p,
+            j,
+            1
+            if hashlib.md5(f"{t}~{p}~{j}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1,
+        )
+        for t in range(n_tables)
+        for p in range(n_planes)
+        for j in range(dim)
+    ]
+
+
+def lsh_ann_md5(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    k: int = 5,
+    scale: int = 10**6,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH ANN whose EVERY intermediate is reproducible in
+    ANSI SQL — the oracle-twin of :func:`lsh_topk` (whose sha256-seeded
+    planes and float dot products have no cross-engine bit guarantee).
+
+    Three md5/fixed-point substitutions make it checkable:
+
+    * planes come from :func:`md5_plane_signs` (md5 high-bit → ±1);
+    * embeddings quantize to a 1e6 integer grid map-side
+      (``FLOOR(e·1e6 + 0.5)`` — the repo's standard snap), so each
+      plane dot is an exact bigint sum: no float-order divergence can
+      flip a bucket bit on either engine;
+    * candidates rank by the exact integer inner product of the
+      quantized vectors (MIPS scoring) with an id tiebreak — every
+      emitted value is integer-domain.
+
+    Same scale posture as the flagship: bucket keys build from one
+    explode + broadcast-join + two aggregations (all codegen, no Python),
+    the bucket equi-join shuffles bare ids, and scoring touches candidate
+    pairs only. Returns (query_id, neighbor_id, rank, dot_q).
+    """
+    spark = queries.sparkSession
+    signs = spark.createDataFrame(
+        md5_plane_signs(n_tables, n_planes, dim),
+        "t int, p int, j int, s long",
+    )
+
+    def quantized(df: DataFrame, id_out: str) -> DataFrame:
+        flat = df.filter(F.col(vec).isNotNull()).select(
+            F.col(id_out), F.posexplode(F.col(vec)).alias("j", "e")
+        )
+        return flat.select(
+            id_out,
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+
+    def bucket_keys(qdf: DataFrame, id_out: str) -> DataFrame:
+        bits = (
+            qdf.join(F.broadcast(signs), "j")
+            .groupBy(id_out, "t", "p")
+            .agg(F.sum(F.col("s") * F.col("q")).alias("pdot"))
+            .select(
+                id_out,
+                "t",
+                "p",
+                (F.col("pdot") >= 0).cast("long").alias("bit"),
+            )
+        )
+        return bits.groupBy(id_out, "t").agg(
+            F.sum(
+                F.call_function("shiftleft", F.col("bit"), F.col("p"))
+            ).alias("key")
+        )
+
+    qq = quantized(queries, query_id)
+    qc = quantized(candidates, cand_id)
+    pairs = (
+        F.broadcast(bucket_keys(qq, query_id))
+        .join(bucket_keys(qc, cand_id), ["t", "key"])
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(query_id, cand_id)
+        .dropDuplicates([query_id, cand_id])
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                qq.select(query_id, "j", F.col("q").alias("qa"))
+            ),
+            query_id,
+        )
+        .join(
+            qc.select(cand_id, "j", F.col("q").alias("qb")),
+            [cand_id, "j"],
+        )
+        .groupBy(query_id, cand_id)
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot_q"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dot_q").desc(), F.col(cand_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            cand_id,
+            F.col("rank").cast("long").alias("rank"),
+            F.col("dot_q").cast("long").alias("dot_q"),
+        )
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -980,11 +1113,15 @@ def pca_project(
     n_components: int,
     vec: str = "embedding",
     out: str = "proj",
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """Apply a trained PCA: ``(x - mean) @ W[:, :k]`` as one numpy matmul
     per Arrow batch (the dense-linear-algebra rule — same as
-    ``nearest_centroid_vectorized``). Output rounded to 6 dp so re-runs
-    are bit-stable despite float batch boundaries."""
+    ``nearest_centroid_vectorized``). Output rounded to ``round_dp`` dp
+    so re-runs are bit-stable despite float batch boundaries; pass
+    ``round_dp=None`` for the raw doubles (callers that grid-snap
+    afterwards must not round twice — a 6-dp round moves values by up to
+    5e-7, enough to straddle a coarse grid cell)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -1000,7 +1137,9 @@ def pca_project(
         res = [None] * len(arr)
         if valid.any():
             x = np.stack(arr[valid]).astype(np.float64)
-            p = np.round((x - mu) @ W, 6)
+            p = (x - mu) @ W
+            if round_dp is not None:
+                p = np.round(p, round_dp)
             for slot, row in zip(np.nonzero(valid)[0], p):
                 res[slot] = row.tolist()
         return pd.Series(res)

@@ -277,6 +277,53 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Released topic model (functions/topic_centroids_v1.json, k=8 kmeans
+# trained once on the sf0.01 hash embeddings by
+# tools/build_ann_artifacts.py) + golden per-text assignments.
+_TOPIC_GOLDEN = "/root/repo/tests/fixtures/topic_assign_v1.parquet"
+
+
+@register(
+    "text_topic_assign_v1",
+    oracle=f"""
+        SELECT d.doc_id, g.cluster_id
+        FROM documents d
+        JOIN read_parquet('{_TOPIC_GOLDEN}') g ON md5(d.text) = g.content_md5
+    """,
+    doc="X4 serving path, ORACLE-CHECKED (VERDICT r4 #3, the BPE golden "
+        "pattern): assign every document to its topic under the RELEASED "
+        "v1 centroid model (frozen k=8 kmeans, committed like a released "
+        "classifier). The golden fixture maps md5(text) to the reference "
+        "assignment — embeddings recomputed by the hash-embed oracle SQL "
+        "(already proven hash-equal to the Spark side) and argmin'd with "
+        "the same -2XCᵀ+|C|² arithmetic the runtime uses — so the "
+        "distributed hash-embed → Arrow-matmul assignment pipeline is "
+        "value-checked end-to-end at any fixture scale. The data-trained "
+        "flagship (text_topic_clusters) stays rows-only by nature; this "
+        "twin proves the application path",
+)
+def text_topic_assign_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from youtube_etl_project_spark import functions as _fns
+    from youtube_etl_project_spark.operators import similarity
+    from youtube_etl_project_spark.plans.corpus3 import text_hash_embedding
+
+    path = os.path.join(
+        os.path.dirname(_fns.__file__), "topic_centroids_v1.json"
+    )
+    with open(path) as f:
+        cents = json.load(f)["centroids"]
+    emb = text_hash_embedding(spark, sf_dir)
+    return emb.select(
+        "doc_id",
+        similarity.nearest_centroid_vectorized(cents)(F.col("embedding"))
+        .cast("long")
+        .alias("cluster_id"),
+    )
+
+
 @register(
     "text_topic_clusters",
     oracle=None,  # k-means cells are model-derived; properties pinned by

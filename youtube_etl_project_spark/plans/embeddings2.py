@@ -95,6 +95,71 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Released PCA model (functions/pca_model_v1.json, trained once on the
+# sf0.01 embeddings by tools/build_ann_artifacts.py) + its golden
+# projection fixture. The join-key expression MUST stay identical to
+# build_ann_artifacts.PCA_KEY_SQL — both are the DuckDB content hash of
+# the 1e6-quantized embedding components.
+_PCA_GOLDEN = "/root/repo/tests/fixtures/pca_proj_v1.parquet"
+_PCA_KEY_SQL = (
+    "md5(array_to_string(list_transform(e.embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ','))"
+)
+
+
+def _pca_model_v1() -> tuple[list, list]:
+    import json
+    import os
+
+    from youtube_etl_project_spark import functions as _fns
+
+    path = os.path.join(os.path.dirname(_fns.__file__), "pca_model_v1.json")
+    with open(path) as f:
+        m = json.load(f)
+    return m["mean"], m["components"]
+
+
+@register(
+    "embed_pca_project_v1",
+    oracle=f"""
+        SELECT e.vec_id, g.pos, g.pq
+        FROM embeddings e
+        JOIN read_parquet('{_PCA_GOLDEN}') g
+          ON {_PCA_KEY_SQL} = g.content_md5
+    """,
+    doc="X3 serving path, ORACLE-CHECKED (VERDICT r4 #3, the BPE golden "
+        "pattern): apply the RELEASED v1 PCA model (frozen mean + 16 "
+        "components, committed like a tokenizer vocab) to every "
+        "embedding, emitting 1e4-grid projection integers. The golden "
+        "fixture holds the sequential numpy reference projection of "
+        "every distinct fixture embedding, keyed by a DuckDB content "
+        "hash of the quantized components — so the distributed "
+        "per-Arrow-batch matmul is hash-checked against the frozen "
+        "model at any fixture scale. The data-trained flagship "
+        "(embed_pca_project) stays rows-only by nature; this twin "
+        "carries the cross-engine proof of the application path, which "
+        "is also the production shape (train once, project the corpus)",
+)
+def embed_pca_project_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    mean, comps = _pca_model_v1()
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.pca_project(
+        emb, mean, comps, 16, round_dp=None
+    ).select("vec_id", "proj")
+    flat = proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "p")
+    )
+    return flat.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor(F.col("p") * F.lit(10_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("pq"),
+    )
+
+
 @register(
     "embed_ridge_r2",
     oracle=None,  # closed-form solve of a 65x65 system has no SQL twin;

@@ -74,6 +74,82 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_TABLES, _ANN_PLANES, _ANN_SCALE = 4, 4, 1_000_000
+
+
+@register(
+    "embed_lsh_ann_md5",
+    oracle=f"""
+        WITH planes AS (
+            SELECT rt.range AS t, rp.range AS p, rj.range AS j,
+                   CASE WHEN substr(md5(rt.range::VARCHAR || '~' ||
+                                        rp.range::VARCHAR || '~' ||
+                                        rj.range::VARCHAR), 1, 1)
+                        BETWEEN '8' AND 'f' THEN 1 ELSE -1 END AS s
+            FROM range({_ANN_TABLES}) rt, range({_ANN_PLANES}) rp,
+                 range({_DIM}) rj
+        ), qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * {_ANN_SCALE} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), bits AS (
+            SELECT vec_id, t, p,
+                   CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM qe JOIN planes ON qe.j = planes.j
+            GROUP BY vec_id, t, p
+        ), keys AS (
+            SELECT vec_id, t, CAST(SUM(bit * (1 << p)) AS BIGINT) AS key
+            FROM bits GROUP BY vec_id, t
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key
+            WHERE a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+            FROM cand c
+            JOIN qe qa ON qa.vec_id = c.query_id
+            JOIN qe qb ON qb.vec_id = c.neighbor_id AND qb.j = qa.j
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+        FROM (
+            SELECT query_id, neighbor_id, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC,
+                                               neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+    doc="X3, ORACLE-CHECKED end-to-end (VERDICT r4 #3): hyperplane-LSH "
+        "ANN in the md5 domain — plane signs from md5 high bits, "
+        "embeddings snapped to a 1e6 integer grid so every plane dot, "
+        "bucket bit, bucket key, candidate pair and final inner-product "
+        "score is exact bigint arithmetic both engines reproduce "
+        "bit-for-bit (the ANN analogue of dedup_minhash_lsh_md5). "
+        "Scoring is quantized MIPS (dot_q desc, id tiebreak) — fully "
+        "integer-domain, immune to float-order divergence. The "
+        "sha256-plane float-cosine flagship (embed_lsh_ann) remains the "
+        "production path; this twin carries the cross-engine proof of "
+        "the same bucket-join plan shape",
+)
+def embed_lsh_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return similarity.lsh_ann_md5(
+        queries, candidates, dim=_DIM, n_tables=_ANN_TABLES,
+        n_planes=_ANN_PLANES, k=5, scale=_ANN_SCALE,
+    )
+
+
 @register(
     "embed_ivf_ann",
     oracle=None,  # data-derived centroids; pinned by tests/test_ivf.py
