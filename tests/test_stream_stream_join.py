@@ -43,3 +43,30 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     )
     assert streamed == expected
     assert len(expected) > 0  # fixture actually exercises the join
+
+
+def test_stream_stream_outer_join_query_matches_batch(spark):
+    """The registered left-outer parity query (flush-sentinel drain) must
+    equal the batch LEFT JOIN exactly — including the NULL right_ts rows
+    that only exist via watermark state eviction."""
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    sf = "/root/testdata/sf0.001"
+    plans = load_all_plans()
+    streamed = sorted(
+        map(tuple, plans["streaming_outer_join_parity"].fn(spark, sf).collect())
+    )
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    expected = sorted(
+        map(
+            tuple,
+            interval_joined_streams(
+                views, clicks, "user_id", "ts", "30 minutes",
+                how="left_outer",
+            ).collect(),
+        )
+    )
+    assert streamed == expected
+    assert any(r[2] is None for r in expected)  # null path exercised

@@ -356,3 +356,94 @@ def streaming_dropdup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "streaming_outer_join_parity",
+    oracle="""
+        SELECT v.user_id,
+               CAST(FLOOR(EPOCH(v.ts)) AS BIGINT) AS left_ts,
+               CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS right_ts
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="X6/T2 stream-stream LEFT OUTER interval join under the oracle "
+        "gate (VERDICT r4 #8): views and clicks arrive as two watermarked "
+        "file streams, joined view→click-within-30min with left_outer — "
+        "the state-eviction mode: an unmatched view emits exactly once "
+        "with NULL right_ts when the watermark closes its window. A "
+        "far-future flush sentinel rides each stream as a second "
+        "micro-batch (maxFilesPerTrigger=1) so the final watermark "
+        "passes every real window and the drained append-mode result "
+        "equals batch LEFT JOIN semantics — hash-matched against the "
+        "plain DuckDB outer join. Completes the streaming join matrix "
+        "(inner interval joins were covered; outer's null path was the "
+        "one untested eviction mode)",
+)
+def streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from youtube_etl_project_spark.streaming.pipeline import (
+        interval_joined_streams,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    flush = ev.agg(F.max("ts").alias("m")).first()["m"] + datetime.timedelta(
+        hours=10
+    )
+    tmp = tempfile.mkdtemp(prefix="soj_")
+
+    def stage(df: DataFrame, name: str) -> str:
+        src = os.path.join(tmp, name)
+        os.makedirs(src)
+        now = time.time()
+        sentinel = spark.createDataFrame([(-999, flush)], df.schema)
+        for part_df, fname, mtime in (
+            (df, "data", now - 120),
+            (sentinel, "flush", now - 60),
+        ):
+            stage_dir = os.path.join(tmp, f"{name}_{fname}_stage")
+            part_df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+            part = globmod.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+            dest = os.path.join(src, fname + ".parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(stage_dir)
+            os.utime(dest, (mtime, mtime))
+        return src
+
+    v_dir, c_dir = stage(views, "views"), stage(clicks, "clicks")
+    sv = (
+        spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(v_dir)
+    )
+    sc_ = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+    )
+    joined = interval_joined_streams(
+        sv, sc_, "user_id", "ts", "30 minutes", "1 hour", how="left_outer"
+    )
+    name = "soj_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") != -999)

@@ -161,16 +161,25 @@ def interval_joined_streams(
     ts_col: str = "ts",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: right-side events within
-    ``within`` after the left event, per key (the attribution/sessionize
-    shape — view→click within 30 min).
+    """Stream-stream interval join: right-side events within ``within``
+    after the left event, per key (the attribution/sessionize shape —
+    view→click within 30 min).
 
     Both sides carry watermarks and the join condition bounds event time in
     BOTH directions, so Spark can size and evict the join state — without
     the time bound, stream-stream state grows forever. Works identically on
     batch DataFrames (watermark no-op, same interval predicate), so tests
     assert streamed == batch twin.
+
+    ``how="left_outer"`` adds the state-eviction null path: a left event
+    whose match window closes under the watermark with no partner emits
+    once with a NULL right_ts — exactly batch LEFT JOIN semantics, but the
+    null rows only materialize when the watermark PASSES the window, so a
+    bounded drain must push the watermark beyond the last real event (the
+    parity query stages a far-future flush sentinel for that; an untimed
+    drain would silently hold the tail rows in join state).
     """
     l = left.select(
         F.col(key).alias("k"), F.col(ts_col).alias("l_ts")
@@ -187,7 +196,7 @@ def interval_joined_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("k").alias(key),
         F.unix_timestamp("l_ts").alias("left_ts"),
         F.unix_timestamp("r_ts").alias("right_ts"),
