@@ -115,6 +115,12 @@ PROBE_QUERIES = (
     "orders_revenue_gini",
     "lineitem_exact_percentiles",
     "streaming_dropdup_parity",
+    # round-5 wave: md5-domain ANN, frozen-model serving twins, fused
+    # RFM ranking, stream-stream outer join
+    "embed_lsh_ann_md5",
+    "embed_pca_project_v1",
+    "text_topic_assign_v1",
+    "streaming_outer_join_parity",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows
@@ -151,6 +157,22 @@ NOTES = {
         "n^1.5 under the K ∝ √n auto-geometry — by construction for the "
         "oracle-shaped twin; embed_ivf_index_ann (build once, probe "
         "many) is the serving path and scales at ~1.5"
+    ),
+    "window_latest_per_key": (
+        "r5 re-probe (best-of-2): t16/t1 = 1.0 — flat, entirely "
+        "fixed-overhead at these sizes (sub-second job); the r4-recorded "
+        "4.5 was single-run noise on a 0.2 s baseline"
+    ),
+    "funnel_conversion": (
+        "r5 re-probe (best-of-2): t16/t1 = 1.4 — constant-dominated; "
+        "the r4-recorded 4.0 was single-run noise on a sub-second job"
+    ),
+    "streaming_dropdup_parity": (
+        "~2 s of streaming machinery dominates t1; the marginal growth "
+        "is the parity HARNESS's driver memory sink accumulating the "
+        "full deduped stream (3.2M rows at 16x), not the operator — "
+        "production drains append to file sinks and the dedup state "
+        "itself is watermark-bounded"
     ),
 }
 
