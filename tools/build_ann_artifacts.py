@@ -151,7 +151,30 @@ def build_topic() -> None:
     print(f"wrote {len(seen)} golden assignments -> {TOPIC_GOLDEN}")
 
 
+IVF_MODEL = os.path.join(FN_DIR, "ivf_centroids_v1.json")
+
+
+def build_ivf() -> None:
+    """k=8 IVF coarse quantizer trained once on the sf0.01 embeddings
+    (same deterministic kmeans the runtime flagship trains per-call).
+    No golden fixture needed: the centroids embed as integer literals in
+    the embed_ivf_ann_v1 oracle, where assignment, probe selection and
+    ranking are all exact bigint arithmetic."""
+    from youtube_etl_project_spark.session import get_spark
+    from youtube_etl_project_spark.sources import load_table
+
+    spark = get_spark("build_ivf_artifact")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = similarity.kmeans_centroids(
+        emb, vec="embedding", k=8, iters=2, id_col="vec_id"
+    )
+    with open(IVF_MODEL, "w") as f:
+        json.dump({"centroids": cents}, f)
+    print(f"wrote {len(cents)} IVF centroids -> {IVF_MODEL}")
+
+
 if __name__ == "__main__":
     os.makedirs(FIX_DIR, exist_ok=True)
     build_pca()
     build_topic()
+    build_ivf()

@@ -537,6 +537,101 @@ def md5_plane_signs(
     ]
 
 
+def _quantized_flat(
+    df: DataFrame, id_out: str, vec: str, scale: int
+) -> DataFrame:
+    """(id, j, q) rows: embedding components snapped to the integer grid
+    (``FLOOR(e·scale + 0.5)`` — the repo's standard cross-engine snap)."""
+    flat = df.filter(F.col(vec).isNotNull()).select(
+        F.col(id_out), F.posexplode(F.col(vec)).alias("j", "e")
+    )
+    return flat.select(
+        id_out,
+        "j",
+        F.floor(
+            F.col("e").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long").alias("q"),
+    )
+
+
+def _md5_bucket_keys(
+    qdf: DataFrame, id_out: str, signs: DataFrame
+) -> DataFrame:
+    """(id, t, key) bucket keys from md5-domain plane signs over
+    quantized components: per-plane exact bigint dot → sign bit → key =
+    Σ bit<<p. All codegen (broadcast sign join + two aggregations)."""
+    bits = (
+        qdf.join(F.broadcast(signs), "j")
+        .groupBy(id_out, "t", "p")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("pdot"))
+        .select(
+            id_out,
+            "t",
+            "p",
+            (F.col("pdot") >= 0).cast("long").alias("bit"),
+        )
+    )
+    return bits.groupBy(id_out, "t").agg(
+        F.sum(
+            F.call_function("shiftleft", F.col("bit"), F.col("p"))
+        ).alias("key")
+    )
+
+
+def cosine_pairs_lsh_md5(
+    vectors: DataFrame,
+    id_col: str,
+    dim: int,
+    vec: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 4,
+    threshold: float = 0.4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Near-dup pair generation via md5-domain hyperplane LSH — the
+    oracle-twin of :func:`cosine_pairs_lsh` (whose sha256 planes and
+    float bucket dots have no cross-engine guarantee). Buckets come from
+    :func:`md5_plane_signs` + grid-quantized exact bigint dots; the
+    verify is the exact left-fold cosine on candidates only, which
+    matches DuckDB's sequential ``list_inner_product`` bit-for-bit (the
+    ``dedup_embed_cosine`` precedent). Returns (id_a, id_b, cosine ≥
+    threshold) with id_a < id_b."""
+    spark = vectors.sparkSession
+    signs = spark.createDataFrame(
+        md5_plane_signs(n_tables, n_planes, dim),
+        "t int, p int, j int, s long",
+    )
+    q = _quantized_flat(vectors, id_col, vec, scale)
+    keys = _md5_bucket_keys(q, id_col, signs)
+    l, r = keys.alias("l"), keys.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("__va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("__vb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_ann_md5(
     queries: DataFrame,
     candidates: DataFrame,
@@ -576,34 +671,10 @@ def lsh_ann_md5(
     )
 
     def quantized(df: DataFrame, id_out: str) -> DataFrame:
-        flat = df.filter(F.col(vec).isNotNull()).select(
-            F.col(id_out), F.posexplode(F.col(vec)).alias("j", "e")
-        )
-        return flat.select(
-            id_out,
-            "j",
-            F.floor(
-                F.col("e").cast("double") * F.lit(float(scale)) + F.lit(0.5)
-            ).cast("long").alias("q"),
-        )
+        return _quantized_flat(df, id_out, vec, scale)
 
     def bucket_keys(qdf: DataFrame, id_out: str) -> DataFrame:
-        bits = (
-            qdf.join(F.broadcast(signs), "j")
-            .groupBy(id_out, "t", "p")
-            .agg(F.sum(F.col("s") * F.col("q")).alias("pdot"))
-            .select(
-                id_out,
-                "t",
-                "p",
-                (F.col("pdot") >= 0).cast("long").alias("bit"),
-            )
-        )
-        return bits.groupBy(id_out, "t").agg(
-            F.sum(
-                F.call_function("shiftleft", F.col("bit"), F.col("p"))
-            ).alias("key")
-        )
+        return _md5_bucket_keys(qdf, id_out, signs)
 
     qq = quantized(queries, query_id)
     qc = quantized(candidates, cand_id)

@@ -397,6 +397,76 @@ def dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embed_cosine_lsh_md5",
+    oracle="""
+        WITH planes AS (
+            SELECT rt.range AS t, rp.range AS p, rj.range AS j,
+                   CASE WHEN substr(md5(rt.range::VARCHAR || '~' ||
+                                        rp.range::VARCHAR || '~' ||
+                                        rj.range::VARCHAR), 1, 1)
+                        BETWEEN '8' AND 'f' THEN 1 ELSE -1 END AS s
+            FROM range(4) rt, range(4) rp, range(64) rj
+        ), qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), bits AS (
+            SELECT vec_id, t, p,
+                   CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM qe JOIN planes ON qe.j = planes.j
+            GROUP BY vec_id, t, p
+        ), keys AS (
+            SELECT vec_id, t, CAST(SUM(bit * (1 << p)) AS BIGINT) AS key
+            FROM bits GROUP BY vec_id, t
+        ), cpairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT p.id_a, p.id_b,
+               ROUND(list_inner_product(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]) /
+                     (sqrt(list_inner_product(ea.embedding::DOUBLE[],
+                                              ea.embedding::DOUBLE[])) *
+                      sqrt(list_inner_product(eb.embedding::DOUBLE[],
+                                              eb.embedding::DOUBLE[]))), 6)
+                   AS cosine
+        FROM cpairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
+        WHERE list_inner_product(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) /
+              (sqrt(list_inner_product(ea.embedding::DOUBLE[],
+                                       ea.embedding::DOUBLE[])) *
+               sqrt(list_inner_product(eb.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]))) >= 0.4
+    """,
+    doc="X2 embedding mode, ORACLE-CHECKED end-to-end (VERDICT r4 #3): "
+        "hyperplane-LSH near-dup pair generation in the md5 domain — "
+        "plane signs from md5 high bits, bucket dots as exact bigint "
+        "sums over 1e6-grid components — so candidate generation is "
+        "reproducible in ANSI SQL, and the verify is the exact left-fold "
+        "cosine on candidates only (the dedup_embed_cosine bit-identity "
+        "precedent). The semantic-dedup analogue of "
+        "dedup_minhash_lsh_md5: the sha256/float flagship "
+        "(dedup_embed_cosine_lsh) stays the production path, this twin "
+        "carries the cross-engine proof of the bucketed plan shape",
+)
+def dedup_embed_cosine_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh_md5(
+        emb, "vec_id", dim=64, threshold=0.4
+    )
+
+
+@register(
     "dedup_simhash_pairs",
     oracle=None,  # xxhash64-based fingerprints have no DuckDB twin;
     # tests/test_dedup.py pins exact parity with brute-force Hamming

@@ -176,6 +176,177 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_v1_centroids_q() -> list[tuple[int, int, int]]:
+    """Frozen v1 IVF centroids (functions/ivf_centroids_v1.json) on the
+    1e6 integer grid — ONE list feeds both the Spark broadcast table and
+    the oracle's VALUES literal, so the two can never drift."""
+    import json
+    import math
+    import os
+
+    from youtube_etl_project_spark import functions as _fns
+
+    path = os.path.join(
+        os.path.dirname(_fns.__file__), "ivf_centroids_v1.json"
+    )
+    with open(path) as f:
+        cents = json.load(f)["centroids"]
+    return [
+        (cell, j, int(math.floor(c * 1_000_000 + 0.5)))
+        for cell, vec in enumerate(cents)
+        for j, c in enumerate(vec)
+    ]
+
+
+_IVF_V1_NPROBE = 3
+_IVF_V1_VALUES = ", ".join(
+    f"({c}, {j}, {q})" for c, j, q in _ivf_v1_centroids_q()
+)
+
+
+@register(
+    "embed_ivf_ann_v1",
+    oracle=f"""
+        WITH cents(cell, j, cq) AS (VALUES {_IVF_V1_VALUES}),
+        qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * {_ANN_SCALE} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), dists AS (
+            SELECT qe.vec_id, c.cell,
+                   SUM((qe.q - c.cq) * (qe.q - c.cq)) AS dist
+            FROM qe JOIN cents c ON c.j = qe.j
+            GROUP BY 1, 2
+        ), assign AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cell ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cell ASC) AS rn
+                FROM dists WHERE vec_id < {_N_QUERIES}
+            ) WHERE rn <= {_IVF_V1_NPROBE}
+        ), cand AS (
+            SELECT p.query_id, a.neighbor_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE p.query_id <> a.neighbor_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+            FROM cand c
+            JOIN qe qa ON qa.vec_id = c.query_id
+            JOIN qe qb ON qb.vec_id = c.neighbor_id AND qb.j = qa.j
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+        FROM (
+            SELECT query_id, neighbor_id, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC,
+                                               neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+    doc="X3 serving path, ORACLE-CHECKED end-to-end (no fixture needed): "
+        "IVF ANN under the RELEASED v1 coarse quantizer — the frozen "
+        "centroids embed as integer literals in BOTH engines, embeddings "
+        "snap to the 1e6 grid, and cell assignment (exact squared-L2 "
+        "argmin with cell tiebreak), n_probe=3 probe selection, and the "
+        "quantized-MIPS top-5 are all exact bigint arithmetic. Together "
+        "with embed_lsh_ann_md5 this puts both ANN index families under "
+        "the value-hash gate; the per-call-trained flagships "
+        "(embed_ivf_ann / embed_ivf_index_ann) stay rows-only by nature "
+        "with recall floors pinned",
+)
+def embed_ivf_ann_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cqdf = spark.createDataFrame(
+        _ivf_v1_centroids_q(), "cell int, j int, cq long"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(float(_ANN_SCALE))
+                + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    diff = F.col("q") - F.col("cq")
+    dists = (
+        qe.join(F.broadcast(cqdf), "j")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist"), F.asc("cell")
+    )
+    ranked_cells = dists.withColumn("rn", F.row_number().over(wc))
+    assign = ranked_cells.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = (
+        ranked_cells.filter(
+            (F.col("vec_id") < _N_QUERIES)
+            & (F.col("rn") <= _IVF_V1_NPROBE)
+        ).select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                qe.filter(F.col("vec_id") < _N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    "j",
+                    F.col("q").alias("qa"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            qe.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "j",
+                F.col("q").alias("qb"),
+            ),
+            ["neighbor_id", "j"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("dot_q").cast("long").alias("dot_q"),
+        )
+    )
+
+
 # Built persisted indexes, keyed by sf_dir — the registered query below is
 # the "query many" half of build-once/query-many, so repeated gate runs
 # probe the SAME materialized index instead of retraining per call.
