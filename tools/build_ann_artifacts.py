@@ -173,8 +173,84 @@ def build_ivf() -> None:
     print(f"wrote {len(cents)} IVF centroids -> {IVF_MODEL}")
 
 
+PQ_MODEL = os.path.join(FN_DIR, "pq_codebooks_v1.json")
+RIDGE_MODEL = os.path.join(FN_DIR, "ridge_weights_v1.json")
+MAHA_MODEL = os.path.join(FN_DIR, "mahalanobis_v1.json")
+
+
+def build_pq() -> None:
+    """m=8 × k=16 PQ codebooks trained once on the sf0.01 embeddings via
+    the repo's deterministic pq_train. embed_pq_encode_v1 embeds them as
+    1e6-grid integer literals; encoding (per-subspace squared-L2 argmin)
+    is then exact bigint arithmetic in both engines."""
+    from youtube_etl_project_spark.operators import quantization
+    from youtube_etl_project_spark.session import get_spark
+    from youtube_etl_project_spark.sources import load_table
+
+    spark = get_spark("build_pq_artifact")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = quantization.pq_train(emb, m=8, dim=64, k=16, iters=2)
+    with open(PQ_MODEL, "w") as f:
+        json.dump({"codebooks": cb.tolist()}, f)
+    print(f"wrote PQ codebooks {cb.shape} -> {PQ_MODEL}")
+
+
+def build_ridge() -> None:
+    """Released quality-scorer weights: the closed-form ridge fit of the
+    label on the embedding (sf0.01, lam=1.0). embed_ridge_score_v1
+    applies them as 1e6-grid integer literals — scoring becomes an exact
+    bigint dot product."""
+    from youtube_etl_project_spark.operators import linear
+    from youtube_etl_project_spark.session import get_spark
+    from youtube_etl_project_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    spark = get_spark("build_ridge_artifact")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "embedding", F.col("label").cast("double").alias("y")
+    )
+    w = linear.ridge_fit(emb, "embedding", "y", lam=1.0)
+    with open(RIDGE_MODEL, "w") as f:
+        json.dump({"weights": w}, f)
+    print(f"wrote {len(w)} ridge weights -> {RIDGE_MODEL}")
+
+
+def build_maha() -> None:
+    """Frozen Mahalanobis model: corpus mean + regularized inverse
+    covariance from the sf0.01 embeddings (same 1e-6·I regularization as
+    the flagship). Stored pre-quantized (mean 1e3, Σ⁻¹ 1e4) with bounds
+    asserted so the v1 query's bigint fold can never overflow."""
+    emb = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in duckdb.sql(
+            "SELECT embedding FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "WHERE embedding IS NOT NULL"
+        ).fetchall()
+    ]
+    X = np.stack(emb)
+    mu = X.mean(axis=0)
+    C = (X.T @ X) / len(X) - np.outer(mu, mu)
+    Ci = np.linalg.inv(C + 1e-6 * np.eye(len(C)))
+    muq = np.floor(mu * 1_000 + 0.5).astype(np.int64)
+    aq = np.floor(Ci * 10_000 + 0.5).astype(np.int64)
+    # per-term bound: (|x|·1e3 + |mu|·1e3)² · |aq|  must stay far under
+    # int64; embeddings are O(1), so diffs are ~4e3 and terms ~1.6e7·|aq|
+    assert np.abs(aq).max() < 10**10, np.abs(aq).max()
+    with open(MAHA_MODEL, "w") as f:
+        json.dump({"mu_q3": muq.tolist(), "ci_q4": aq.tolist()}, f)
+    print(
+        f"wrote mahalanobis model (|aq|max={np.abs(aq).max()}) -> "
+        f"{MAHA_MODEL}"
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(FIX_DIR, exist_ok=True)
     build_pca()
     build_topic()
     build_ivf()
+    build_pq()
+    build_ridge()
+    build_maha()

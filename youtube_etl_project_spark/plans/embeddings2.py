@@ -362,3 +362,184 @@ def embed_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("rank").cast("int").alias("rank"), "vec_id", "score"
     )
+
+
+def _ridge_v1_weights_q() -> tuple[list[tuple[int, int]], int]:
+    """Frozen v1 ridge weights (functions/ridge_weights_v1.json) on the
+    1e6 grid: ([(j, wq)], intercept_q at 1e12) — the intercept lives on
+    the product grid (1e6 component × 1e6 weight) so the whole score is
+    one exact bigint sum."""
+    import json
+    import math
+    import os
+
+    from youtube_etl_project_spark import functions as _fns
+
+    path = os.path.join(
+        os.path.dirname(_fns.__file__), "ridge_weights_v1.json"
+    )
+    with open(path) as f:
+        w = json.load(f)["weights"]
+    wq = [
+        (j, int(math.floor(v * 1_000_000 + 0.5)))
+        for j, v in enumerate(w[:-1])
+    ]
+    bq = int(math.floor(w[-1] * 1_000_000_000_000 + 0.5))
+    return wq, bq
+
+
+_RIDGE_WQ, _RIDGE_BQ = _ridge_v1_weights_q()
+_RIDGE_VALUES = ", ".join(f"({j}, {q})" for j, q in _RIDGE_WQ)
+
+
+@register(
+    "embed_ridge_score_v1",
+    oracle=f"""
+        WITH w(j, wq) AS (VALUES {_RIDGE_VALUES}),
+        qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        )
+        SELECT qe.vec_id,
+               CAST(SUM(qe.q * w.wq) + {_RIDGE_BQ} AS BIGINT) AS yhat_q
+        FROM qe JOIN w ON w.j = qe.j
+        GROUP BY qe.vec_id
+    """,
+    doc="Released-scorer serving path, ORACLE-CHECKED (VERDICT r4 #3): "
+        "score every embedding with the frozen v1 ridge weights — "
+        "weights and components on the 1e6 grid, so the prediction is "
+        "one exact bigint dot product (yhat on the 1e12 product grid, "
+        "intercept pre-scaled to match). This is the production shape "
+        "of a quality classifier: fit once (embed_ridge_r2, rows-only "
+        "by nature — the 65x65 solve), deploy frozen, score 100 TB in "
+        "codegen. Explode → broadcast weight join → one sum per vector",
+)
+def embed_ridge_score_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wdf = spark.createDataFrame(_RIDGE_WQ, "j int, wq long")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    return (
+        qe.join(F.broadcast(wdf), "j")
+        .groupBy("vec_id")
+        .agg(
+            (F.sum(F.col("q") * F.col("wq")) + F.lit(_RIDGE_BQ))
+            .cast("long")
+            .alias("yhat_q")
+        )
+    )
+
+
+def _maha_v1_model_q() -> tuple[list[tuple[int, int]], list[tuple[int, int, int]]]:
+    """Frozen v1 Mahalanobis model (functions/mahalanobis_v1.json),
+    pre-quantized by the builder: mean on the 1e3 grid, Σ⁻¹ on the 1e4
+    grid (bounds asserted at build time so the bigint fold can't
+    overflow)."""
+    import json
+    import os
+
+    from youtube_etl_project_spark import functions as _fns
+
+    path = os.path.join(
+        os.path.dirname(_fns.__file__), "mahalanobis_v1.json"
+    )
+    with open(path) as f:
+        m = json.load(f)
+    mu = [(j, int(v)) for j, v in enumerate(m["mu_q3"])]
+    a = [
+        (i, j, int(v))
+        for i, row in enumerate(m["ci_q4"])
+        for j, v in enumerate(row)
+        if v != 0  # sparse literal: zero entries contribute nothing
+    ]
+    return mu, a
+
+
+_MAHA_MU, _MAHA_A = _maha_v1_model_q()
+_MAHA_MU_VALUES = ", ".join(f"({j}, {q})" for j, q in _MAHA_MU)
+_MAHA_A_VALUES = ", ".join(f"({i}, {j}, {q})" for i, j, q in _MAHA_A)
+
+
+@register(
+    "embed_mahalanobis_v1",
+    oracle=f"""
+        WITH mu(j, muq) AS (VALUES {_MAHA_MU_VALUES}),
+        a(i, j, aq) AS (VALUES {_MAHA_A_VALUES}),
+        qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), centered AS (
+            SELECT qe.vec_id, qe.j, qe.q - mu.muq AS c
+            FROM qe JOIN mu ON mu.j = qe.j
+        )
+        SELECT ci.vec_id,
+               CAST(SUM(ci.c * a.aq * cj.c) AS BIGINT) AS dist_q
+        FROM centered ci
+        JOIN a ON a.i = ci.j
+        JOIN centered cj ON cj.vec_id = ci.vec_id AND cj.j = a.j
+        GROUP BY ci.vec_id
+    """,
+    doc="Outlier-scoring serving path, ORACLE-CHECKED (VERDICT r4 #3): "
+        "squared Mahalanobis distance under the FROZEN v1 model — mean "
+        "on the 1e3 grid, inverse covariance on the 1e4 grid (both "
+        "quantized at build time with overflow bounds asserted), so "
+        "(x-mu)' A (x-mu) is an exact bigint bilinear fold both engines "
+        "reproduce term-for-term. The corrupt-embedding filter deployed "
+        "the way production deploys it: moments fit once "
+        "(embed_mahalanobis_outliers, rows-only by nature — the dxd "
+        "inverse), scored frozen at corpus scale. Explode → centered "
+        "join → broadcast A join → one sum per vector",
+)
+def embed_mahalanobis_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mudf = spark.createDataFrame(_MAHA_MU, "j int, muq long")
+    adf = spark.createDataFrame(_MAHA_A, "i int, j int, aq long")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000.0) + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    centered = qe.join(F.broadcast(mudf), "j").select(
+        "vec_id", "j", (F.col("q") - F.col("muq")).alias("c")
+    )
+    ci = centered.select(
+        "vec_id", F.col("j").alias("i"), F.col("c").alias("c_i")
+    )
+    cj = centered.select("vec_id", "j", F.col("c").alias("c_j"))
+    return (
+        ci.join(F.broadcast(adf), "i")
+        .join(cj, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("c_i") * F.col("aq") * F.col("c_j"))
+            .cast("long")
+            .alias("dist_q")
+        )
+    )

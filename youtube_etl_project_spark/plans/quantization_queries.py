@@ -180,3 +180,102 @@ def embed_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l2", 6).alias("l2"),
         )
     )
+
+
+def _pq_v1_codebook_q() -> list[tuple[int, int, int, int]]:
+    """Frozen v1 PQ codebooks (functions/pq_codebooks_v1.json) on the
+    1e6 integer grid: (sub, code, pos, cbq) rows — ONE list feeds both
+    the Spark broadcast table and the oracle's VALUES literal."""
+    import json
+    import math
+    import os
+
+    from youtube_etl_project_spark import functions as _fns
+
+    path = os.path.join(
+        os.path.dirname(_fns.__file__), "pq_codebooks_v1.json"
+    )
+    with open(path) as f:
+        cb = json.load(f)["codebooks"]  # m × k × dsub
+    return [
+        (sub, code, pos, int(math.floor(v * 1_000_000 + 0.5)))
+        for sub, codes in enumerate(cb)
+        for code, vec in enumerate(codes)
+        for pos, v in enumerate(vec)
+    ]
+
+
+_PQ_V1_VALUES = ", ".join(
+    f"({s}, {c}, {p}, {q})" for s, c, p, q in _pq_v1_codebook_q()
+)
+_PQ_DSUB = 8
+
+
+@register(
+    "embed_pq_encode_v1",
+    oracle=f"""
+        WITH cb(sub, code, pos, cbq) AS (VALUES {_PQ_V1_VALUES}),
+        qe AS (
+            SELECT vec_id,
+                   CAST((u.pos - 1) // {_PQ_DSUB} AS BIGINT) AS sub,
+                   (u.pos - 1) % {_PQ_DSUB} AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), dists AS (
+            SELECT qe.vec_id, qe.sub, cb.code,
+                   SUM((qe.q - cb.cbq) * (qe.q - cb.cbq)) AS dist
+            FROM qe JOIN cb ON cb.sub = qe.sub AND cb.pos = qe.pos
+            GROUP BY 1, 2, 3
+        )
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist ASC, code ASC) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    """,
+    doc="X3/PQ serving path, ORACLE-CHECKED end-to-end (VERDICT r4 #3): "
+        "PQ encoding under the RELEASED v1 codebooks — the frozen m=8 × "
+        "k=16 codebooks embed as 1e6-grid integer literals in both "
+        "engines, and each subvector's code (squared-L2 argmin with code "
+        "tiebreak) is exact bigint arithmetic. Proves the distributed "
+        "encode that every ADC/re-rank query builds on; the per-call-"
+        "trained flagships (embed_pq_rmse/adc/rerank) stay rows-only by "
+        "nature with numpy parity pinned",
+)
+def embed_pq_encode_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cbdf = spark.createDataFrame(
+        _pq_v1_codebook_q(), "sub long, code int, pos int, cbq long"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            (F.col("j") / _PQ_DSUB).cast("long").alias("sub"),
+            (F.col("j") % _PQ_DSUB).alias("pos"),
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    diff = F.col("q") - F.col("cbq")
+    dists = (
+        qe.join(F.broadcast(cbdf), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("dist"), F.asc("code")
+    )
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("code").cast("int").alias("code"))
+    )
