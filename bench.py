@@ -74,6 +74,13 @@ HEADLINE = [
     "orders_rfm_segments",
     "corpus_shuffle_hash",
     "lineitem_exact_percentiles",
+    # round-5 additions: md5-domain ANN, frozen-model serving twins,
+    # stream-stream outer join
+    "embed_lsh_ann_md5",
+    "embed_ivf_ann_v1",
+    "dedup_embed_cosine_lsh_md5",
+    "embed_pq_encode_v1",
+    "streaming_outer_join_parity",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

@@ -14,13 +14,17 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # TPC-H shapes stay covered by the local full gate + plan audit.
 # round 5 (VERDICT r4 #4): filter_like / sort_mixed / param_fanout /
 # distinct_projection ceded their slots to the round-4 capstones.
+# round 5 (VERDICT r4 #3): embed_lsh_ann / embed_ivf_ann ceded their
+# rows-only slots to the value-hash-checked twins (md5-plane LSH, frozen
+# v1 IVF); filter_notnull ceded to streaming_outer_join_parity.
 FLAGSHIPS = {
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
-    "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann",
-    "embed_ivf_ann", "dedup_exact_substring", "scd2_upsert_customers",
+    "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann_md5",
+    "embed_ivf_ann_v1", "dedup_exact_substring", "scd2_upsert_customers",
     "cdc_apply_latest", "scd2_point_in_time", "tpch_q3_shipping_priority",
     "streaming_dedup_parity", "lineitem_exact_percentiles",
     "dedup_ensemble_matrix", "dedup_incremental_indexed",
+    "streaming_outer_join_parity",
 }
 
 
@@ -37,11 +41,11 @@ def test_window_contains_flagships():
 def test_window_rows_only_is_bounded():
     reg = load_all_plans()
     rows_only = {n for n in DRIVER_WINDOW if reg[n].oracle is None}
-    # round 4 shrank this: dedup_cluster_lsh gained a recursive-CTE
-    # oracle via the md5-domain signatures
-    assert rows_only == {
-        "dedup_minhash_lsh", "embed_lsh_ann", "embed_ivf_ann",
-    }
+    # round 5 shrank this to ONE: the ANN slots now hold the
+    # value-hash-checked twins; dedup_minhash_lsh stays as the single
+    # showcased hash-seeded flagship (xxhash production path, recall
+    # floors pinned in RECALL.md)
+    assert rows_only == {"dedup_minhash_lsh"}
 
 
 def test_no_window_name_lost_from_registry():

@@ -144,7 +144,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # capstones below — those four trivial shapes stay covered by the
     # local full gate, like fn_format_string since round 3)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
-    "filter_kind", "filter_notnull",
+    "filter_kind",
     "filter_date_incremental", "json_extract_typed", "join_fact_dim",
     "join_semi", "join_anti", "group_pct_of_total", "group_count_region",
     "scalar_subquery_counts", "agg_refresh_daily",
@@ -164,7 +164,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact_keyed", "events_markov_pagerank", "dedup_ngram_jaccard",
     "dedup_jaccard_dfcut", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
     "dedup_cluster_cc", "dedup_cluster_lsh", "dedup_exact_substring",
-    "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann",
+    # round-5 ANN rotation (VERDICT r4 #3): the rows-only LSH/IVF
+    # flagships (embed_lsh_ann / embed_ivf_ann) ceded their slots to
+    # their value-hash-checked twins — md5-derived hyperplanes and the
+    # frozen released centroid model — so the driver gate hash-checks
+    # the ANN serving path instead of recording weaker rows-only rows.
+    # The xxhash/data-trained flagships stay covered by the local full
+    # gate + the RECALL.md recall floors.
+    "embed_cosine_topk", "embed_lsh_ann_md5", "embed_ivf_ann_v1",
     # temporal join family (round-4: swapped in, with the md5-oracle LSH
     # twin, for tpch_q18/q5 per VERDICT r3 #9 — those TPC-H shapes stay
     # covered by the local full gate and the plan audit's broadcast gate)
@@ -178,6 +185,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # path sharing its oracle with the recompute twin
     "streaming_dedup_parity", "lineitem_exact_percentiles",
     "dedup_ensemble_matrix", "dedup_incremental_indexed",
+    # round-5: the one previously-missing streaming join mode —
+    # watermarked stream-stream LEFT OUTER with state-eviction nulls —
+    # runs under the gate itself (filter_notnull ceded its slot; that
+    # trivial shape stays covered by the local full gate + pushdown
+    # tests)
+    "streaming_outer_join_parity",
 )
 
 
