@@ -174,3 +174,148 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         emb, "vec_id", "embedding", k=k, threshold=0.4
     )
+
+
+def _semantic_v1_oracle() -> str:
+    """SemDeDup under the RELEASED v1 coarse quantizer, all-bigint.
+
+    Cell assignment reuses the frozen IVF v1 centroids on the 1e6 grid
+    (same CTE as embed_ivf_ann_v1); the within-cell cosine test runs on
+    a coarser 1e3 grid so every quantity — dot, |a|², |b|², and the
+    squared threshold comparison 25·dot² ≥ 4·|a|²·|b|² (τ = 0.4 = 2/5)
+    — stays inside int64 on both engines (|q| ≤ 578 ⇒ dot ≤ 2.2e7 ⇒
+    25·dot² ≤ 1.2e16)."""
+    from youtube_etl_project_spark.plans.similarity_queries import (
+        _IVF_V1_VALUES,
+    )
+
+    return f"""
+        WITH cents(cell, j, cq) AS (VALUES {_IVF_V1_VALUES}),
+        qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS q3
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), dists AS (
+            SELECT qe.vec_id, c.cell,
+                   SUM((qe.q - c.cq) * (qe.q - c.cq)) AS dist
+            FROM qe JOIN cents c ON c.j = qe.j
+            GROUP BY 1, 2
+        ), assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cell ASC)
+                           AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), feats AS (
+            SELECT a.cell, qe.vec_id, qe.j, qe.q3
+            FROM qe JOIN assign a ON a.vec_id = qe.vec_id
+        ), pairs AS (
+            SELECT fa.cell, fa.vec_id AS vec_a, fb.vec_id AS vec_b,
+                   CAST(SUM(fa.q3 * fb.q3) AS BIGINT) AS dot_q,
+                   CAST(SUM(fa.q3 * fa.q3) AS BIGINT) AS na,
+                   CAST(SUM(fb.q3 * fb.q3) AS BIGINT) AS nb
+            FROM feats fa
+            JOIN feats fb ON fb.cell = fa.cell AND fb.j = fa.j
+                         AND fa.vec_id < fb.vec_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(cell AS BIGINT) AS cell, vec_a, vec_b, dot_q
+        FROM pairs
+        WHERE dot_q > 0 AND 25 * dot_q * dot_q >= 4 * na * nb
+    """
+
+
+@register(
+    "dedup_semantic_v1",
+    oracle=_semantic_v1_oracle(),
+    doc="X2/X3 serving path, ORACLE-CHECKED end-to-end (VERDICT r4 #3, "
+        "closing the SemDeDup gap): semantic near-dup pairs under the "
+        "RELEASED v1 coarse quantizer. Cell assignment is the frozen "
+        "embed_ivf_ann_v1 argmin (1e6 grid); the within-cell cosine "
+        "τ=0.4 test is the squared integer comparison 25·dot² ≥ "
+        "4·|a|²·|b|² with dot > 0 on the 1e3 grid — every stage exact "
+        "bigint on both engines, so the Σ|cell|² candidate bound AND "
+        "the threshold semantics hash-match DuckDB. The data-trained "
+        "flagship (dedup_semantic, √n k-means cells) stays rows-only by "
+        "nature with brute-force parity pinned; the clustering that "
+        "sits on top is separately oracle-proven by dedup_cluster_cc",
+)
+def dedup_semantic_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.plans.similarity_queries import (
+        _ivf_v1_centroids_q,
+    )
+
+    cqdf = spark.createDataFrame(
+        _ivf_v1_centroids_q(), "cell int, j int, cq long"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = pin(
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("long").alias("q"),
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000.0) + F.lit(0.5)
+            ).cast("long").alias("q3"),
+        )
+    )
+    diff = F.col("q") - F.col("cq")
+    dists = (
+        qe.join(F.broadcast(cqdf), "j")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    assign = (
+        dists.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    feats = qe.join(assign, "vec_id").select("cell", "vec_id", "j", "q3")
+    fa = feats.select(
+        "cell", "j",
+        F.col("vec_id").alias("vec_a"), F.col("q3").alias("qa"),
+    )
+    fb = feats.select(
+        "cell", "j",
+        F.col("vec_id").alias("vec_b"), F.col("q3").alias("qb"),
+    )
+    pairs = (
+        fa.join(fb, ["cell", "j"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("cell", "vec_a", "vec_b")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot_q"),
+            F.sum(F.col("qa") * F.col("qa")).cast("long").alias("na"),
+            F.sum(F.col("qb") * F.col("qb")).cast("long").alias("nb"),
+        )
+    )
+    return (
+        pairs.filter(
+            (F.col("dot_q") > 0)
+            & (
+                F.lit(25) * F.col("dot_q") * F.col("dot_q")
+                >= F.lit(4) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "vec_a", "vec_b", "dot_q",
+        )
+    )
