@@ -379,3 +379,149 @@ def dedup_ensemble_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(cnt("n_pairs"))
     )
+
+
+def _ann_eval_parts():
+    """Reuse the REGISTERED v1/md5 ANN twins verbatim (both their Spark
+    callables and their oracle SQL, pulled from the registry) so the
+    report can never drift from the queries it evaluates."""
+    from youtube_etl_project_spark.plans import similarity_queries as sq
+    from youtube_etl_project_spark.registry import REGISTRY
+
+    return (
+        sq,
+        REGISTRY["embed_ivf_ann_v1"].oracle,
+        REGISTRY["embed_lsh_ann_md5"].oracle,
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from youtube_etl_project_spark.plans.similarity_queries import (
+        _ANN_SCALE,
+        _N_QUERIES,
+    )
+
+    _, ivf_sql, lsh_sql = _ann_eval_parts()
+    # exact ground truth: quantized-MIPS top-5 over ALL candidates — the
+    # same 1e6 grid and (dot_q DESC, id ASC) order the ANN twins use
+    return f"""
+        WITH qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * {_ANN_SCALE} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), gt_scored AS (
+            SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+            FROM qe qa
+            JOIN qe qb ON qb.j = qa.j AND qa.vec_id <> qb.vec_id
+            WHERE qa.vec_id < {_N_QUERIES}
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dot_q DESC,
+                                                   neighbor_id ASC) AS rnk
+                FROM gt_scored
+            ) WHERE rnk <= 5
+        ), ivf_hits AS (
+            SELECT 'ivf_v1' AS method, e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+            FROM exact e
+            LEFT JOIN ({ivf_sql}) a
+                   ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1, 2
+        ), lsh_hits AS (
+            SELECT 'lsh_md5' AS method, e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+            FROM exact e
+            LEFT JOIN ({lsh_sql}) a
+                   ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1, 2
+        )
+        SELECT method, query_id, n_hits, n_hits * 20 AS recall_pct
+        FROM (SELECT * FROM ivf_hits UNION ALL SELECT * FROM lsh_hits)
+    """
+
+
+@register(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    doc="Evaluation capstone (round 5, the ANN analogue of "
+        "dedup_lsh_recall_report): recall@5 of BOTH oracle-checked ANN "
+        "families — the frozen-model IVF (embed_ivf_ann_v1, n_probe=3) "
+        "and the md5-plane hyperplane LSH (embed_lsh_ann_md5) — against "
+        "exact quantized-MIPS ground truth over all candidates, per "
+        "query. The report calls the registered query functions and "
+        "embeds their registered oracle SQL verbatim (pulled from the "
+        "registry), so the evaluation can never drift from the serving "
+        "paths it grades; every count is bigint, recall_pct = hits*20. "
+        "This is the sign-off a search team reads before shipping an "
+        "index config: which queries lose neighbours, under which "
+        "family, at what probe budget",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.checkpointing import pin
+
+    sq, _, _ = _ann_eval_parts()
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(float(sq._ANN_SCALE))
+                + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    qa = qe.filter(F.col("vec_id") < sq._N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("q").alias("qa")
+    )
+    gt_scored = (
+        qe.select(F.col("vec_id").alias("neighbor_id"), "j",
+                  F.col("q").alias("qb"))
+        .join(F.broadcast(qa), "j")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot_q"))
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    exact = pin(
+        gt_scored.withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    def hits(ann: DataFrame, method: str) -> DataFrame:
+        marked = ann.select(
+            "query_id", "neighbor_id", F.lit(1).alias("h")
+        )
+        return (
+            exact.join(marked, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("h"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits")
+            )
+            .select(
+                F.lit(method).alias("method"), "query_id", "n_hits",
+                (F.col("n_hits") * 20).cast("long").alias("recall_pct"),
+            )
+        )
+
+    ivf = sq.embed_ivf_ann_v1(spark, sf_dir)
+    lsh = sq.embed_lsh_ann_md5(spark, sf_dir)
+    return hits(ivf, "ivf_v1").unionByName(hits(lsh, "lsh_md5"))
