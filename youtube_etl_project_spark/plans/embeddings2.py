@@ -543,3 +543,60 @@ def embed_mahalanobis_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist_q")
         )
     )
+
+
+@register(
+    "ridge_eval_mae_v1",
+    oracle=f"""
+        WITH scores AS (
+            SELECT qe.vec_id,
+                   CAST(SUM(qe.q * w.wq) + {_RIDGE_BQ} AS BIGINT) AS yhat_q
+            FROM (
+                SELECT vec_id, u.pos - 1 AS j,
+                       CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings e CROSS JOIN LATERAL (
+                    SELECT unnest(e.embedding) AS v,
+                           generate_subscripts(e.embedding, 1) AS pos
+                ) AS u
+                WHERE e.embedding IS NOT NULL
+            ) qe
+            JOIN (VALUES {_RIDGE_VALUES}) w(j, wq) ON w.j = qe.j
+            GROUP BY qe.vec_id
+        )
+        SELECT CAST(e.label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ABS(CAST(e.label AS BIGINT) * 1000000000000
+                            - s.yhat_q)) AS BIGINT) AS sum_abs_resid_q
+        FROM embeddings e JOIN scores s ON s.vec_id = e.vec_id
+        GROUP BY 1
+    """,
+    doc="Released-scorer EVALUATION report, ORACLE-CHECKED (round 5, "
+        "closing the embed_ridge_r2 / source_quality_scorer_r2 evidence "
+        "gap): per-class mean-absolute-error audit of the frozen v1 "
+        "ridge scorer — labels lift onto the scorer's exact 1e12 "
+        "product grid, so every residual, absolute value, and per-class "
+        "sum is bigint arithmetic both engines reproduce bit-for-bit "
+        "(MAE = sum_abs_resid_q / n / 1e12, derivable by the reader; no "
+        "float division enters the hashed output). The train-side "
+        "flagships (embed_ridge_r2's 65x65 closed-form solve, "
+        "source_quality_scorer_r2's per-group fits) stay rows-only by "
+        "nature with numpy parity pinned; this is the deploy-side "
+        "scorecard a curation team reads per release",
+)
+def ridge_eval_mae_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = embed_ridge_score_v1(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    resid = F.abs(
+        F.col("label") * F.lit(1_000_000_000_000) - F.col("yhat_q")
+    )
+    return (
+        emb.join(scores, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(resid).cast("long").alias("sum_abs_resid_q"),
+        )
+    )
