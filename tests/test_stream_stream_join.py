@@ -70,3 +70,36 @@ def test_stream_stream_outer_join_query_matches_batch(spark):
     )
     assert streamed == expected
     assert any(r[2] is None for r in expected)  # null path exercised
+
+
+def test_stream_stream_full_outer_join_query_matches_batch(spark):
+    """The registered full-outer parity query must equal the batch FULL
+    JOIN exactly — including BOTH state-eviction null directions (views
+    with no click in-window AND clicks with no view in-window)."""
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    sf = "/root/testdata/sf0.001"
+    plans = load_all_plans()
+    streamed = sorted(
+        map(
+            tuple,
+            plans["streaming_full_outer_join_parity"].fn(spark, sf).collect(),
+        ),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    expected = sorted(
+        map(
+            tuple,
+            interval_joined_streams(
+                views, clicks, "user_id", "ts", "30 minutes",
+                how="full_outer",
+            ).collect(),
+        ),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+    assert streamed == expected
+    assert any(r[2] is None for r in expected)  # unmatched-view path
+    assert any(r[1] is None for r in expected)  # unmatched-click path

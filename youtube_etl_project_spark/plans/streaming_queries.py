@@ -384,6 +384,40 @@ def streaming_dropdup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one untested eviction mode)",
 )
 def streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interval_join_parity(spark, sf_dir, how="left_outer")
+
+
+@register(
+    "streaming_full_outer_join_parity",
+    oracle="""
+        SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+               CAST(FLOOR(EPOCH(v.ts)) AS BIGINT) AS left_ts,
+               CAST(FLOOR(EPOCH(c.ts)) AS BIGINT) AS right_ts
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        FULL JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="X6/T2 stream-stream FULL OUTER interval join under the oracle "
+        "gate — the both-directions state-eviction mode that completes "
+        "the streaming join matrix (inner / left_outer / full_outer): an "
+        "unmatched view emits (NULL right_ts) when the watermark closes "
+        "its forward window, and an unmatched click ALSO emits (NULL "
+        "left_ts) when the watermark passes the trailing window a "
+        "partner view could still have arrived in. Same flush-sentinel "
+        "bounded drain as the left-outer twin; hash-matched against the "
+        "plain DuckDB FULL JOIN with the key coalesced across sides",
+)
+def streaming_full_outer_join_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _interval_join_parity(spark, sf_dir, how="full_outer")
+
+
+def _interval_join_parity(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     import datetime
     import glob as globmod
     import os
@@ -435,7 +469,7 @@ def streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(c_dir)
     )
     joined = interval_joined_streams(
-        sv, sc_, "user_id", "ts", "30 minutes", "1 hour", how="left_outer"
+        sv, sc_, "user_id", "ts", "30 minutes", "1 hour", how=how
     )
     name = "soj_" + uuid.uuid4().hex[:12]
     q = (

@@ -180,6 +180,13 @@ def interval_joined_streams(
     bounded drain must push the watermark beyond the last real event (the
     parity query stages a far-future flush sentinel for that; an untimed
     drain would silently hold the tail rows in join state).
+
+    ``how="full_outer"`` evicts in BOTH directions: an unmatched right
+    event also emits once (NULL left_ts) when the watermark passes the
+    window in which a partner could still arrive. The output key is
+    coalesced across sides — identical to the left key for inner/left
+    modes (it is never NULL there), and the only well-defined key for
+    the right-side null rows.
     """
     l = left.select(
         F.col(key).alias("k"), F.col(ts_col).alias("l_ts")
@@ -197,7 +204,7 @@ def interval_joined_streams(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how).select(
-        F.col("k").alias(key),
+        F.coalesce(F.col("k"), F.col("r_k")).alias(key),
         F.unix_timestamp("l_ts").alias("left_ts"),
         F.unix_timestamp("r_ts").alias("right_ts"),
     )
