@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_embed_cosine_lsh_md5",
     "embed_pq_encode_v1",
     "streaming_outer_join_parity",
+    "dedup_semantic_v1",
+    "ann_recall_report",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

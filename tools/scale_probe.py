@@ -121,6 +121,13 @@ PROBE_QUERIES = (
     "embed_pca_project_v1",
     "text_topic_assign_v1",
     "streaming_outer_join_parity",
+    # round-5 second wave: frozen-cell SemDeDup, PQ serving path
+    # (shortlist+re-rank covers the ADC scan), ANN recall report,
+    # frozen-scorer evaluation
+    "dedup_semantic_v1",
+    "embed_pq_rerank_v1",
+    "ann_recall_report",
+    "ridge_eval_mae_v1",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

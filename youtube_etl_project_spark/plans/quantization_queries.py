@@ -1,9 +1,14 @@
 """Product-quantization queries (X3 support): codebook compression audit
 and ADC approximate search over the embeddings table.
 
-Both are rows-only at the driver gate (k-means codebooks have no DuckDB
-twin) — tests/test_pq.py pins the full numpy replica: identical
-centroids, codes, per-vector RMSE, and ADC rankings.
+The per-call-trained flagships (embed_pq_rmse / adc_topk / rerank_topk)
+are rows-only at the driver gate (k-means codebooks have no DuckDB twin)
+— tests/test_pq.py pins the full numpy replica: identical centroids,
+codes, per-vector RMSE, and ADC rankings.  The serving path under the
+RELEASED v1 codebooks (embed_pq_encode_v1 / adc_topk_v1 / rerank_v1) is
+fully ORACLE-CHECKED: the frozen codebooks embed as 1e6-grid integer
+literals in both engines, so encode, LUT build, ADC scan, shortlist, and
+the exact re-rank are all cross-engine-exact bigint arithmetic.
 """
 
 from __future__ import annotations
