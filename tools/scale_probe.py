@@ -128,6 +128,7 @@ PROBE_QUERIES = (
     "embed_pq_rerank_v1",
     "ann_recall_report",
     "ridge_eval_mae_v1",
+    "streaming_full_outer_join_parity",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -392,16 +392,20 @@ def _ann_eval_parts():
         sq,
         REGISTRY["embed_ivf_ann_v1"].oracle,
         REGISTRY["embed_lsh_ann_md5"].oracle,
+        REGISTRY["embed_pq_rerank_v1"].oracle,
     )
 
 
 def _ann_recall_oracle() -> str:
+    from youtube_etl_project_spark.plans.quantization_queries import (
+        _N_QUERIES as _PQ_NQ,
+    )
     from youtube_etl_project_spark.plans.similarity_queries import (
         _ANN_SCALE,
         _N_QUERIES,
     )
 
-    _, ivf_sql, lsh_sql = _ann_eval_parts()
+    _, ivf_sql, lsh_sql, pq_sql = _ann_eval_parts()
     # exact ground truth: quantized-MIPS top-5 over ALL candidates — the
     # same 1e6 grid and (dot_q DESC, id ASC) order the ANN twins use
     return f"""
@@ -445,9 +449,38 @@ def _ann_recall_oracle() -> str:
                    ON a.query_id = e.query_id
                   AND a.neighbor_id = e.neighbor_id
             GROUP BY 1, 2
+        ), gt_l2 AS (
+            -- the PQ family is L2 (ADC/re-rank minimize squared
+            -- distance), so it is graded against exact L2 ground truth
+            -- in ITS OWN metric and query set — same 1e6 grid
+            SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+                   CAST(SUM((qa.q - qb.q) * (qa.q - qb.q))
+                        AS BIGINT) AS d2
+            FROM qe qa
+            JOIN qe qb ON qb.j = qa.j AND qa.vec_id <> qb.vec_id
+            WHERE qa.vec_id < {_PQ_NQ}
+            GROUP BY 1, 2
+        ), exact_l2 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY d2 ASC,
+                                                   neighbor_id ASC) AS rnk
+                FROM gt_l2
+            ) WHERE rnk <= 5
+        ), pq_hits AS (
+            SELECT 'pq_v1' AS method, e.query_id,
+                   CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+            FROM exact_l2 e
+            LEFT JOIN (SELECT query_id, neighbor_id
+                       FROM ({pq_sql}) WHERE rank <= 5) a
+                   ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1, 2
         )
         SELECT method, query_id, n_hits, n_hits * 20 AS recall_pct
-        FROM (SELECT * FROM ivf_hits UNION ALL SELECT * FROM lsh_hits)
+        FROM (SELECT * FROM ivf_hits UNION ALL SELECT * FROM lsh_hits
+              UNION ALL SELECT * FROM pq_hits)
     """
 
 
@@ -455,22 +488,26 @@ def _ann_recall_oracle() -> str:
     "ann_recall_report",
     oracle=_ann_recall_oracle(),
     doc="Evaluation capstone (round 5, the ANN analogue of "
-        "dedup_lsh_recall_report): recall@5 of BOTH oracle-checked ANN "
-        "families — the frozen-model IVF (embed_ivf_ann_v1, n_probe=3) "
-        "and the md5-plane hyperplane LSH (embed_lsh_ann_md5) — against "
-        "exact quantized-MIPS ground truth over all candidates, per "
-        "query. The report calls the registered query functions and "
-        "embeds their registered oracle SQL verbatim (pulled from the "
-        "registry), so the evaluation can never drift from the serving "
-        "paths it grades; every count is bigint, recall_pct = hits*20. "
-        "This is the sign-off a search team reads before shipping an "
-        "index config: which queries lose neighbours, under which "
-        "family, at what probe budget",
+        "dedup_lsh_recall_report): recall@5 of ALL THREE oracle-checked "
+        "ANN families — the frozen-model IVF (embed_ivf_ann_v1, "
+        "n_probe=3) and the md5-plane hyperplane LSH (embed_lsh_ann_md5) "
+        "against exact quantized-MIPS ground truth, and the frozen-"
+        "codebook PQ ADC+re-rank (embed_pq_rerank_v1) against exact L2 "
+        "ground truth in ITS OWN metric (ADC minimizes squared distance "
+        "— MIPS truth would mis-grade it), per query. The report calls "
+        "the registered query functions and embeds their registered "
+        "oracle SQL verbatim (pulled from the registry), so the "
+        "evaluation can never drift from the serving paths it grades; "
+        "every count is bigint, recall_pct = hits*20. This is the "
+        "sign-off a search team reads before shipping an index config: "
+        "which queries lose neighbours, under which family, at what "
+        "probe budget",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.plans import quantization_queries as qq
 
-    sq, _, _ = _ann_eval_parts()
+    sq, _, _, _ = _ann_eval_parts()
     emb = load_table(spark, sf_dir, "embeddings")
     qe = (
         emb.filter(F.col("embedding").isNotNull())
@@ -504,12 +541,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    def hits(ann: DataFrame, method: str) -> DataFrame:
+    def hits(ann: DataFrame, method: str, gt: DataFrame = None) -> DataFrame:
         marked = ann.select(
             "query_id", "neighbor_id", F.lit(1).alias("h")
         )
         return (
-            exact.join(marked, ["query_id", "neighbor_id"], "left")
+            (exact if gt is None else gt)
+            .join(marked, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(
                 F.sum(F.coalesce(F.col("h"), F.lit(0)))
@@ -522,6 +560,37 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # PQ family: graded against exact L2 ground truth (ITS metric) over
+    # the same 1e6-grid qe — ADC/re-rank minimize squared distance, so
+    # MIPS ground truth would mis-grade it
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    gt_l2 = (
+        qe.select(F.col("vec_id").alias("neighbor_id"), "j",
+                  F.col("q").alias("qb"))
+        .join(
+            F.broadcast(qa.filter(F.col("query_id") < qq._N_QUERIES)), "j"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    exact_l2 = pin(
+        gt_l2.withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
     ivf = sq.embed_ivf_ann_v1(spark, sf_dir)
     lsh = sq.embed_lsh_ann_md5(spark, sf_dir)
-    return hits(ivf, "ivf_v1").unionByName(hits(lsh, "lsh_md5"))
+    pq = qq.embed_pq_rerank_v1(spark, sf_dir).filter(F.col("rank") <= 5)
+    return (
+        hits(ivf, "ivf_v1")
+        .unionByName(hits(lsh, "lsh_md5"))
+        .unionByName(hits(pq, "pq_v1", gt=exact_l2))
+    )
