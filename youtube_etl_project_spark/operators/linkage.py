@@ -1,0 +1,162 @@
+"""Cross-source record linkage: blocked candidates, integer-grid scores,
+best-match selection, mutual-best acceptance.
+
+Record linkage differs from the dedup family (``operators/dedup.py``) in
+shape, not just threshold: candidates are restricted to CROSS-source pairs
+(a record never links within its own database), the unit of output is a
+per-record *match decision* (top-1 by score), and the acceptance policy is
+explicit — mutual-best (each record is the other's best candidate) for
+high-precision one-to-one linkage, or a plain score threshold feeding
+connected components for transitive entity resolution.
+
+Scale shape (100 TB): candidate generation reuses the dedup family's
+explode → df-cut → equi-join blocking (cost ∝ co-occurring rare-shingle
+pairs, never |A|x|B|); scores are exact integer per-mille (``div`` on
+bigints, bit-identical across engines — never a floored double division,
+which can round up at representation edges); best-match selection is a
+window partitioned by record id (massively parallel, never a global sort);
+the mutual-acceptance self-join runs on the already-selected best rows
+(one per record), which are pinned so the candidate pipeline executes
+once.
+
+No reference-repo counterpart (the reference's analytic surface is
+src/snowflake_loader.py:42-193); this is part of the SURVEY §2b
+LLM-pipeline extension mandate (cross-source matching alongside the
+near-dup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.checkpointing import pin
+from youtube_etl_project_spark.operators.dedup import (
+    df_cut,
+    spread,
+    word_shingle_ids,
+)
+
+
+def cross_group_scored_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    shingle_k: int = 3,
+    max_df: int | None = 10,
+) -> DataFrame:
+    """Scored cross-group candidate pairs:
+    ``(id_a, id_b, n_inter, score_pm)`` where ``id_a`` belongs to the
+    lexicographically smaller group and ``score_pm`` is the exact
+    integer per-mille Jaccard ``(1000 * |A∩B|) div |A∪B|`` over df-cut
+    ``shingle_k``-gram shingle sets.
+
+    Blocking = the shared-rare-shingle equi-join of the dedup family,
+    restricted to ``l.group < r.group``: within-group pairs never enter
+    the join (linkage's defining constraint — a record does not match
+    its own database), so the blowup bound is co-occurring rare shingles
+    ACROSS groups only.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    base = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("grp"),
+        word_shingle_ids(toks, shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    exploded = base.select(
+        "doc",
+        "grp",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    if max_df is not None:
+        # recount surviving shingles per doc after the cut (window, not a
+        # join-back — and docs losing every shingle drop out, matching
+        # the oracle CTE)
+        exploded = df_cut(exploded.drop("n_sh"), "sh", max_df).withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
+    left, right = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        left.join(
+            right,
+            (F.col("l.sh") == F.col("r.sh")) & (F.col("l.grp") < F.col("r.grp")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("l.n_sh")).alias("n_a"),
+            F.first(F.col("r.n_sh")).alias("n_b"),
+        )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)").alias("score_pm"),
+    )
+
+
+def best_match(pairs: DataFrame, min_score_pm: int = 100) -> DataFrame:
+    """Per-record top-1 match decision from scored pairs:
+    ``(doc_id, best_match_id, score_pm, n_inter)``.
+
+    Both directions of every pair compete (linkage is directional: A's
+    best may not be B's best); selection is a ``row_number`` window
+    partitioned by record id with the deterministic tiebreak
+    ``(score_pm DESC, candidate id ASC)`` — the same integer ordering an
+    oracle replays exactly.
+    """
+    directed = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("cand_id"),
+        "score_pm",
+        "n_inter",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("cand_id"),
+            "score_pm",
+            "n_inter",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_pm").desc(), F.col("cand_id").asc()
+    )
+    return (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") == 1) & (F.col("score_pm") >= min_score_pm))
+        .select(
+            "doc_id",
+            F.col("cand_id").alias("best_match_id"),
+            "score_pm",
+            "n_inter",
+        )
+    )
+
+
+def mutual_best(best: DataFrame) -> DataFrame:
+    """Flag mutual-best decisions: ``mutual = 1`` when the matched record's
+    own best match points back. ``best`` is pinned first so the candidate
+    pipeline upstream executes once, not once per self-join branch."""
+    pinned = pin(best)
+    reverse = pinned.select(
+        F.col("doc_id").alias("r_doc"),
+        F.col("best_match_id").alias("r_best"),
+    )
+    return (
+        pinned.join(
+            reverse,
+            (F.col("best_match_id") == F.col("r_doc"))
+            & (F.col("doc_id") == F.col("r_best")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "best_match_id",
+            "score_pm",
+            "n_inter",
+            F.col("r_doc").isNotNull().cast("long").alias("mutual"),
+        )
+    )

@@ -240,6 +240,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         quantization_queries,
         streaming_queries,
         evaluation,
+        linkage_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
