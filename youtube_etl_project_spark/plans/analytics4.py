@@ -193,3 +193,105 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_total", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+@register(
+    "events_gap_fill_interp",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                       AS day_val
+            FROM events WHERE value > 300
+            GROUP BY 1, 2
+        ), spine AS (
+            SELECT event_type,
+                   CAST(unnest(generate_series(
+                       MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+            FROM daily GROUP BY event_type
+        ), joined AS (
+            SELECT s.event_type, s.day, d.day_val
+            FROM spine s LEFT JOIN daily d USING (event_type, day)
+        ), ctx AS (
+            SELECT event_type, day, day_val,
+                   last_value(day_val IGNORE NULLS) OVER w_prev AS prev_v,
+                   last_value(CASE WHEN day_val IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER w_prev AS prev_d,
+                   first_value(day_val IGNORE NULLS) OVER w_next AS next_v,
+                   first_value(CASE WHEN day_val IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER w_next AS next_d
+            FROM joined
+            WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                   w_next AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, day, day_val,
+               CASE WHEN day_val IS NOT NULL THEN day_val
+                    ELSE (prev_v * (next_d - day) + next_v * (day - prev_d))
+                         // (next_d - prev_d)
+               END AS filled,
+               CAST(day_val IS NOT NULL AS BIGINT) AS is_observed
+        FROM ctx
+    """,
+    doc="Calendar gap-fill with LINEAR interpolation, the keyed sibling "
+        "of events_gap_fill_ffill: per-type date spine between observed "
+        "bounds, then each gap day takes the distance-weighted average "
+        "of its bracketing observations. The whole path is exact bigint "
+        "arithmetic — daily sums land on a decimal(18,4)*10000 integer "
+        "grid, and the interpolation uses the weighted form "
+        "(prev*(next_d-day) + next*(day-prev_d)) div span, whose "
+        "numerator stays non-negative so Spark's truncating div and "
+        "DuckDB's // agree. Spine bounds per key mean every gap has "
+        "both neighbors (no edge NULLs); windows are PARTITIONED by "
+        "event_type and run at day cardinality after the aggregate "
+        "shrinks events, so nothing here is a global sort even at 100 TB",
+)
+def events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 300)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long")
+        .alias("day_val")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w_prev = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("day_val").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "day_val",
+        F.last("day_val", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("day_val", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = F.expr(
+        "(prev_v * datediff(next_d, day) + next_v * datediff(day, prev_d))"
+        " div datediff(next_d, prev_d)"
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        "day_val",
+        F.when(F.col("day_val").isNotNull(), F.col("day_val"))
+        .otherwise(interp)
+        .alias("filled"),
+        F.col("day_val").isNotNull().cast("long").alias("is_observed"),
+    )
