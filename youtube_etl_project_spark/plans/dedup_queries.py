@@ -673,3 +673,50 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         corpus_index=idx,
     )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+            FROM toks WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="X2 scale path #3: PREFIX-FILTERED set-similarity join (SSJoin/"
+        "PPJoin) — shingles ordered rarest-first by global document "
+        "frequency, each doc joins on only its first n-ceil(t*n)+1 "
+        "tokens, and the prefix-filter lemma guarantees zero false "
+        "negatives at Jaccard >= t. Unlike the LSH family (probabilistic "
+        "recall) or the df-cut guard (changes the similarity space), "
+        "this plan is EXACT: the oracle is the plain all-pairs join and "
+        "the outputs must hash-match bit for bit. Hot shingles fall out "
+        "of the join by construction — they are never in anyone's "
+        "rare-first prefix",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
