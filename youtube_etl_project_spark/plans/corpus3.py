@@ -252,3 +252,63 @@ def dedup_hash_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_blocked(
         emb, "doc_id", "embedding", threshold=0.95
     )
+
+
+@register(
+    "corpus_weighted_sample_k",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS w,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) * 1000000)
+                       // CAST(len(list_filter(string_split(text, ' '),
+                                               x -> x <> '')) AS BIGINT)
+                       AS sort_key
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+        )
+        SELECT doc_id, source, w, sort_key
+        FROM keyed ORDER BY sort_key ASC, doc_id ASC LIMIT 50
+    """,
+    doc="Fixed-size weighted sampling WITHOUT replacement (sequential "
+        "Poisson sampling, Ohlsson 1998 — the order-statistics scheme "
+        "survey samplers use when Bernoulli's random sample size is "
+        "unacceptable): rank every doc by u/w where u is a doc_id-seeded "
+        "md5 uniform and w its token count, keep the k=50 smallest. "
+        "Inclusion odds are ~proportional to weight, the draw is "
+        "deterministic and restart-stable, and the whole key lives on an "
+        "integer grid ((u32 * 1e6) div w — no float pow/log, so both "
+        "engines agree bit-for-bit, unlike textbook A-ES's u^(1/w)). "
+        "Plan shape: embarrassingly parallel key computation + "
+        "TakeOrderedAndProject top-k (O(k) per partition, no global "
+        "sort). Complements corpus_importance_sample (Bernoulli, random "
+        "size) with the fixed-budget variant a 100 TB token-budget "
+        "sweep actually wants",
+)
+def corpus_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    ).cast("long")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = (
+        docs.select("doc_id", "source", w.alias("w"), u32.alias("u32"))
+        .filter(F.col("w") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.expr("(u32 * 1000000) div w").alias("sort_key"),
+        )
+    )
+    return keyed.orderBy(
+        F.col("sort_key").asc(), F.col("doc_id").asc()
+    ).limit(50)
