@@ -83,6 +83,13 @@ HEADLINE = [
     "streaming_outer_join_parity",
     "dedup_semantic_v1",
     "ann_recall_report",
+    # round-5 late wave: record linkage, prefix-filtered similarity
+    # join (blocking_efficiency_report stays out: it embeds the exact
+    # all-pairs truth twice by construction — ~20 s at sf0.1 — and is an
+    # audit sign-off, not a serving path)
+    "record_linkage_mutual_best",
+    "entity_resolution_docs",
+    "dedup_prefix_filter_join",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

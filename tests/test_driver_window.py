@@ -17,6 +17,9 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # round 5 (VERDICT r4 #3): embed_lsh_ann / embed_ivf_ann ceded their
 # rows-only slots to the value-hash-checked twins (md5-plane LSH, frozen
 # v1 IVF); filter_notnull ceded to streaming_outer_join_parity.
+# late round 5: filter_kind / fn_keyword_hits / fn_safe_long / fn_dates /
+# explode_tokens ceded to the round-5 capstones (ANN recall report,
+# blocking frontier, record linkage, entity resolution, prefix join).
 FLAGSHIPS = {
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
     "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann_md5",
@@ -24,7 +27,9 @@ FLAGSHIPS = {
     "cdc_apply_latest", "scd2_point_in_time", "tpch_q3_shipping_priority",
     "streaming_dedup_parity", "lineitem_exact_percentiles",
     "dedup_ensemble_matrix", "dedup_incremental_indexed",
-    "streaming_outer_join_parity",
+    "streaming_outer_join_parity", "ann_recall_report",
+    "blocking_efficiency_report", "record_linkage_mutual_best",
+    "entity_resolution_docs", "dedup_prefix_filter_join",
 }
 
 

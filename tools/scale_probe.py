@@ -129,6 +129,13 @@ PROBE_QUERIES = (
     "ann_recall_report",
     "ridge_eval_mae_v1",
     "streaming_full_outer_join_parity",
+    # round-5 late wave: linkage family, prefix join, weighted sampler,
+    # interpolation gap fill
+    "record_linkage_mutual_best",
+    "entity_resolution_docs",
+    "dedup_prefix_filter_join",
+    "corpus_weighted_sample_k",
+    "events_gap_fill_interp",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -142,18 +142,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2a relational core (round 5: filter_like / sort_mixed /
     # param_fanout / distinct_projection ceded their slots to the round-4
     # capstones below — those four trivial shapes stay covered by the
-    # local full gate, like fn_format_string since round 3)
+    # local full gate, like fn_format_string since round 3; late round 5:
+    # filter_kind / fn_keyword_hits / fn_safe_long / fn_dates /
+    # explode_tokens ceded to the round-5 capstones at the bottom, same
+    # deal — every ceded shape stays green in the committed both-scale
+    # full-gate logs)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
-    "filter_kind",
     "filter_date_incremental", "json_extract_typed", "join_fact_dim",
     "join_semi", "join_anti", "group_pct_of_total", "group_count_region",
     "scalar_subquery_counts", "agg_refresh_daily",
     "window_latest_per_key", "topk_per_group",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
-    "fn_text_blob", "fn_keyword_hits", "fn_classify_sentiment",
-    "fn_engagement_rate", "fn_safe_long", "fn_dates", "bloom_semi_join",
-    "explode_tokens",
+    "fn_text_blob", "fn_classify_sentiment",
+    "fn_engagement_rate", "bloom_semi_join",
     # staging / upsert / CDC
     "from_json_struct", "staging_lineage_agg", "merge_upsert_dim",
     "merge_insert_only", "scd2_upsert_customers", "cdc_apply_latest",
@@ -191,6 +193,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # trivial shape stays covered by the local full gate + pushdown
     # tests)
     "streaming_outer_join_parity",
+    # late round 5: the strongest new proofs — recall@5 of all three
+    # oracle-checked ANN families against exact ground truth, the
+    # blocking candidate/recall frontier across all four dedup blocking
+    # strategies, the record-linkage family (mutual-best matching and
+    # transitive entity resolution with survivorship), and the provably
+    # lossless prefix-filtered set-similarity join whose oracle IS the
+    # exact all-pairs join
+    "ann_recall_report", "blocking_efficiency_report",
+    "record_linkage_mutual_best", "entity_resolution_docs",
+    "dedup_prefix_filter_join",
 )
 
 
