@@ -63,3 +63,34 @@ def test_min_score_floor(spark):
     best = linkage.best_match(_pairs(spark), min_score_pm=500)
     got = {r.doc_id: r.best_match_id for r in best.collect()}
     assert got == {1: 2, 2: 1, 5: 2}  # the 333-scored decisions drop
+
+
+def test_incremental_equals_full_restriction(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from youtube_etl_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = linkage.best_match(
+        linkage.cross_group_scored_pairs(
+            docs, "doc_id", "text", "source", shingle_k=3, max_df=10
+        ),
+        min_score_pm=100,
+    )
+    src0 = {r.doc_id for r in docs.filter(F.col("source") == "src0")
+            .select("doc_id").collect()}
+    want = sorted(
+        (r.doc_id, r.best_match_id, r.score_pm, r.n_inter)
+        for r in full.collect() if r.doc_id in src0
+    )
+    inc = linkage.incremental_best_match(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", "source", shingle_k=3, max_df=10,
+        min_score_pm=100,
+    )
+    got = sorted(
+        (r.doc_id, r.best_match_id, r.score_pm, r.n_inter)
+        for r in inc.collect()
+    )
+    assert got == want

@@ -160,3 +160,98 @@ def mutual_best(best: DataFrame) -> DataFrame:
             F.col("r_doc").isNotNull().cast("long").alias("mutual"),
         )
     )
+
+
+def incremental_best_match(
+    master: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    shingle_k: int = 3,
+    max_df: int | None = 10,
+    min_score_pm: int = 100,
+) -> DataFrame:
+    """Link a new BATCH of records against an existing MASTER without the
+    master ever self-joining: candidates are batch x master shared-rare-
+    shingle pairs only (the batch side broadcasts, so the master streams
+    map-side), scored and selected exactly like :func:`best_match`.
+
+    Equality contract (enforced cross-engine by the registered query's
+    shared oracle): for a batch whose group is absent from the master,
+    the result EQUALS the full pipeline's best-match rows restricted to
+    the batch's records — every cross-group candidate of a batch record
+    is a batch x master pair by construction. Document frequencies are
+    counted over batch + master so the df cut sees the same shingle
+    space as a full recompute; a persisted signature/df index removes
+    that master pass the way ``dedup_incremental_indexed`` does for the
+    LSH family.
+    """
+    def shingled(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        )
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.col(group_col).alias("grp"),
+                word_shingle_ids(toks, shingle_k).alias("shingles"),
+            )
+            .filter(F.size("shingles") > 0)
+            .select("doc", "grp", F.explode("shingles").alias("sh"))
+        )
+
+    b_ex, m_ex = shingled(batch), shingled(master)
+    if max_df is not None:
+        rare = (
+            b_ex.select("sh")
+            .unionAll(m_ex.select("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        b_ex = b_ex.join(rare, "sh")
+        m_ex = m_ex.join(rare, "sh")
+    w_doc = Window.partitionBy("doc")
+    b_k = b_ex.withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+    m_k = m_ex.withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+    pairs = (
+        F.broadcast(b_k)
+        .alias("b")
+        .join(
+            m_k.alias("m"),
+            (F.col("b.sh") == F.col("m.sh"))
+            & (F.col("b.grp") != F.col("m.grp")),
+        )
+        .groupBy(
+            F.col("b.doc").alias("doc_id"), F.col("m.doc").alias("cand_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("b.n_sh")).alias("n_a"),
+            F.first(F.col("m.n_sh")).alias("n_b"),
+        )
+        .select(
+            "doc_id",
+            "cand_id",
+            "n_inter",
+            F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)").alias(
+                "score_pm"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_pm").desc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") == 1) & (F.col("score_pm") >= min_score_pm))
+        .select(
+            "doc_id",
+            F.col("cand_id").alias("best_match_id"),
+            "score_pm",
+            "n_inter",
+        )
+    )

@@ -191,3 +191,31 @@ def entity_resolution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+@register(
+    "record_linkage_incremental",
+    oracle=f"""
+        WITH {_BEST_CTES}
+        SELECT b.doc_id, b.best_match_id, b.score_pm, b.n_inter
+        FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        WHERE d.source = 'src0'
+    """,
+    doc="Incremental linkage serving path: the nightly batch (source "
+        "src0) links against the existing master (every other source) "
+        "with the MASTER NEVER SELF-JOINING — the batch side broadcasts "
+        "and the master streams map-side, so cost is O(batch x "
+        "collisions), not O(master^2). The oracle is the FULL pipeline's "
+        "best-match CTE restricted to the batch's records (every cross-"
+        "source candidate of a src0 doc is a batch x master pair by "
+        "construction), so incremental == full recompute is enforced "
+        "cross-engine, the same contract dedup_incremental carries",
+)
+def record_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src0")
+    master = docs.filter(F.col("source") != "src0")
+    return linkage.incremental_best_match(
+        master, batch, "doc_id", "text", "source",
+        shingle_k=_SHINGLE_K, max_df=_MAX_DF, min_score_pm=_MIN_SCORE_PM,
+    )
