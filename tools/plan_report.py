@@ -75,6 +75,17 @@ SHOWCASE = {
     "derived from the driver-held centroid model, cell IN (...) filter "
     "on the partitioned assignments scan → partition pruning reads "
     "n_probe/K of the index files",
+    "dedup_prefix_filter_join": "prefix-filtered similarity join: the "
+    "self-join runs on each doc's rare-first prefix tokens only (~11x "
+    "fewer candidate rows), then an array_intersect verify on the full "
+    "sets — provably identical output to the all-pairs exact join",
+    "record_linkage_mutual_best": "record linkage: cross-source-only "
+    "band join (within-source pairs never materialize), doc-partitioned "
+    "row_number selection, mutual-acceptance self-join on the pinned "
+    "one-row-per-doc best frame — no global sort anywhere",
+    "corpus_weighted_sample_k": "fixed-k weighted sampling: "
+    "embarrassingly parallel integer sort keys + TakeOrderedAndProject "
+    "(O(k) per partition, merge on the driver) — no global SortExec",
 }
 
 
