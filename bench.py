@@ -90,6 +90,12 @@ HEADLINE = [
     "record_linkage_mutual_best",
     "entity_resolution_docs",
     "dedup_prefix_filter_join",
+    # round-5 closing wave: one-pass exact-TVD drift monitoring and the
+    # distributed exact KS test (the stream-static parity drain stays
+    # out like the other slow streaming drains —
+    # streaming_outer_join_parity already represents them)
+    "embed_drift_report",
+    "events_ab_ks",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

@@ -1,0 +1,54 @@
+"""Hand-computed pin of the drift-report semantics (plans/monitoring.py):
+fixed-grid binning with edge clamping, zero-count bins restored by the
+spine, and the exact-bigint TVD/L∞ arithmetic. Cross-engine equality is
+the oracle gate's job; this pins WHAT the numbers mean."""
+
+from __future__ import annotations
+
+from youtube_etl_project_spark.plans.monitoring import drift_report
+
+# bins=4 over q=[-500000, 500000): width 250k ->
+#   [-0.5,-0.25) -> 0, [-0.25,0) -> 1, [0,0.25) -> 2, [0.25,0.5) -> 3
+# values at/beyond the edges clamp into the boundary bins (the -0.6 and
+# 0.9 components below).
+_ROWS = [
+    (0, [-0.4, 0.1]),  # dims -> bins (0, 2)
+    (0, [-0.3, 0.3]),  # (0, 3)
+    (0, [0.0, 0.9]),  # (2, 3)   0.9 clamps into bin 3
+    (1, [-0.4, -0.6]),  # (0, 0)  -0.6 clamps into bin 0
+    (1, [0.2, 0.1]),  # (2, 2)
+]
+
+
+def test_drift_report_hand_computed(spark):
+    df = spark.createDataFrame(_ROWS, "grp int, embedding array<float>")
+    out = drift_report(
+        df, dims=2, bins=4, scale=1_000_000, span=500_000
+    ).collect()
+    got = {r.dim: r for r in out}
+    assert set(got) == {0, 1}
+
+    # dim 0: ref bins {0:2, 2:1}, cur bins {0:1, 2:1}; N_ref=3, N_cur=2
+    # per-bin |c_ref*N_cur - c_cur*N_ref|: bin0 |4-3|=1, bin2 |2-3|=1
+    r0 = got[0]
+    assert (r0.n_ref, r0.n_cur) == (3, 2)
+    assert (r0.tvd_num, r0.linf_num) == (2, 1)
+    assert abs(r0.tvd - 2 / 12) < 1e-15
+
+    # dim 1: ref bins {2:1, 3:2}, cur bins {0:1, 2:1}
+    # bin0 |0-3|=3, bin2 |2-3|=1, bin3 |4-0|=4 -> sum 8, max 4
+    r1 = got[1]
+    assert (r1.tvd_num, r1.linf_num) == (8, 4)
+    assert abs(r1.tvd - 8 / 12) < 1e-15
+
+
+def test_drift_report_identical_cohorts_zero(spark):
+    base = [v for g, v in _ROWS if g == 0]
+    rows = [(0, v) for v in base] + [(1, v) for v in base]
+    df = spark.createDataFrame(rows, "grp int, embedding array<float>")
+    out = drift_report(
+        df, dims=2, bins=4, scale=1_000_000, span=500_000
+    ).collect()
+    assert len(out) == 2
+    assert all(r.tvd_num == 0 and r.linf_num == 0 and r.tvd == 0.0
+               for r in out)

@@ -61,6 +61,7 @@ _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 CODEGEN_EXEMPT = {
     "streaming_tumbling_parity",
     "streaming_session_parity",
+    "streaming_static_join_parity",
 }
 
 

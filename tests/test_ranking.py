@@ -129,3 +129,49 @@ def test_global_rank_empty(spark):
     ranked, total = global_rank(df, [F.col("k").asc()], "r")
     assert total == 0
     assert ranked.count() == 0
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from youtube_etl_project_spark.operators.ranking import global_prefix_sum
+
+    df = _frame(spark, 500).select(
+        "id", "k", (F.col("id") % 5).cast("long").alias("wa"),
+        ((F.col("id") + 3) % 4).cast("long").alias("wb"),
+    )
+    got = global_prefix_sum(
+        df, [F.col("k").asc()], ["wa", "wb"], num_partitions=8
+    )
+    w = (
+        Window.orderBy(F.col("k").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = df.select(
+        "id",
+        F.sum("wa").over(w).cast("long").alias("wa_cum"),
+        F.sum("wb").over(w).cast("long").alias("wb_cum"),
+    )
+    assert sorted(
+        map(tuple, got.select("id", "wa_cum", "wb_cum").collect())
+    ) == sorted(map(tuple, expected.collect()))
+
+
+def test_global_prefix_sum_no_unpartitioned_window(spark):
+    import contextlib
+    import io
+
+    from youtube_etl_project_spark.operators.ranking import global_prefix_sum
+
+    df = _frame(spark, 100).select("id", "k", F.lit(1).alias("one"))
+    out = global_prefix_sum(df, [F.col("k").asc()], ["one"], num_partitions=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # every windowspecdefinition must carry a partition spec
+    import re
+
+    for m in re.finditer(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    ):
+        prefix = m.group(1).strip().rstrip(",")
+        assert prefix and " ASC" not in prefix.split(",")[0], plan

@@ -86,6 +86,15 @@ SHOWCASE = {
     "corpus_weighted_sample_k": "fixed-k weighted sampling: "
     "embarrassingly parallel integer sort keys + TakeOrderedAndProject "
     "(O(k) per partition, merge on the driver) — no global SortExec",
+    "events_ab_ks": "exact two-sample KS: one value-grouping shuffle, "
+    "then the weighted two-pass prefix sum "
+    "(operators/ranking.global_prefix_sum — range shuffle, pinned "
+    "partitions, broadcast offsets, partition-LOCAL running sums); the "
+    "CDF never collapses into a single-task global window",
+    "embed_drift_report": "drift monitoring: posexplode + fixed-grid "
+    "binning map-side in codegen; the only exchanges carry the 512-row "
+    "histogram and its 64-row totals — report cost is O(dims·bins) "
+    "regardless of corpus size",
 }
 
 

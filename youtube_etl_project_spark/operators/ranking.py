@@ -185,3 +185,63 @@ def exact_ntile_multi(
             for j in range(len(names))
         ]
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    sum_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL running totals of ``sum_cols`` (LongType) in
+    ``order_cols`` order — the weighted generalization of
+    :func:`global_rank` (rank is the prefix sum of the constant 1), and
+    the scale-safe replacement for ``SUM() OVER (ORDER BY ...)`` with no
+    partition spec, which moves the whole frame through one task.
+
+    Same two-pass plan: range-shuffle on the full ordering key (must be a
+    total order — include a tiebreaker), pin the partition assignment,
+    collect one (partition, per-column total) row per partition — bounded
+    driver state — turn those into cumulative offsets, then add each
+    partition's offset to its partition-local running sum (window
+    PARTITIONED by the physical partition id, never global). Appends
+    ``{col}_cum`` (LongType) for each input column.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = 32
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    part = pin(part)
+    totals = sorted(
+        part.groupBy(_PID)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        .collect(),
+        key=lambda r: r[_PID],
+    )
+    offsets, acc = [], [0] * len(sum_cols)
+    for row in totals:
+        offsets.append((row[_PID], *acc))
+        acc = [a + (row[c] or 0) for a, c in zip(acc, sum_cols)]
+    off_names = [f"__gps_off_{c}" for c in sum_cols]
+    off_schema = ", ".join(
+        [f"{_PID} int"] + [f"{n} long" for n in off_names]
+    )
+    off_df = spark.createDataFrame(offsets, schema=off_schema)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.join(F.broadcast(off_df), _PID)
+    for c, off in zip(sum_cols, off_names):
+        out = out.withColumn(
+            f"{c}_cum",
+            F.sum(F.col(c)).over(w).cast("long") + F.col(off),
+        )
+    return out.drop(_PID, *off_names)

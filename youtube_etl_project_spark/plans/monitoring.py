@@ -1,0 +1,299 @@
+"""Serving-pipeline monitoring: distribution drift between two embedding
+cohorts, exactly (reference `azure-functions/function_app.py:275-528`
+schedules the reference's pipeline daily — the production question after
+"did today's batch load" is "does today's batch still look like the
+corpus the models were built on").
+
+Two queries: per-dimension histogram drift over embedding cohorts
+(``embed_drift_report``) and the exact two-sample Kolmogorov–Smirnov
+test over event-value cohorts (``events_ab_ks``) — the
+distribution-level member of the experimentation stack
+(t/chi²/CUPED/Mann-Whitney in ``plans/analytics7.py`` compare moments
+and ranks; KS compares the whole CDF).
+
+Drift is reported per dimension as total-variation distance and the
+worst single bin (L∞) over a fixed integer histogram. Both metrics stay
+in exact bigint arithmetic end-to-end — counts are integers, and the
+cross-cohort comparison multiplies counts by the opposite cohort's total
+instead of dividing into float frequencies — so the report hash-matches
+its DuckDB oracle bit for bit (no PSI-style logarithms, whose libm/JVM
+last-ulp disagreement would break the value-hash gate; TVD and L∞ carry
+the same monitoring signal and are exactly computable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+_DIM = 64
+_BINS = 8
+_SCALE = 1_000_000  # float -> fixed-point grid, the shared _ANN_SCALE grid
+_SPAN = 500_000  # fixture embeddings live in ~[-0.5, 0.5); edges clamp
+
+
+@register(
+    "embed_drift_report",
+    oracle=f"""
+        WITH vals AS (
+            SELECT e.label % 2 AS grp, u.pos - 1 AS dim,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * {_SCALE} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+        ), binned AS (
+            SELECT grp, dim,
+                   ((LEAST({_SPAN - 1}, GREATEST(-{_SPAN}, q)) + {_SPAN})
+                    * {_BINS}) // {2 * _SPAN} AS bin
+            FROM vals
+        ), c AS (
+            SELECT dim, bin,
+                   SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c_cur
+            FROM binned GROUP BY dim, bin
+        ), spine AS (
+            SELECT r.range // {_BINS} AS dim, r.range % {_BINS} AS bin
+            FROM range({_DIM * _BINS}) r
+        ), filled AS (
+            SELECT s.dim, s.bin,
+                   CAST(COALESCE(c.c_ref, 0) AS BIGINT) AS c_ref,
+                   CAST(COALESCE(c.c_cur, 0) AS BIGINT) AS c_cur
+            FROM spine s LEFT JOIN c ON c.dim = s.dim AND c.bin = s.bin
+        ), tot AS (
+            SELECT dim,
+                   CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM filled GROUP BY dim
+        )
+        SELECT f.dim, t.n_ref, t.n_cur,
+               CAST(SUM(ABS(f.c_ref * t.n_cur - f.c_cur * t.n_ref))
+                    AS BIGINT) AS tvd_num,
+               CAST(MAX(ABS(f.c_ref * t.n_cur - f.c_cur * t.n_ref))
+                    AS BIGINT) AS linf_num,
+               CAST(SUM(ABS(f.c_ref * t.n_cur - f.c_cur * t.n_ref))
+                    AS DOUBLE) / (2.0 * t.n_ref * t.n_cur) AS tvd
+        FROM filled f JOIN tot t ON t.dim = f.dim
+        GROUP BY f.dim, t.n_ref, t.n_cur
+    """,
+    doc="Per-dimension distribution drift between the even-label cohort "
+        "(reference snapshot) and the odd-label cohort (current batch): "
+        f"{_BINS}-bin fixed histogram on the 1e6 fixed-point grid, "
+        "total-variation distance plus the worst single bin (L∞), all in "
+        "exact bigint arithmetic (|c_ref·N_cur − c_cur·N_ref| — never "
+        "float frequencies), one final exact-operand double division for "
+        "the headline tvd. Plan: posexplode map-side → two tiny rollups "
+        f"(dim×bin = {_DIM * _BINS} rows, then dim), zero-count bins "
+        "restored by a broadcast range spine — no cartesian, no window. "
+        "At 100 TB the report costs one pass over the vectors and "
+        "shuffles only the 512-row histogram; the drift gate a serving "
+        "team thresholds before promoting a new corpus snapshot",
+)
+def embed_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return drift_report(
+        emb.select((F.col("label") % 2).alias("grp"), "embedding"),
+        dims=_DIM,
+        bins=_BINS,
+        scale=_SCALE,
+        span=_SPAN,
+    )
+
+
+def drift_report(
+    cohorts: DataFrame,
+    *,
+    dims: int,
+    bins: int,
+    scale: int,
+    span: int,
+) -> DataFrame:
+    """TVD/L∞ histogram drift between cohort 0 (reference) and cohort 1
+    (current) of ``cohorts(grp int, embedding array<float>)``. All
+    arithmetic below the single final division is exact bigint — see the
+    module docstring for why (value-hash oracle parity)."""
+    spark = cohorts.sparkSession
+    vals = cohorts.select(
+        "grp",
+        F.posexplode("embedding").alias("dim", "vf"),
+    ).select(
+        "grp",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("vf").cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    binned = vals.select(
+        "grp",
+        "dim",
+        F.expr(
+            f"((least({span - 1}, greatest(-{span}, q)) + {span})"
+            f" * {bins}) div {2 * span}"
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("dim", "bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_ref0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_cur0"),
+    )
+    spine = spark.range(dims * bins).select(
+        F.expr(f"id div {bins}").alias("dim"),
+        (F.col("id") % bins).alias("bin"),
+    )
+    filled = (
+        spine.join(counts, ["dim", "bin"], "left")
+        .select(
+            "dim",
+            "bin",
+            F.coalesce("c_ref0", F.lit(0)).cast("long").alias("c_ref"),
+            F.coalesce("c_cur0", F.lit(0)).cast("long").alias("c_cur"),
+        )
+    )
+    tot = filled.groupBy("dim").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    diff = filled.join(F.broadcast(tot), "dim").select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref")
+        ).alias("d"),
+    )
+    out = diff.groupBy("dim", "n_ref", "n_cur").agg(
+        F.sum("d").cast("long").alias("tvd_num"),
+        F.max("d").cast("long").alias("linf_num"),
+    )
+    return out.select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        "tvd_num",
+        "linf_num",
+        (
+            F.col("tvd_num").cast("double")
+            / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+        ).alias("tvd"),
+    )
+
+
+@register(
+    "events_ab_ks",
+    oracle="""
+        WITH ab AS (
+            SELECT value,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type IN ('view', 'click')
+        ), pts AS (
+            SELECT value,
+                   CAST(SUM(is_a) AS BIGINT) AS na_here,
+                   CAST(SUM(1 - is_a) AS BIGINT) AS nb_here
+            FROM ab GROUP BY value
+        ), cum AS (
+            SELECT value,
+                   CAST(SUM(na_here) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ra,
+                   CAST(SUM(nb_here) OVER (ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rb
+            FROM pts
+        ), tot AS (
+            SELECT CAST(SUM(na_here) AS BIGINT) AS na,
+                   CAST(SUM(nb_here) AS BIGINT) AS nb
+            FROM pts
+        ), diffs AS (
+            SELECT c.value, ABS(c.ra * t.nb - c.rb * t.na) AS dd,
+                   t.na, t.nb
+            FROM cum c, tot t
+        ), stat AS (
+            SELECT na, nb, CAST(MAX(dd) AS BIGINT) AS d_num
+            FROM diffs GROUP BY na, nb
+        )
+        SELECT s.na, s.nb, s.d_num,
+               (SELECT MIN(d.value) FROM diffs d WHERE d.dd = s.d_num)
+                   AS ks_at,
+               CAST(s.d_num AS DOUBLE) / (s.na * s.nb) AS d,
+               CAST(s.d_num AS DOUBLE) / (s.na * s.nb)
+                   * SQRT(CAST(s.na * s.nb AS DOUBLE) / (s.na + s.nb))
+                   AS ks_scaled
+        FROM stat s
+    """,
+    doc="Exact two-sample Kolmogorov–Smirnov test (view vs click event "
+        "values): D = max_x |ECDF_a(x) − ECDF_b(x)|, evaluated at every "
+        "observed point with the cross-multiplied integer form "
+        "|r_a·N_b − r_b·N_a| so the max and its location are exact "
+        "bigints; the headline D and the √(n_a·n_b/(n_a+n_b))-scaled "
+        "statistic are two exact-operand IEEE steps both engines round "
+        "identically. Plan: one shuffle groups duplicates per value, "
+        "then operators/ranking.global_prefix_sum — the weighted "
+        "generalization of the two-pass distributed rank (range shuffle "
+        "→ pinned partitions → per-partition totals as bounded driver "
+        "offsets → partition-local running sums) — so there is NO "
+        "unpartitioned window anywhere, unlike the textbook "
+        "SUM() OVER (ORDER BY value) form which drags the full CDF "
+        "through one task. The 100 TB answer to 'did this week's value "
+        "distribution shift' at CDF level, complementing the moment- and "
+        "rank-based tests in the experimentation stack",
+)
+def events_ab_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ab = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    pts = ab.groupBy("value").agg(
+        F.sum("is_a").cast("long").alias("na_here"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("nb_here"),
+    )
+    pts = pin(pts)  # consumed by the prefix-sum AND the totals job
+    cum = global_prefix_sum(
+        pts, [F.col("value").asc()], ["na_here", "nb_here"]
+    )
+    tot = pts.agg(
+        F.sum("na_here").cast("long").alias("na"),
+        F.sum("nb_here").cast("long").alias("nb"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        F.abs(
+            F.col("na_here_cum") * F.col("nb")
+            - F.col("nb_here_cum") * F.col("na")
+        ).alias("dd"),
+        "na",
+        "nb",
+    )
+    diffs = pin(diffs)  # consumed by the max AND the argmax jobs
+    stat = diffs.groupBy("na", "nb").agg(
+        F.max("dd").cast("long").alias("d_num")
+    )
+    loc = (
+        diffs.join(F.broadcast(stat.select("d_num")), F.col("dd") == F.col("d_num"))
+        .agg(F.min("value").alias("ks_at"))
+    )
+    return stat.crossJoin(F.broadcast(loc)).select(
+        "na",
+        "nb",
+        "d_num",
+        "ks_at",
+        (F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))).alias(
+            "d"
+        ),
+        (
+            F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))
+            * F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double")
+                / (F.col("na") + F.col("nb"))
+            )
+        ).alias("ks_scaled"),
+    )

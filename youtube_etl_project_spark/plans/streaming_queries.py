@@ -359,6 +359,70 @@ def streaming_dropdup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_join_parity",
+    oracle="""
+        SELECT CAST(FLOOR(EPOCH(e.ts)/3600) AS BIGINT)*3600
+                   AS window_start,
+               c.c_mktsegment AS mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+    """,
+    doc="T1/J1 through a REAL stream: the canonical streaming enrichment "
+        "pattern — a stream-STATIC join, the stateless join mode the "
+        "stream-stream matrix (inner/left_outer/full_outer) does not "
+        "cover. The events file stream joins the broadcast customer "
+        "dimension per micro-batch (no watermark, no join state — the "
+        "dim is re-read/broadcast each trigger, which is exactly how a "
+        "slowly-changing dimension stays current in production), then "
+        "rolls up a tumbling 1h window per market segment in complete "
+        "mode and drains with AvailableNow. Hash-matched against the "
+        "plain batch join+aggregate twin; decimal sums keep the values "
+        "engine-exact. At 100 TB the dim broadcast is model-sized and "
+        "the only shuffle is the windowed rollup",
+)
+def streaming_static_join_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = _events_stream(spark, sf_dir)
+
+    agg = (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start"))
+            .cast("long")
+            .alias("window_start"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "ssj_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "streaming_outer_join_parity",
     oracle="""
         SELECT v.user_id,

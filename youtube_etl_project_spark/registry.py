@@ -253,6 +253,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         streaming_queries,
         evaluation,
         linkage_queries,
+        monitoring,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
