@@ -96,6 +96,7 @@ HEADLINE = [
     # streaming_outer_join_parity already represents them)
     "embed_drift_report",
     "events_ab_ks",
+    "join_skew_report",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

@@ -52,3 +52,39 @@ def test_drift_report_identical_cohorts_zero(spark):
     assert len(out) == 2
     assert all(r.tvd_num == 0 and r.linf_num == 0 and r.tvd == 0.0
                for r in out)
+
+
+def test_key_skew_report_hand_computed(spark):
+    from youtube_etl_project_spark.operators.skew import key_skew_report
+
+    # 10 rows: key 7 appears 6x (hot), key 3 appears 3x, key 9 once.
+    rows = [(7,)] * 6 + [(3,)] * 3 + [(9,)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_report(df, "k", top_k=2, target_partitions=4)
+    got = {r.key: r for r in out.collect()}
+    assert set(got) == {7, 3}  # top-2 by count
+
+    r7 = got[7]
+    assert (r7.cnt, r7.rank) == (6, 1)
+    assert (r7.n_rows, r7.n_keys, r7.max_cnt) == (10, 3, 6)
+    assert r7.share_ppm == 600_000
+    # ceil(6*4/10) = ceil(2.4) = 3 -> spread the hot key 3 ways
+    assert r7.salt_factor == 3
+
+    r3 = got[3]
+    assert (r3.cnt, r3.rank) == (3, 2)
+    assert r3.share_ppm == 300_000
+    assert r3.salt_factor == 2  # ceil(3*4/10) = 2
+
+
+def test_key_skew_report_tie_rank_by_key(spark):
+    from youtube_etl_project_spark.operators.skew import key_skew_report
+
+    rows = [(1,), (1,), (2,), (2,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = {
+        r.key: r
+        for r in key_skew_report(df, "k", top_k=3).collect()
+    }
+    # ties (cnt=2) rank by key ASC: key 1 -> rank 1, key 2 -> rank 2
+    assert (got[1].rank, got[2].rank, got[5].rank) == (1, 2, 3)

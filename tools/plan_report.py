@@ -95,6 +95,11 @@ SHOWCASE = {
     "binning map-side in codegen; the only exchanges carry the 512-row "
     "histogram and its 64-row totals — report cost is O(dims·bins) "
     "regardless of corpus size",
+    "join_skew_report": "skew pre-flight: one map-side-combined count "
+    "is the only full-data pass; top-k via TakeOrderedAndProject (no "
+    "global sort), rank via a broadcast 20-row triangular "
+    "nested-loop self-join — every post-count exchange carries ≤ 20 "
+    "rows",
 }
 
 

@@ -147,6 +147,7 @@ PROBE_QUERIES = (
     "embed_drift_report",
     "streaming_static_join_parity",
     "events_ab_ks",
+    "join_skew_report",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -66,3 +66,69 @@ def hot_cold_split_join(
     hot = small.orderBy(F.col(weight).desc(), F.col(key).asc()).limit(hot_k)
     cold = small.join(F.broadcast(hot.select(key)), key, "left_anti")
     return big.join(F.broadcast(hot), key).unionByName(big.join(cold, key))
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: str,
+    top_k: int = 20,
+    target_partitions: int = 32,
+) -> DataFrame:
+    """Pre-flight skew diagnostics for a prospective join/aggregate key:
+    the ``top_k`` hottest keys with exact rank, per-key row count, share
+    of the table in ppm, table-level summary columns (``n_rows``,
+    ``n_keys``, ``max_cnt``), and the integer ``salt_factor`` the hottest
+    keys would need so no reducer holds more than ~1/``target_partitions``
+    of the rows — i.e. the ``salt_buckets`` argument you would hand
+    :func:`salted_join`, per key.
+
+    Everything is exact bigint arithmetic (``share_ppm = cnt*1e6 div
+    n_rows``, ``salt_factor = ceil(cnt*P/n_rows)`` as ``(cnt*P + n_rows-1)
+    div n_rows``), so the report value-hash matches an ANSI-SQL twin.
+
+    Plan shape: one map-side-combined count per key, a
+    ``TakeOrderedAndProject`` top-k (O(k) per partition, merged on the
+    driver — no global sort), rank via a broadcast k×k triangular
+    nested-loop self-join (k rows, never data-sized), and the three-column
+    summary broadcast back. At 100 TB the only full-data pass is the
+    per-key count; every subsequent exchange carries ≤ ``top_k`` rows.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from youtube_etl_project_spark.operators.checkpointing import pin
+
+    counts = pin(counts)  # consumed by the summary AND the top-k jobs
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
+        top_k
+    )
+    top = pin(top)  # self-joined below
+    other = top.select(
+        F.col("key").alias("k2"), F.col("cnt").alias("c2")
+    )
+    ranked = (
+        top.join(
+            F.broadcast(other),
+            (F.col("c2") > F.col("cnt"))
+            | ((F.col("c2") == F.col("cnt")) & (F.col("k2") <= F.col("key"))),
+        )
+        .groupBy("key", "cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("rank"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "cnt",
+        "rank",
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.expr("(cnt * 1000000) div n_rows").alias("share_ppm"),
+        F.expr(
+            f"(cnt * {target_partitions} + n_rows - 1) div n_rows"
+        ).alias("salt_factor"),
+    )

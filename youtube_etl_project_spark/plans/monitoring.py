@@ -4,12 +4,16 @@ schedules the reference's pipeline daily — the production question after
 "did today's batch load" is "does today's batch still look like the
 corpus the models were built on").
 
-Two queries: per-dimension histogram drift over embedding cohorts
-(``embed_drift_report``) and the exact two-sample Kolmogorov–Smirnov
+Three queries: per-dimension histogram drift over embedding cohorts
+(``embed_drift_report``), the exact two-sample Kolmogorov–Smirnov
 test over event-value cohorts (``events_ab_ks``) — the
 distribution-level member of the experimentation stack
 (t/chi²/CUPED/Mann-Whitney in ``plans/analytics7.py`` compare moments
-and ranks; KS compares the whole CDF).
+and ranks; KS compares the whole CDF) — and the join-key skew
+diagnostics report (``join_skew_report``, backed by
+``operators/skew.key_skew_report``), the pre-flight a 100 TB join runs
+before choosing between plain shuffle, AQE skew split, and explicit
+salting.
 
 Drift is reported per dimension as total-variation distance and the
 worst single bin (L∞) over a fixed integer histogram. Both metrics stay
@@ -296,4 +300,54 @@ def events_ab_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb"))
             )
         ).alias("ks_scaled"),
+    )
+
+
+@register(
+    "join_skew_report",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ), tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt
+            FROM counts
+        ), top AS (
+            SELECT key, cnt FROM counts
+            ORDER BY cnt DESC, key LIMIT 20
+        ), ranked AS (
+            SELECT t1.key, t1.cnt, CAST(COUNT(*) AS BIGINT) AS rank
+            FROM top t1 JOIN top t2
+              ON t2.cnt > t1.cnt
+                 OR (t2.cnt = t1.cnt AND t2.key <= t1.key)
+            GROUP BY t1.key, t1.cnt
+        )
+        SELECT r.key, r.cnt, r.rank, t.n_rows, t.n_keys, t.max_cnt,
+               (r.cnt * 1000000) // t.n_rows AS share_ppm,
+               (r.cnt * 32 + t.n_rows - 1) // t.n_rows AS salt_factor
+        FROM ranked r, tot t
+    """,
+    doc="Pre-flight skew diagnostics for the events.user_id fact-dim "
+        "join key (the key streaming_static_join_parity and "
+        "join_fact_dim shuffle or broadcast on): top-20 hottest keys "
+        "with exact rank (count DESC, key ASC total order), per-key "
+        "count, share of the table in ppm, table summary (n_rows / "
+        "n_keys / max_cnt), and the integer salt_factor = "
+        "ceil(cnt·32/n_rows) each hot key would need in "
+        "operators/skew.salted_join so no reducer holds more than "
+        "~1/32 of the rows. All exact bigint arithmetic. Plan: one "
+        "map-side-combined count is the only full-data pass; the top-k "
+        "is TakeOrderedAndProject (O(k) per partition, no global sort); "
+        "rank is a broadcast 20-row triangular self-join; the summary "
+        "broadcasts back. The report a 100 TB join runs BEFORE choosing "
+        "between plain shuffle, AQE skew split, and explicit salting",
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.skew import key_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(
+        ev, "user_id", top_k=20, target_partitions=32
     )
