@@ -19,7 +19,9 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # v1 IVF); filter_notnull ceded to streaming_outer_join_parity.
 # late round 5: filter_kind / fn_keyword_hits / fn_safe_long / fn_dates /
 # explode_tokens ceded to the round-5 capstones (ANN recall report,
-# blocking frontier, record linkage, entity resolution, prefix join).
+# blocking frontier, record linkage, entity resolution, prefix join);
+# closing wave: group_count_region / fn_engagement_rate ceded to the
+# exact distributed KS test and the TVD drift report.
 FLAGSHIPS = {
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
     "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann_md5",
@@ -30,6 +32,7 @@ FLAGSHIPS = {
     "streaming_outer_join_parity", "ann_recall_report",
     "blocking_efficiency_report", "record_linkage_mutual_best",
     "entity_resolution_docs", "dedup_prefix_filter_join",
+    "events_ab_ks", "embed_drift_report",
 }
 
 

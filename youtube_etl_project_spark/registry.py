@@ -149,13 +149,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # full-gate logs)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
     "filter_date_incremental", "json_extract_typed", "join_fact_dim",
-    "join_semi", "join_anti", "group_pct_of_total", "group_count_region",
+    "join_semi", "join_anti", "group_pct_of_total",
     "scalar_subquery_counts", "agg_refresh_daily",
     "window_latest_per_key", "topk_per_group",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
-    "fn_text_blob", "fn_classify_sentiment",
-    "fn_engagement_rate", "bloom_semi_join",
+    "fn_text_blob", "fn_classify_sentiment", "bloom_semi_join",
     # staging / upsert / CDC
     "from_json_struct", "staging_lineage_agg", "merge_upsert_dim",
     "merge_insert_only", "scd2_upsert_customers", "cdc_apply_latest",
@@ -203,6 +202,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_recall_report", "blocking_efficiency_report",
     "record_linkage_mutual_best", "entity_resolution_docs",
     "dedup_prefix_filter_join",
+    # round-5 closing wave: the exact distributed two-sample KS test
+    # (CDF-level drift via operators/ranking.global_prefix_sum — no
+    # unpartitioned window) and the exact-bigint TVD drift report took
+    # the slots of group_count_region / fn_engagement_rate (trivial A3 /
+    # F4 shapes; both stay green in the committed both-scale full-gate
+    # logs, and F4 keeps its hypothesis property test)
+    "events_ab_ks", "embed_drift_report",
 )
 
 
