@@ -107,6 +107,14 @@ HEADLINE = [
 # proving apparent "regressions" were drift).
 CALIB_REF_SEC = 0.302
 
+# BLAS-probe reference (series starts at BENCH_r05): the JVM calib above
+# wobbles ±10% run-to-run even on an idle host (C2/GC nondeterminism —
+# measured min-of-run spread 0.218-0.267 s across 5 back-to-back runs),
+# so value_normalized inherits that ±10%. The precompiled-BLAS probe
+# spreads <2% across the same runs; value_normalized_py is the stable
+# cross-round series going forward.
+CALIB_PY_REF_SEC = 0.0261
+
 # A calibration drifting more than this factor between the start and end of
 # the run means the host speed CHANGED mid-run — per-query numbers are then
 # not comparable even after normalization, and the run is flagged.
@@ -149,8 +157,38 @@ def main() -> None:
     # first pandas_udf in a session pays ~5s of worker spin-up)
     run("flagship_daily_agg")
     run("multimodal_decode")
+    # settle the calibration path before timing it: tiered JIT + GC
+    # adaptation need several iterations (measured: the first timed calib
+    # runs 1.4-1.7x its settled cost even on an idle host, which tripped
+    # the drift flag on every run) — iterate until two consecutive
+    # samples agree within 10%, cap 8 (~4 s)
+    prev = calib()
+    for _ in range(7):
+        cur = calib()
+        if max(prev, cur) / min(prev, cur) < 1.10:
+            break
+        prev = cur
+
+    # Contention probe: a BLAS matmul in THIS process. Unlike the JVM
+    # calib — whose C2/GC ramp keeps improving it for ~15 iterations, so
+    # its start/end ratio conflates warm-up with real host drift (measured
+    # 1.3-1.7x on an idle host) — precompiled BLAS settles to ±2% after
+    # two calls, so a start/end disagreement here IS the host changing
+    # speed. The JVM calib stays the cross-round normalization reference.
+    import numpy as _np
+
+    _blas_a = _np.random.default_rng(7).standard_normal((1536, 1536))
+
+    def calib_py() -> float:
+        t0 = time.time()
+        _ = _blas_a @ _blas_a
+        return time.time() - t0
+
+    calib_py()
+    calib_py()  # two warmups: thread-pool spin-up + cache residency
 
     load_start = os.getloadavg()
+    calib_py_start = round(min(calib_py() for _ in range(5)), 4)
     calib_start = round(min(calib() for _ in range(3)), 3)
 
     # Share the input scans: every query resolves tables through
@@ -168,10 +206,15 @@ def main() -> None:
         timings[name] = round(best_of(name), 3)
 
     calib_end = round(min(calib() for _ in range(3)), 3)
+    calib_py_end = round(min(calib_py() for _ in range(5)), 4)
     load_end = os.getloadavg()
     calib_sec = min(calib_start, calib_end)
     drift = (
         max(calib_start, calib_end) / calib_sec if calib_sec > 0 else 1.0
+    )
+    py_lo = min(calib_py_start, calib_py_end)
+    drift_py = (
+        max(calib_py_start, calib_py_end) / py_lo if py_lo > 0 else 1.0
     )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -189,20 +232,39 @@ def main() -> None:
                 "calib_jvm_sec_start": calib_start,
                 "calib_jvm_sec_end": calib_end,
                 "calib_drift": round(drift, 3),
-                "contended_run": drift > CALIB_DRIFT_FLAG,
+                "calib_py_sec_start": calib_py_start,
+                "calib_py_sec_end": calib_py_end,
+                "calib_py_drift": round(drift_py, 3),
+                "contended_run": drift_py > CALIB_DRIFT_FLAG,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
                 "calib_ref_sec": CALIB_REF_SEC,
+                "calib_py_ref_sec": CALIB_PY_REF_SEC,
                 "value_normalized": round(total * scale, 3),
+                "value_normalized_py": round(
+                    total * CALIB_PY_REF_SEC / py_lo, 3
+                )
+                if py_lo > 0
+                else round(total, 3),
                 "queries_normalized": {
                     n: round(t * scale, 3) for n, t in timings.items()
                 },
                 "normalization": "raw * calib_ref_sec/calib_jvm_sec — "
                 "rescaled to the BENCH_r03 host speed; compare normalized "
                 "values across rounds. contended_run=true means the "
-                "start/end calibrations disagree by >20% — the host speed "
-                "changed mid-run and per-query deltas are untrustworthy; "
-                "re-record on a quiet host before diagnosing regressions",
+                "start/end BLAS probes (calib_py_*, JIT-ramp-free) "
+                "disagree by >20% — the host speed changed mid-run and "
+                "per-query deltas are untrustworthy; re-record on a quiet "
+                "host before diagnosing regressions. calib_jvm start/end "
+                "may legitimately differ ~1.3x (C2/GC ramp); the min is "
+                "the normalization denominator. CAVEAT (r5): deepening "
+                "the calib warm-up lowered that denominator ~0.30→0.22, "
+                "which systematically INFLATES value_normalized vs "
+                "r3/r4 records (~1.2x) with no real slowdown — raw "
+                "common-query median vs r3 is 0.89. Use "
+                "value_normalized_py (BLAS-referenced, warm-up-"
+                "insensitive, <2% run spread) for cross-round "
+                "comparisons from r5 on",
             }
         )
     )
