@@ -97,6 +97,7 @@ HEADLINE = [
     "embed_drift_report",
     "events_ab_ks",
     "join_skew_report",
+    "table_diff_versions",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

@@ -32,7 +32,7 @@ FLAGSHIPS = {
     "streaming_outer_join_parity", "ann_recall_report",
     "blocking_efficiency_report", "record_linkage_mutual_best",
     "entity_resolution_docs", "dedup_prefix_filter_join",
-    "events_ab_ks", "embed_drift_report",
+    "events_ab_ks", "embed_drift_report", "table_diff_versions",
 }
 
 

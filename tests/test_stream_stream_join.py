@@ -103,3 +103,42 @@ def test_stream_stream_full_outer_join_query_matches_batch(spark):
     assert streamed == expected
     assert any(r[2] is None for r in expected)  # unmatched-view path
     assert any(r[1] is None for r in expected)  # unmatched-click path
+
+
+def test_stream_stream_semi_join_query_matches_batch(spark):
+    """The registered left-semi parity query must equal the batch LEFT
+    SEMI join exactly: one row per view WITH a click in-window (however
+    many partners), none for views without — i.e. strictly fewer rows
+    than the inner join when multi-matches exist, and a strict subset of
+    the views."""
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    sf = "/root/testdata/sf0.001"
+    plans = load_all_plans()
+    streamed = sorted(
+        map(tuple, plans["streaming_semi_join_parity"].fn(spark, sf).collect())
+    )
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    expected = sorted(
+        map(
+            tuple,
+            interval_joined_streams(
+                views, clicks, "user_id", "ts", "30 minutes",
+                how="left_semi",
+            ).collect(),
+        )
+    )
+    assert streamed == expected
+    assert 0 < len(expected) < views.count()  # a real filter, not a no-op
+    # semi never exceeds inner's distinct-left count
+    inner_left = (
+        interval_joined_streams(
+            views, clicks, "user_id", "ts", "30 minutes", how="inner"
+        )
+        .select("user_id", "left_ts")
+        .distinct()
+        .count()
+    )
+    assert len(expected) == inner_left

@@ -148,6 +148,7 @@ PROBE_QUERIES = (
     "streaming_static_join_parity",
     "events_ab_ks",
     "join_skew_report",
+    "table_diff_versions",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

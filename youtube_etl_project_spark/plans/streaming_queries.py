@@ -479,6 +479,36 @@ def streaming_full_outer_join_parity(
     return _interval_join_parity(spark, sf_dir, how="full_outer")
 
 
+@register(
+    "streaming_semi_join_parity",
+    oracle="""
+        SELECT v.user_id,
+               CAST(FLOOR(EPOCH(v.ts)) AS BIGINT) AS left_ts
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        WHERE EXISTS (
+            SELECT 1 FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = v.user_id
+              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        )
+    """,
+    doc="X6/T2 stream-stream LEFT SEMI interval join under the oracle "
+        "gate — the existence-filter mode that completes the streaming "
+        "join matrix (inner / left_outer / full_outer / left_semi): a "
+        "view emits exactly once iff at least one click lands in its "
+        "30-minute window, no right columns, no duplicate emits on "
+        "multi-match — and the row is only released when the watermark "
+        "CLOSES the window (earlier emission could not dedup a later "
+        "partner), so the same flush-sentinel bounded drain applies. "
+        "Hash-matched against the DuckDB EXISTS twin. The streaming "
+        "form of 'users who converted' — the attribution prefilter run "
+        "before joining heavy payload columns",
+)
+def streaming_semi_join_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _interval_join_parity(spark, sf_dir, how="left_semi")
+
+
 def _interval_join_parity(
     spark: SparkSession, sf_dir: str, how: str
 ) -> DataFrame:

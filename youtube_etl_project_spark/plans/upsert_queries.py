@@ -273,3 +273,125 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "table_diff_versions",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS status,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        ), v1 AS (
+            SELECT * FROM base WHERE k % 3 <> 0
+        ), src AS (
+            SELECT k, 'R' AS status,
+                   CAST(price + 10 AS DECIMAL(18,2)) AS price
+            FROM base WHERE k % 2 = 0
+        ), v2 AS (
+            SELECT * FROM (
+                SELECT * FROM src
+                UNION ALL
+                SELECT v1.* FROM v1
+                LEFT JOIN src ON src.k = v1.k
+                WHERE src.k IS NULL
+            ) m WHERE k % 7 <> 0
+        ), d AS (
+            SELECT CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN a.status <> b.status OR a.price <> b.price
+                             THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                             AND a.status <> b.status
+                        THEN 1 ELSE 0 END AS sc,
+                   CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                             AND a.price <> b.price
+                        THEN 1 ELSE 0 END AS pc
+            FROM v1 a FULL OUTER JOIN v2 b ON b.k = a.k
+        )
+        SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(sc) AS BIGINT) AS n_status_changed,
+               CAST(SUM(pc) AS BIGINT) AS n_price_changed
+        FROM d GROUP BY change
+    """,
+    doc="Snapshot diff through REAL time travel: writes orders-derived "
+        "v1 to a ParquetTable, commits v2 on top (merge-upsert + "
+        "retention filter), then reads read_version(1) vs "
+        "read_version(0) back through the commit-log/pointer machinery "
+        "and classifies every key added / removed / changed / unchanged "
+        "with per-column change counts — the 'what did last night's "
+        "load do' audit. The oracle recomputes the same diff purely "
+        "relationally, so the commit log, pointer swap, retention and "
+        "time-travel read path are all under the value-hash gate (T3 "
+        "was previously pytest-evidence only). Exact arithmetic: "
+        "decimal-domain prices, string statuses, bigint counts. Plan: "
+        "one full-outer join on the key + a 4-group rollup; at 100 TB "
+        "the diff is one co-partitioned shuffle of the two snapshots",
+)
+def table_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from youtube_etl_project_spark.operators.upsert import ParquetTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    v1 = base.filter(F.col("k") % 3 != 0)
+    src = base.filter(F.col("k") % 2 == 0).select(
+        "k",
+        F.lit("R").alias("status"),
+        (F.col("price") + F.lit(10)).cast("decimal(18,2)").alias("price"),
+    )
+    v2 = merge_upsert(v1, src, ["k"]).filter(F.col("k") % 7 != 0)
+
+    root = tempfile.mkdtemp(prefix="tdiff_")
+    table = ParquetTable(spark, root + "/orders_t", keep_versions=3)
+    table.write(v1)
+    table.write(v2)
+
+    old = table.read_version(1).select(
+        "k",
+        F.col("status").alias("s_a"),
+        F.col("price").alias("p_a"),
+        F.lit(1).alias("in_a"),
+    )
+    new = table.read_version(0).select(
+        "k",
+        F.col("status").alias("s_b"),
+        F.col("price").alias("p_b"),
+        F.lit(1).alias("in_b"),
+    )
+    d = old.join(new, "k", "full_outer").select(
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
+        .when(
+            (F.col("s_a") != F.col("s_b")) | (F.col("p_a") != F.col("p_b")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+        F.when(
+            F.col("in_a").isNotNull()
+            & F.col("in_b").isNotNull()
+            & (F.col("s_a") != F.col("s_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("sc"),
+        F.when(
+            F.col("in_a").isNotNull()
+            & F.col("in_b").isNotNull()
+            & (F.col("p_a") != F.col("p_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("pc"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("sc").cast("long").alias("n_status_changed"),
+        F.sum("pc").cast("long").alias("n_price_changed"),
+    )

@@ -155,9 +155,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
     "fn_text_blob", "fn_classify_sentiment", "bloom_semi_join",
-    # staging / upsert / CDC
+    # staging / upsert / CDC (merge_insert_only ceded to
+    # table_diff_versions below — J3 keeps its driver row via join_anti)
     "from_json_struct", "staging_lineage_agg", "merge_upsert_dim",
-    "merge_insert_only", "scd2_upsert_customers", "cdc_apply_latest",
+    "scd2_upsert_customers", "cdc_apply_latest",
     # event-time windows
     "events_tumbling_window", "events_session_window",
     # LLM-pipeline flagships: dedup + similarity (+ the round-3 graph op;
@@ -209,6 +210,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # F4 shapes; both stay green in the committed both-scale full-gate
     # logs, and F4 keeps its hypothesis property test)
     "events_ab_ks", "embed_drift_report",
+    # the snapshot-diff-through-time-travel audit: the first driver-gate
+    # row that exercises the ParquetTable commit-log / pointer-swap /
+    # read_version machinery (T3 was pytest-evidence only before)
+    "table_diff_versions",
 )
 
 

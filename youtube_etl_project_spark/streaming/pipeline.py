@@ -187,6 +187,13 @@ def interval_joined_streams(
     coalesced across sides — identical to the left key for inner/left
     modes (it is never NULL there), and the only well-defined key for
     the right-side null rows.
+
+    ``how="left_semi"`` is the existence filter: a left event emits
+    exactly once iff at least one partner arrives in its window — and,
+    like the outer modes, only when the watermark CLOSES that window
+    (Spark must know no further partner can flip a multi-match into a
+    duplicate emit), so the same bounded-drain sentinel discipline
+    applies. Output carries left columns only.
     """
     l = left.select(
         F.col(key).alias("k"), F.col(ts_col).alias("l_ts")
@@ -203,7 +210,13 @@ def interval_joined_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, how).select(
+    j = l.join(r, cond, how)
+    if how == "left_semi":
+        return j.select(
+            F.col("k").alias(key),
+            F.unix_timestamp("l_ts").alias("left_ts"),
+        )
+    return j.select(
         F.coalesce(F.col("k"), F.col("r_k")).alias(key),
         F.unix_timestamp("l_ts").alias("left_ts"),
         F.unix_timestamp("r_ts").alias("right_ts"),
