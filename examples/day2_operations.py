@@ -71,16 +71,24 @@ def main() -> None:
         print("   all 64 dimensions under 0.10 — snapshot promotable")
 
     print("3. Value-distribution shift (exact two-sample KS):")
-    ks = plans["events_ab_ks"].fn(spark, sf_dir).collect()[0]
-    # 1.36 ~ the alpha=0.05 critical coefficient for the two-sided test
-    crit = 1.36 * ((ks["na"] + ks["nb"]) / (ks["na"] * ks["nb"])) ** 0.5
-    verdict = "SHIFTED" if ks["d"] > crit else "stable"
-    print(f"   D={ks['d']:.5f} at value={ks['ks_at']:.4f} "
-          f"(n_a={ks['na']}, n_b={ks['nb']}, crit={crit:.5f}) -> {verdict}")
+    ks_rows = plans["events_ab_ks"].fn(spark, sf_dir).collect()
+    if not ks_rows or ks_rows[0]["na"] == 0 or ks_rows[0]["nb"] == 0:
+        print("   no data in one or both cohorts — KS not applicable")
+    else:
+        ks = ks_rows[0]
+        # 1.36 ~ the alpha=0.05 critical coefficient, two-sided test
+        crit = 1.36 * ((ks["na"] + ks["nb"]) / (ks["na"] * ks["nb"])) ** 0.5
+        verdict = "SHIFTED" if ks["d"] > crit else "stable"
+        print(f"   D={ks['d']:.5f} at value={ks['ks_at']:.4f} "
+              f"(n_a={ks['na']}, n_b={ks['nb']}, crit={crit:.5f}) "
+              f"-> {verdict}")
 
     print("4. Join-skew pre-flight (events.user_id):")
     rows = sorted(plans["join_skew_report"].fn(spark, sf_dir).collect(),
                   key=lambda r: r["rank"])
+    if not rows:
+        print("   empty table — nothing to join")
+        return
     worst = rows[0]
     print(f"   {worst['n_keys']} keys / {worst['n_rows']} rows; hottest "
           f"key {worst['key']} holds {worst['share_ppm']} ppm "

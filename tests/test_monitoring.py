@@ -88,3 +88,19 @@ def test_key_skew_report_tie_rank_by_key(spark):
     }
     # ties (cnt=2) rank by key ASC: key 1 -> rank 1, key 2 -> rank 2
     assert (got[1].rank, got[2].rank, got[5].rank) == (1, 2, 3)
+
+
+def test_key_skew_report_null_key_is_ranked(spark):
+    """NULL join keys are the classic real-world skew cause — the report
+    must rank them, not silently drop them (a plain k2 <= key tie-break
+    evaluates to NULL for the NULL-key row)."""
+    from youtube_etl_project_spark.operators.skew import key_skew_report
+
+    rows = [(None,)] * 5 + [(3,)] * 3 + [(9,)] * 3 + [(1,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = {r.key: r for r in key_skew_report(df, "k", top_k=3).collect()}
+    assert set(got) == {None, 3, 9}
+    assert (got[None].cnt, got[None].rank) == (5, 1)
+    # equal-count tie between 3 and 9 breaks by key ASC
+    assert (got[3].rank, got[9].rank) == (2, 3)
+    assert got[None].salt_factor == 14  # ceil(5*32/12) at default P=32

@@ -132,13 +132,22 @@ def test_stream_stream_semi_join_query_matches_batch(spark):
     )
     assert streamed == expected
     assert 0 < len(expected) < views.count()  # a real filter, not a no-op
-    # semi never exceeds inner's distinct-left count
-    inner_left = (
+    # semi emits one row per view ROW with a partner — count it
+    # duplicate-robustly by joining each view row against the distinct
+    # matched keys (a distinct-count of inner output would undercount if
+    # two identical view rows both match)
+    matched_keys = (
         interval_joined_streams(
             views, clicks, "user_id", "ts", "30 minutes", how="inner"
         )
         .select("user_id", "left_ts")
         .distinct()
+    )
+    per_row = (
+        views.select(
+            "user_id", F.unix_timestamp("ts").alias("left_ts")
+        )
+        .join(matched_keys, ["user_id", "left_ts"])
         .count()
     )
-    assert len(expected) == inner_left
+    assert len(expected) == per_row

@@ -49,6 +49,54 @@ _PID = "__gr_pid"
 _OFF = "__gr_offset"
 
 
+def _range_partition_offsets(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    num_partitions: int | None,
+    agg_exprs: Sequence[tuple[str, Column]],
+) -> tuple[DataFrame, DataFrame, list[int]]:
+    """The shared two-pass scaffold behind :func:`global_rank` and
+    :func:`global_prefix_sum`: range-shuffle on the FULL ordering key
+    (must be a total order), pin the partition assignment (the range
+    partitioner's reservoir sample could re-draw boundaries between the
+    totals job and the consuming job otherwise), collect one
+    (partition, totals...) row per partition — bounded driver state —
+    and turn the totals into cumulative offsets.
+
+    ``agg_exprs`` is ``[(offset_col_name, per_partition_agg), ...]``;
+    each aggregate must be LongType. Returns ``(pinned_partitioned_df,
+    broadcast-ready offsets_df keyed by _PID, grand_totals)`` where
+    ``grand_totals[i]`` is the whole-frame total of aggregate i.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = 32
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    part = pin(part)
+    names = [n for n, _ in agg_exprs]
+    totals = sorted(
+        part.groupBy(_PID)
+        .agg(*[c.alias(n) for n, c in agg_exprs])
+        .collect(),
+        key=lambda r: r[_PID],
+    )
+    offsets, acc = [], [0] * len(names)
+    for row in totals:
+        offsets.append((row[_PID], *acc))
+        acc = [a + (row[n] or 0) for a, n in zip(acc, names)]
+    off_df = spark.createDataFrame(
+        offsets,
+        schema=", ".join([f"{_PID} int"] + [f"{n} long" for n in names]),
+    )
+    return part, off_df, acc
+
+
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[Column],
@@ -62,26 +110,11 @@ def global_rank(
     range-shuffle -> pinned partitions -> per-partition offsets (broadcast
     joined) -> partition-local ``row_number`` + offset.
     """
-    spark = df.sparkSession
-    if num_partitions is None:
-        try:
-            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            num_partitions = 32
-    part = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-    )
-    part = pin(part)
-    counts = sorted(
-        part.groupBy(_PID).count().collect(), key=lambda r: r[_PID]
-    )
-    offsets, acc = [], 0
-    for row in counts:
-        offsets.append((row[_PID], acc))
-        acc += row["count"]
-    off_df = spark.createDataFrame(
-        offsets, schema=f"{_PID} int, {_OFF} long"
+    part, off_df, (total,) = _range_partition_offsets(
+        df,
+        order_cols,
+        num_partitions,
+        [(_OFF, F.count(F.lit(1)).cast("long"))],
     )
     ranked = (
         part.join(F.broadcast(off_df), _PID)
@@ -94,7 +127,7 @@ def global_rank(
         )
         .drop(_PID, _OFF)
     )
-    return ranked, acc
+    return ranked, total
 
 
 def exact_ntile(
@@ -199,40 +232,25 @@ def global_prefix_sum(
     the scale-safe replacement for ``SUM() OVER (ORDER BY ...)`` with no
     partition spec, which moves the whole frame through one task.
 
-    Same two-pass plan: range-shuffle on the full ordering key (must be a
-    total order — include a tiebreaker), pin the partition assignment,
-    collect one (partition, per-column total) row per partition — bounded
-    driver state — turn those into cumulative offsets, then add each
+    Same two-pass plan (shared scaffold: :func:`_range_partition_offsets`):
+    range-shuffle on the full ordering key (must be a total order —
+    include a tiebreaker), pin the partition assignment, collect one
+    (partition, per-column total) row per partition — bounded driver
+    state — turn those into cumulative offsets, then add each
     partition's offset to its partition-local running sum (window
     PARTITIONED by the physical partition id, never global). Appends
     ``{col}_cum`` (LongType) for each input column.
     """
-    spark = df.sparkSession
-    if num_partitions is None:
-        try:
-            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            num_partitions = 32
-    part = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-    )
-    part = pin(part)
-    totals = sorted(
-        part.groupBy(_PID)
-        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
-        .collect(),
-        key=lambda r: r[_PID],
-    )
-    offsets, acc = [], [0] * len(sum_cols)
-    for row in totals:
-        offsets.append((row[_PID], *acc))
-        acc = [a + (row[c] or 0) for a, c in zip(acc, sum_cols)]
     off_names = [f"__gps_off_{c}" for c in sum_cols]
-    off_schema = ", ".join(
-        [f"{_PID} int"] + [f"{n} long" for n in off_names]
+    part, off_df, _ = _range_partition_offsets(
+        df,
+        order_cols,
+        num_partitions,
+        [
+            (n, F.sum(c).cast("long"))
+            for n, c in zip(off_names, sum_cols)
+        ],
     )
-    off_df = spark.createDataFrame(offsets, schema=off_schema)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)

@@ -104,18 +104,29 @@ def key_skew_report(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("cnt").cast("long").alias("max_cnt"),
     )
-    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(
-        top_k
-    )
+    # NULL keys are the classic real-world skew cause this pre-flight
+    # exists to catch, so the total order must place them explicitly:
+    # count DESC, then key ASC with NULLS FIRST (Spark's asc default;
+    # mirrored in the oracle with NULLS FIRST). The rank join below uses
+    # the same null-aware precedence — a plain k2 <= key would evaluate
+    # to NULL for the NULL-key row and silently drop it from the report.
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("key").asc_nulls_first()
+    ).limit(top_k)
     top = pin(top)  # self-joined below
     other = top.select(
         F.col("key").alias("k2"), F.col("cnt").alias("c2")
+    )
+    k2_precedes_or_eq = (
+        F.when(F.col("k2").isNull(), F.lit(True))
+        .when(F.col("key").isNull(), F.lit(False))
+        .otherwise(F.col("k2") <= F.col("key"))
     )
     ranked = (
         top.join(
             F.broadcast(other),
             (F.col("c2") > F.col("cnt"))
-            | ((F.col("c2") == F.col("cnt")) & (F.col("k2") <= F.col("key"))),
+            | ((F.col("c2") == F.col("cnt")) & k2_precedes_or_eq),
         )
         .groupBy("key", "cnt")
         .agg(F.count(F.lit(1)).cast("long").alias("rank"))

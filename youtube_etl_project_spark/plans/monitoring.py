@@ -17,7 +17,9 @@ salting.
 
 Drift is reported per dimension as total-variation distance and the
 worst single bin (L∞) over a fixed integer histogram. Both metrics stay
-in exact bigint arithmetic end-to-end — counts are integers, and the
+in exact integer arithmetic end-to-end (decimal(38,0) on the Spark
+side, HUGEINT in the oracle — int64 would wrap silently once a cohort
+passes ~3e9 values) — counts are integers, and the
 cross-cohort comparison multiplies counts by the opposite cohort's total
 instead of dividing into float frequencies — so the report hash-matches
 its DuckDB oracle bit for bit (no PSI-style logarithms, whose libm/JVM
@@ -73,21 +75,33 @@ _SPAN = 500_000  # fixture embeddings live in ~[-0.5, 0.5); edges clamp
                    CAST(SUM(c_cur) AS BIGINT) AS n_cur
             FROM filled GROUP BY dim
         )
-        SELECT f.dim, t.n_ref, t.n_cur,
-               CAST(SUM(ABS(f.c_ref * t.n_cur - f.c_cur * t.n_ref))
-                    AS BIGINT) AS tvd_num,
-               CAST(MAX(ABS(f.c_ref * t.n_cur - f.c_cur * t.n_ref))
-                    AS BIGINT) AS linf_num,
-               CAST(SUM(ABS(f.c_ref * t.n_cur - f.c_cur * t.n_ref))
-                    AS DOUBLE) / (2.0 * t.n_ref * t.n_cur) AS tvd
-        FROM filled f JOIN tot t ON t.dim = f.dim
-        GROUP BY f.dim, t.n_ref, t.n_cur
+        , agg AS (
+            SELECT f.dim, t.n_ref, t.n_cur,
+                   CAST(SUM(ABS(CAST(f.c_ref AS HUGEINT)
+                                    * CAST(t.n_cur AS HUGEINT)
+                                - CAST(f.c_cur AS HUGEINT)
+                                    * CAST(t.n_ref AS HUGEINT)))
+                        AS DECIMAL(38,0)) AS tvd_num,
+                   CAST(MAX(ABS(CAST(f.c_ref AS HUGEINT)
+                                    * CAST(t.n_cur AS HUGEINT)
+                                - CAST(f.c_cur AS HUGEINT)
+                                    * CAST(t.n_ref AS HUGEINT)))
+                        AS DECIMAL(38,0)) AS linf_num
+            FROM filled f JOIN tot t ON t.dim = f.dim
+            GROUP BY f.dim, t.n_ref, t.n_cur
+        )
+        SELECT dim, n_ref, n_cur, tvd_num, linf_num,
+               CAST(tvd_num AS DOUBLE)
+                   / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+                   AS tvd
+        FROM agg
     """,
     doc="Per-dimension distribution drift between the even-label cohort "
         "(reference snapshot) and the odd-label cohort (current batch): "
         f"{_BINS}-bin fixed histogram on the 1e6 fixed-point grid, "
         "total-variation distance plus the worst single bin (L∞), all in "
-        "exact bigint arithmetic (|c_ref·N_cur − c_cur·N_ref| — never "
+        "exact decimal(38,0) arithmetic (|c_ref·N_cur − c_cur·N_ref| — "
+        "overflow-safe past int64's ~3e9-value ceiling, never "
         "float frequencies), one final exact-operand double division for "
         "the headline tvd. Plan: posexplode map-side → two tiny rollups "
         f"(dim×bin = {_DIM * _BINS} rows, then dim), zero-count bins "
@@ -117,8 +131,9 @@ def drift_report(
 ) -> DataFrame:
     """TVD/L∞ histogram drift between cohort 0 (reference) and cohort 1
     (current) of ``cohorts(grp int, embedding array<float>)``. All
-    arithmetic below the single final division is exact bigint — see the
-    module docstring for why (value-hash oracle parity)."""
+    arithmetic below the single final division is exact integer —
+    decimal(38,0) for the cross-multiplied numerators — see the module
+    docstring for why (value-hash oracle parity + int64 overflow)."""
     spark = cohorts.sparkSession
     vals = cohorts.select(
         "grp",
@@ -163,17 +178,23 @@ def drift_report(
         F.sum("c_ref").cast("long").alias("n_ref"),
         F.sum("c_cur").cast("long").alias("n_cur"),
     )
+    # decimal(20,0) operands keep c_ref·N_cur exact to 1e38 (int64 wraps
+    # silently once a cohort passes ~3e9 values); the oracle mirrors the
+    # products in HUGEINT and both emit DECIMAL(38,0) numerators.
     diff = filled.join(F.broadcast(tot), "dim").select(
         "dim",
         "n_ref",
         "n_cur",
         F.abs(
-            F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref")
+            F.col("c_ref").cast("decimal(20,0)")
+            * F.col("n_cur").cast("decimal(20,0)")
+            - F.col("c_cur").cast("decimal(20,0)")
+            * F.col("n_ref").cast("decimal(20,0)")
         ).alias("d"),
     )
     out = diff.groupBy("dim", "n_ref", "n_cur").agg(
-        F.sum("d").cast("long").alias("tvd_num"),
-        F.max("d").cast("long").alias("linf_num"),
+        F.sum("d").cast("decimal(38,0)").alias("tvd_num"),
+        F.max("d").cast("decimal(38,0)").alias("linf_num"),
     )
     return out.select(
         "dim",
@@ -183,7 +204,11 @@ def drift_report(
         "linf_num",
         (
             F.col("tvd_num").cast("double")
-            / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+            / (
+                F.lit(2.0)
+                * F.col("n_ref").cast("double")
+                * F.col("n_cur").cast("double")
+            )
         ).alias("tvd"),
     )
 
@@ -194,7 +219,8 @@ def drift_report(
         WITH ab AS (
             SELECT value,
                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
-            FROM events WHERE event_type IN ('view', 'click')
+            FROM events
+            WHERE event_type IN ('view', 'click') AND value IS NOT NULL
         ), pts AS (
             SELECT value,
                    CAST(SUM(is_a) AS BIGINT) AS na_here,
@@ -212,27 +238,33 @@ def drift_report(
                    CAST(SUM(nb_here) AS BIGINT) AS nb
             FROM pts
         ), diffs AS (
-            SELECT c.value, ABS(c.ra * t.nb - c.rb * t.na) AS dd,
+            SELECT c.value,
+                   ABS(CAST(c.ra AS HUGEINT) * CAST(t.nb AS HUGEINT)
+                       - CAST(c.rb AS HUGEINT) * CAST(t.na AS HUGEINT))
+                       AS dd,
                    t.na, t.nb
             FROM cum c, tot t
         ), stat AS (
-            SELECT na, nb, CAST(MAX(dd) AS BIGINT) AS d_num
+            SELECT na, nb, CAST(MAX(dd) AS DECIMAL(38,0)) AS d_num
             FROM diffs GROUP BY na, nb
         )
         SELECT s.na, s.nb, s.d_num,
-               (SELECT MIN(d.value) FROM diffs d WHERE d.dd = s.d_num)
-                   AS ks_at,
-               CAST(s.d_num AS DOUBLE) / (s.na * s.nb) AS d,
-               CAST(s.d_num AS DOUBLE) / (s.na * s.nb)
-                   * SQRT(CAST(s.na * s.nb AS DOUBLE) / (s.na + s.nb))
+               (SELECT MIN(d.value) FROM diffs d
+                WHERE CAST(d.dd AS DECIMAL(38,0)) = s.d_num) AS ks_at,
+               CAST(s.d_num AS DOUBLE)
+                   / (CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE)) AS d,
+               CAST(s.d_num AS DOUBLE)
+                   / (CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE))
+                   * SQRT(CAST(s.na AS DOUBLE) * CAST(s.nb AS DOUBLE)
+                          / (CAST(s.na AS DOUBLE) + CAST(s.nb AS DOUBLE)))
                    AS ks_scaled
         FROM stat s
     """,
     doc="Exact two-sample Kolmogorov–Smirnov test (view vs click event "
         "values): D = max_x |ECDF_a(x) − ECDF_b(x)|, evaluated at every "
         "observed point with the cross-multiplied integer form "
-        "|r_a·N_b − r_b·N_a| so the max and its location are exact "
-        "bigints; the headline D and the √(n_a·n_b/(n_a+n_b))-scaled "
+        "|r_a·N_b − r_b·N_a| in decimal(38,0)/HUGEINT so the max and its "
+        "location are exact past int64's ~3e9-row-cohort ceiling; the headline D and the √(n_a·n_b/(n_a+n_b))-scaled "
         "statistic are two exact-operand IEEE steps both engines round "
         "identically. Plan: one shuffle groups duplicates per value, "
         "then operators/ranking.global_prefix_sum — the weighted "
@@ -252,7 +284,14 @@ def events_ab_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    ab = ev.filter(F.col("event_type").isin("view", "click")).select(
+    # NULL values are excluded explicitly on BOTH engines: an ECDF over
+    # NULL is meaningless, and Spark's asc() sorts NULLS FIRST while the
+    # oracle's window ORDER BY defaults NULLS LAST — unfiltered, one NULL
+    # would shift every cumulative count on one engine only.
+    ab = ev.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
+    ).select(
         "value",
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
     )
@@ -268,38 +307,45 @@ def events_ab_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na_here").cast("long").alias("na"),
         F.sum("nb_here").cast("long").alias("nb"),
     )
+    # decimal(38,0) cross-multiplication: ra·N_b reaches ~N_a·N_b, which
+    # overflows int64 once each cohort passes ~3e9 rows — far below the
+    # scale this test targets. decimal(20,0) operands keep the product
+    # exact to 1e38 on Spark; the oracle mirrors with HUGEINT.
     diffs = cum.crossJoin(F.broadcast(tot)).select(
         "value",
         F.abs(
-            F.col("na_here_cum") * F.col("nb")
-            - F.col("nb_here_cum") * F.col("na")
+            F.col("na_here_cum").cast("decimal(20,0)")
+            * F.col("nb").cast("decimal(20,0)")
+            - F.col("nb_here_cum").cast("decimal(20,0)")
+            * F.col("na").cast("decimal(20,0)")
         ).alias("dd"),
         "na",
         "nb",
     )
     diffs = pin(diffs)  # consumed by the max AND the argmax jobs
     stat = diffs.groupBy("na", "nb").agg(
-        F.max("dd").cast("long").alias("d_num")
+        F.max("dd").cast("decimal(38,0)").alias("d_num")
     )
     loc = (
-        diffs.join(F.broadcast(stat.select("d_num")), F.col("dd") == F.col("d_num"))
+        diffs.join(
+            F.broadcast(stat.select("d_num")),
+            F.col("dd").cast("decimal(38,0)") == F.col("d_num"),
+        )
         .agg(F.min("value").alias("ks_at"))
     )
+    # headline doubles: every operand enters the double domain FIRST and
+    # the expressions associate identically on both engines (na·nb as a
+    # bigint product would itself overflow at ~3e9-row cohorts)
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    d_expr = F.col("d_num").cast("double") / (na_d * nb_d)
     return stat.crossJoin(F.broadcast(loc)).select(
         "na",
         "nb",
         "d_num",
         "ks_at",
-        (F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))).alias(
-            "d"
-        ),
-        (
-            F.col("d_num").cast("double") / (F.col("na") * F.col("nb"))
-            * F.sqrt(
-                (F.col("na") * F.col("nb")).cast("double")
-                / (F.col("na") + F.col("nb"))
-            )
-        ).alias("ks_scaled"),
+        d_expr.alias("d"),
+        (d_expr * F.sqrt(na_d * nb_d / (na_d + nb_d))).alias("ks_scaled"),
     )
 
 
@@ -316,12 +362,14 @@ def events_ab_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM counts
         ), top AS (
             SELECT key, cnt FROM counts
-            ORDER BY cnt DESC, key LIMIT 20
+            ORDER BY cnt DESC, key NULLS FIRST LIMIT 20
         ), ranked AS (
             SELECT t1.key, t1.cnt, CAST(COUNT(*) AS BIGINT) AS rank
             FROM top t1 JOIN top t2
               ON t2.cnt > t1.cnt
-                 OR (t2.cnt = t1.cnt AND t2.key <= t1.key)
+                 OR (t2.cnt = t1.cnt
+                     AND (t2.key IS NULL
+                          OR (t1.key IS NOT NULL AND t2.key <= t1.key)))
             GROUP BY t1.key, t1.cnt
         )
         SELECT r.key, r.cnt, r.rank, t.n_rows, t.n_keys, t.max_cnt,

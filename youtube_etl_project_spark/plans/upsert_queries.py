@@ -330,6 +330,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the diff is one co-partitioned shuffle of the two snapshots",
 )
 def table_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from youtube_etl_project_spark.operators.upsert import ParquetTable
@@ -390,8 +391,20 @@ def table_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("pc"),
     )
-    return d.groupBy("change").agg(
+    agg = d.groupBy("change").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("sc").cast("long").alias("n_status_changed"),
         F.sum("pc").cast("long").alias("n_price_changed"),
+    )
+    # Materialize the 4-row report, then drop the scratch table: the two
+    # committed snapshots are full orders-derived parquet copies, and a
+    # lazily-returned frame would pin them on disk for the caller's
+    # lifetime (bench best-of-N and the 16x scale probe re-invoke this —
+    # unbounded /tmp growth otherwise). Bounded driver state: ≤4 rows.
+    rows = agg.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "change string, n_rows long, n_status_changed long, "
+        "n_price_changed long",
     )
