@@ -33,6 +33,7 @@ FLAGSHIPS = {
     "blocking_efficiency_report", "record_linkage_mutual_best",
     "entity_resolution_docs", "dedup_prefix_filter_join",
     "events_ab_ks", "embed_drift_report", "table_diff_versions",
+    "streaming_stateful_totals_parity",
 }
 
 

@@ -575,3 +575,97 @@ def _interval_join_parity(
     )
     q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") != -999)
+
+
+@register(
+    "streaming_stateful_totals_parity",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM events GROUP BY user_id
+    """,
+    doc="X6/T1 CUSTOM stateful operator under the oracle gate: "
+        "applyInPandasWithState (the escape hatch for semantics Spark's "
+        "built-in streaming aggregates can't express — custom "
+        "sessionization, CDC folding, online feature accumulation) "
+        "drains a two-micro-batch event stream through per-user "
+        "(count, sum) GroupState and the FINAL state per user — the "
+        "emission with the largest n_events, via max_by — hash-matches "
+        "the plain batch GROUP BY. Exactness comes from the integer "
+        "grid: value snaps to cents JVM-side BEFORE the stateful op, so "
+        "state accumulation is order-independent bigint arithmetic (a "
+        "float accumulator's pandas pairwise-summation order is not "
+        "reproducible in ANSI SQL — that flagship stays pytest-pinned). "
+        "State is per-key and partitioned — horizontal scale at 100 TB "
+        "with GroupState timeouts bounding idle keys",
+)
+def streaming_stateful_totals_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from youtube_etl_project_spark.streaming.stateful import (
+        running_user_totals_grid,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        "event_id",
+    )
+    tmp = tempfile.mkdtemp(prefix="sst_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+    # two micro-batches (maxFilesPerTrigger=1) so the parity actually
+    # exercises state carried ACROSS batches, not one-shot aggregation
+    for i, half in enumerate(
+        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+    ):
+        stage_dir = os.path.join(tmp, f"stage_{i}")
+        ev.filter(half).drop("event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        part = globmod.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"batch_{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage_dir)
+        os.utime(dest, (now - 120 + 60 * i, now - 120 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("user_id long, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "sst_" + uuid.uuid4().hex[:12]
+    q = (
+        running_user_totals_grid(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory sink is driver-resident after the drain — the staged
+    # source files are no longer referenced and can go
+    shutil.rmtree(tmp, ignore_errors=True)
+    emitted = spark.table(name)
+    # final state per user = the emission with the largest n_events
+    # (n strictly increases per touched user; totals need max_by since
+    # negative values make them non-monotone)
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.expr("max_by(total_cents, n_events)")
+        .cast("long")
+        .alias("total_cents"),
+    )
+    return final

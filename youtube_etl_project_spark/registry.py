@@ -147,10 +147,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # explode_tokens ceded to the round-5 capstones at the bottom, same
     # deal — every ceded shape stays green in the committed both-scale
     # full-gate logs)
+    # (closing wave: scalar_subquery_counts ceded to the custom-stateful
+    # streaming parity below — A6 stays green in the local full gate)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
     "filter_date_incremental", "json_extract_typed", "join_fact_dim",
     "join_semi", "join_anti", "group_pct_of_total",
-    "scalar_subquery_counts", "agg_refresh_daily",
+    "agg_refresh_daily",
     "window_latest_per_key", "topk_per_group",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
@@ -214,6 +216,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # row that exercises the ParquetTable commit-log / pointer-swap /
     # read_version machinery (T3 was pytest-evidence only before)
     "table_diff_versions",
+    # CUSTOM stateful streaming (applyInPandasWithState) under the gate:
+    # per-user GroupState carried across two micro-batches, final state
+    # hash-matched to the batch GROUP BY via the integer-cents grid
+    "streaming_stateful_totals_parity",
 )
 
 

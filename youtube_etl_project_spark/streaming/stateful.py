@@ -113,3 +113,49 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-grid twin (cross-engine-exact accumulation)
+# ---------------------------------------------------------------------------
+
+GRID_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+GRID_STATE_SCHEMA = "n long, total long"
+
+
+def _update_user_grid(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += int(pdf["value_cents"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [total]}
+    )
+
+
+def running_user_totals_grid(events: DataFrame) -> DataFrame:
+    """Integer-grid twin of :func:`running_user_totals`: the stream
+    carries ``value_cents`` (the repo's standard ``FLOOR(v·100 + 0.5)``
+    snap, computed JVM-side before the stateful op), and the state
+    accumulates exact bigints — so the final per-user state is
+    order-independent and reproducible in ANSI SQL, unlike float
+    accumulation whose pandas pairwise-summation order no oracle can
+    replay. This is the variant the value-hash parity query drains
+    (``streaming_stateful_totals_parity``); the float flagship above
+    keeps the production-typical schema."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_grid,
+            outputStructType=GRID_OUTPUT_SCHEMA,
+            stateStructType=GRID_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
