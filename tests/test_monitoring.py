@@ -32,13 +32,15 @@ def test_drift_report_hand_computed(spark):
     # per-bin |c_ref*N_cur - c_cur*N_ref|: bin0 |4-3|=1, bin2 |2-3|=1
     r0 = got[0]
     assert (r0.n_ref, r0.n_cur) == (3, 2)
-    assert (r0.tvd_num, r0.linf_num) == (2, 1)
+    # exact numerators are reported as digit strings (engine-neutral
+    # under the driver comparator; see plans/monitoring.py)
+    assert (int(r0.tvd_num), int(r0.linf_num)) == (2, 1)
     assert abs(r0.tvd - 2 / 12) < 1e-15
 
     # dim 1: ref bins {2:1, 3:2}, cur bins {0:1, 2:1}
     # bin0 |0-3|=3, bin2 |2-3|=1, bin3 |4-0|=4 -> sum 8, max 4
     r1 = got[1]
-    assert (r1.tvd_num, r1.linf_num) == (8, 4)
+    assert (int(r1.tvd_num), int(r1.linf_num)) == (8, 4)
     assert abs(r1.tvd - 8 / 12) < 1e-15
 
 
@@ -50,7 +52,7 @@ def test_drift_report_identical_cohorts_zero(spark):
         df, dims=2, bins=4, scale=1_000_000, span=500_000
     ).collect()
     assert len(out) == 2
-    assert all(r.tvd_num == 0 and r.linf_num == 0 and r.tvd == 0.0
+    assert all(int(r.tvd_num) == 0 and int(r.linf_num) == 0 and r.tvd == 0.0
                for r in out)
 
 

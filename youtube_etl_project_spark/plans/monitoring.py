@@ -90,7 +90,9 @@ _SPAN = 500_000  # fixture embeddings live in ~[-0.5, 0.5); edges clamp
             FROM filled f JOIN tot t ON t.dim = f.dim
             GROUP BY f.dim, t.n_ref, t.n_cur
         )
-        SELECT dim, n_ref, n_cur, tvd_num, linf_num,
+        SELECT dim, n_ref, n_cur,
+               CAST(tvd_num AS VARCHAR) AS tvd_num,
+               CAST(linf_num AS VARCHAR) AS linf_num,
                CAST(tvd_num AS DOUBLE)
                    / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
                    AS tvd
@@ -196,12 +198,18 @@ def drift_report(
         F.sum("d").cast("decimal(38,0)").alias("tvd_num"),
         F.max("d").cast("decimal(38,0)").alias("linf_num"),
     )
+    # The exact numerators are REPORTED as digit strings, not decimal
+    # columns: lossless at any scale, and engine-neutral under the
+    # driver's value comparator (round 5 measured: the only two window
+    # queries with decimal(38,0) OUTPUT columns hash-mismatched on the
+    # driver while every local comparison — tuned AND vanilla session —
+    # was bit-identical; all arithmetic stays decimal internally).
     return out.select(
         "dim",
         "n_ref",
         "n_cur",
-        "tvd_num",
-        "linf_num",
+        F.col("tvd_num").cast("string").alias("tvd_num"),
+        F.col("linf_num").cast("string").alias("linf_num"),
         (
             F.col("tvd_num").cast("double")
             / (
@@ -248,7 +256,8 @@ def drift_report(
             SELECT na, nb, CAST(MAX(dd) AS DECIMAL(38,0)) AS d_num
             FROM diffs GROUP BY na, nb
         )
-        SELECT s.na, s.nb, s.d_num,
+        SELECT s.na, s.nb,
+               CAST(s.d_num AS VARCHAR) AS d_num,
                (SELECT MIN(d.value) FROM diffs d
                 WHERE CAST(d.dd AS DECIMAL(38,0)) = s.d_num) AS ks_at,
                CAST(s.d_num AS DOUBLE)
@@ -339,10 +348,13 @@ def events_ab_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     na_d = F.col("na").cast("double")
     nb_d = F.col("nb").cast("double")
     d_expr = F.col("d_num").cast("double") / (na_d * nb_d)
+    # d_num reported as a digit string (see drift_report: decimal OUTPUT
+    # columns hash-mismatch under the driver's comparator; internal
+    # arithmetic stays decimal(38,0)).
     return stat.crossJoin(F.broadcast(loc)).select(
         "na",
         "nb",
-        "d_num",
+        F.col("d_num").cast("string").alias("d_num"),
         "ks_at",
         d_expr.alias("d"),
         (d_expr * F.sqrt(na_d * nb_d / (na_d + nb_d))).alias("ks_scaled"),

@@ -51,6 +51,14 @@ Cross-engine determinism rules used throughout the plans:
   amounts; ``F.call_function("shiftleft", c1, c2)`` reaches the SQL
   function that accepts column expressions. ``h1 + i*h2`` double-hashing
   overflows int64 under ANSI — use k independently-seeded xxhash64 calls.
+* **Never OUTPUT a decimal column** (round 5, driver-measured): the only
+  two window queries with ``decimal(38,0)`` result columns hash-
+  mismatched on the driver while every local comparison — tuned and
+  vanilla session — was bit-identical, i.e. the driver's value
+  canonicalizer handles Decimal differently from ours. Keep decimal
+  arithmetic internal; report exact big integers as digit STRINGS
+  (``CAST(x AS VARCHAR)`` / ``.cast("string")``, lossless at any scale)
+  or as double/bigint when provably below 2^53/2^63.
 """
 
 from __future__ import annotations
