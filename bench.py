@@ -5,6 +5,15 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is forced end-to-end with a noop-format write (full
 materialization, no driver collect); the first query's session/JIT warmup is
 excluded via a throwaway warmup run.
+
+The driver records only the LAST ~2000 characters of this process's
+output and json-parses the final line (measured: BENCH_r1-r3 parsed,
+r4-r5 recorded "parsed": null the moment the line outgrew that window).
+So the final line is kept compact (separators without spaces, 2-dp
+per-query times, budget enforced by ``compact_line`` + a pytest) and the
+full telemetry record — calibrations, drift flags, loadavg, normalized
+series, methodology notes — is written to ``BENCH_FULL.json`` next to
+this file instead of being inlined.
 """
 
 from __future__ import annotations
@@ -221,54 +230,94 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     scale = CALIB_REF_SEC / calib_sec if calib_sec > 0 else 1.0
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "calib_jvm_sec": calib_sec,
-                "calib_jvm_sec_start": calib_start,
-                "calib_jvm_sec_end": calib_end,
-                "calib_drift": round(drift, 3),
-                "calib_py_sec_start": calib_py_start,
-                "calib_py_sec_end": calib_py_end,
-                "calib_py_drift": round(drift_py, 3),
-                "contended_run": drift_py > CALIB_DRIFT_FLAG,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
-                "calib_ref_sec": CALIB_REF_SEC,
-                "calib_py_ref_sec": CALIB_PY_REF_SEC,
-                "value_normalized": round(total * scale, 3),
-                "value_normalized_py": round(
-                    total * CALIB_PY_REF_SEC / py_lo, 3
-                )
-                if py_lo > 0
-                else round(total, 3),
-                "queries_normalized": {
-                    n: round(t * scale, 3) for n, t in timings.items()
-                },
-                "normalization": "raw * calib_ref_sec/calib_jvm_sec — "
-                "rescaled to the BENCH_r03 host speed; compare normalized "
-                "values across rounds. contended_run=true means the "
-                "start/end BLAS probes (calib_py_*, JIT-ramp-free) "
-                "disagree by >20% — the host speed changed mid-run and "
-                "per-query deltas are untrustworthy; re-record on a quiet "
-                "host before diagnosing regressions. calib_jvm start/end "
-                "may legitimately differ ~1.3x (C2/GC ramp); the min is "
-                "the normalization denominator. CAVEAT (r5): deepening "
-                "the calib warm-up lowered that denominator ~0.30→0.22, "
-                "which systematically INFLATES value_normalized vs "
-                "r3/r4 records (~1.2x) with no real slowdown — raw "
-                "common-query median vs r3 is 0.89. Use "
-                "value_normalized_py (BLAS-referenced, warm-up-"
-                "insensitive, <2% run spread) for cross-round "
-                "comparisons from r5 on",
-            }
-        )
+    norm_py = (
+        round(total * CALIB_PY_REF_SEC / py_lo, 3)
+        if py_lo > 0
+        else round(total, 3)
     )
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "calib_jvm_sec": calib_sec,
+        "calib_jvm_sec_start": calib_start,
+        "calib_jvm_sec_end": calib_end,
+        "calib_drift": round(drift, 3),
+        "calib_py_sec_start": calib_py_start,
+        "calib_py_sec_end": calib_py_end,
+        "calib_py_drift": round(drift_py, 3),
+        "contended_run": drift_py > CALIB_DRIFT_FLAG,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "calib_ref_sec": CALIB_REF_SEC,
+        "calib_py_ref_sec": CALIB_PY_REF_SEC,
+        "value_normalized": round(total * scale, 3),
+        "value_normalized_py": norm_py,
+        "queries_normalized": {
+            n: round(t * scale, 3) for n, t in timings.items()
+        },
+        "normalization": "raw * calib_ref_sec/calib_jvm_sec — "
+        "rescaled to the BENCH_r03 host speed; compare normalized "
+        "values across rounds. contended_run=true means the "
+        "start/end BLAS probes (calib_py_*, JIT-ramp-free) "
+        "disagree by >20% — the host speed changed mid-run and "
+        "per-query deltas are untrustworthy; re-record on a quiet "
+        "host before diagnosing regressions. calib_jvm start/end "
+        "may legitimately differ ~1.3x (C2/GC ramp); the min is "
+        "the normalization denominator. CAVEAT (r5): deepening "
+        "the calib warm-up lowered that denominator ~0.30→0.22, "
+        "which systematically INFLATES value_normalized vs "
+        "r3/r4 records (~1.2x) with no real slowdown — raw "
+        "common-query median vs r3 is 0.89. Use "
+        "value_normalized_py (BLAS-referenced, warm-up-"
+        "insensitive, <2% run spread) for cross-round "
+        "comparisons from r5 on",
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=2)
+    print(f"full telemetry record: {full_path}", flush=True)
+    print(compact_line(full), flush=True)
+
+
+# The driver tail-captures ~2000 chars of combined output and parses the
+# final line; leave headroom for the trailing newline plus a margin.
+MAX_LINE = 1950
+
+
+def compact_line(full: dict) -> str:
+    """The driver-facing final line: required contract fields plus the
+    two smallest high-value extras, space-free separators, 2-dp query
+    times. If the headline list ever grows the line past ``MAX_LINE``,
+    optional fields are dropped, then per-query precision falls to 1 dp
+    (tests/test_bench_line.py pins the budget at worst-case widths)."""
+    base = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {n: round(t, 2) for n, t in full["queries"].items()},
+        "sf": full["sf"],
+        "value_normalized_py": full["value_normalized_py"],
+        "contended_run": full["contended_run"],
+        "full_record": "BENCH_FULL.json",
+    }
+    for drop in ("full_record", "contended_run", "value_normalized_py"):
+        line = json.dumps(base, separators=(",", ":"))
+        if len(line) <= MAX_LINE:
+            return line
+        base.pop(drop)
+    base["queries"] = {
+        n: round(t, 1) for n, t in full["queries"].items()
+    }
+    line = json.dumps(base, separators=(",", ":"))
+    if len(line) <= MAX_LINE:
+        return line
+    base["queries"] = {n: int(t) for n, t in full["queries"].items()}
+    return json.dumps(base, separators=(",", ":"))
 
 
 if __name__ == "__main__":

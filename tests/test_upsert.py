@@ -318,3 +318,135 @@ def test_commit_lock_contention_and_staleness(spark, tmp_path):
     t.write(df)
     assert t.read().count() == 1
     assert not os.path.exists(t._lock)
+
+
+def test_stale_lock_steal_is_atomic_across_waiters(spark, tmp_path):
+    """Two waiters racing a stale lock: the rename-based steal admits
+    exactly one at a time (round-5 advice: check-then-unlink let waiter B
+    remove waiter A's FRESH lock and put both inside the section)."""
+    import threading
+
+    root = str(tmp_path / "atomic_steal")
+    os.makedirs(root, exist_ok=True)
+    # a dead writer's stale lock both waiters will try to steal
+    lock = os.path.join(root, "_LOCK")
+    with open(lock, "w"):
+        pass
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+
+    busy, max_busy, errs = [0], [0], []
+    gate = threading.Barrier(2)
+
+    def worker():
+        t = ParquetTable(spark, root)
+        t.lock_stale_sec = 0.01
+        t.lock_timeout_sec = 5.0
+        gate.wait(5)
+        try:
+            with t._commit_lock():
+                busy[0] += 1
+                max_busy[0] = max(max_busy[0], busy[0])
+                time.sleep(0.05)
+                busy[0] -= 1
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(10)
+    assert not errs
+    assert max_busy[0] == 1  # never two writers inside the section
+    assert not os.path.exists(lock)
+
+
+def test_release_after_steal_leaves_stealers_lock(spark, tmp_path):
+    """A holder paused past lock_stale_sec whose lock was stolen must not
+    unlink the stealer's fresh lock on release (token check)."""
+    import threading
+
+    root = str(tmp_path / "steal_release")
+    holder = ParquetTable(spark, root)
+    stealer = ParquetTable(spark, root)
+    holder.lock_stale_sec = stealer.lock_stale_sec = 0.05
+
+    entered = threading.Event()
+    release = threading.Event()
+    done = []
+
+    def hold():
+        with holder._commit_lock():
+            entered.set()
+            release.wait(5)  # simulate a GC/SIGSTOP pause past staleness
+        done.append(True)
+
+    th = threading.Thread(target=hold)
+    th.start()
+    entered.wait(5)
+    time.sleep(0.1)  # age the holder's lock past lock_stale_sec
+    with stealer._commit_lock():  # steals the "stale" lock
+        release.set()
+        th.join(5)
+        assert done  # holder released without error...
+        assert os.path.exists(stealer._lock)  # ...and left OUR lock alone
+        assert stealer._lock_is_mine()
+    assert not os.path.exists(stealer._lock)
+
+
+def test_paused_writer_aborts_after_lock_stolen(spark, tmp_path):
+    """A writer that re-acquires consciousness after its lock was stolen
+    must abort the commit (ConcurrentWriteError), not double-swap."""
+    import pytest
+
+    from youtube_etl_project_spark.operators.upsert import (
+        ConcurrentWriteError,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "paused"))
+    t.write(spark.createDataFrame([(1, "base")], "id long, v string"))
+    base = t._pointer_version()
+    prior = t.history()
+    v_a = "v_paused_dir"
+    spark.createDataFrame([(2, "late")], "id long, v string").write.parquet(
+        os.path.join(t.root, v_a)
+    )
+
+    real_pv = ParquetTable._pointer_version
+
+    def steal_mid_commit(self):
+        # simulate a competitor stealing the lock between acquisition and
+        # the pointer swap (i.e. while this writer was stalled)
+        with open(self._lock, "w") as f:
+            f.write("someone-elses-token")
+        return real_pv(self)
+
+    t._pointer_version = steal_mid_commit.__get__(t)
+    with pytest.raises(ConcurrentWriteError, match="stolen"):
+        t._commit(v_a, base, prior)
+    t._pointer_version = real_pv.__get__(t)
+
+    assert t._pointer_version() == base  # pointer untouched
+    assert not os.path.exists(os.path.join(t.root, v_a))  # version discarded
+
+
+def test_force_overwrite_prunes_interleaved_competitor(spark, tmp_path):
+    """force=True with an interleaved competitor commit must include the
+    superseded competitor version in the retention sweep (round-5 advice:
+    the stale pre-write history snapshot leaked its data dir forever)."""
+    t = ParquetTable(spark, str(tmp_path / "forceleak"))  # keep_versions=1
+    t.write(spark.createDataFrame([(1, "x")], "id long, v string"))
+    base = t._pointer_version()
+    prior = t.history()
+    v_a = "v_forced_dir"
+    spark.createDataFrame([(2, "forced")], "id long, v string").write.parquet(
+        os.path.join(t.root, v_a)
+    )
+    t.write(spark.createDataFrame([(3, "mid")], "id long, v string"))
+    mid_dir = t.current_path()
+    t._commit(v_a, base, prior, force=True)
+    assert [r["v"] for r in t.read().collect()] == ["forced"]
+    assert not os.path.exists(mid_dir)  # superseded competitor pruned
+    vdirs = [d for d in os.listdir(t.root) if d.startswith("v_")]
+    assert vdirs == [v_a]

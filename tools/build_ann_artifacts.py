@@ -235,9 +235,19 @@ def build_maha() -> None:
     Ci = np.linalg.inv(C + 1e-6 * np.eye(len(C)))
     muq = np.floor(mu * 1_000 + 0.5).astype(np.int64)
     aq = np.floor(Ci * 10_000 + 0.5).astype(np.int64)
-    # per-term bound: (|x|·1e3 + |mu|·1e3)² · |aq|  must stay far under
-    # int64; embeddings are O(1), so diffs are ~4e3 and terms ~1.6e7·|aq|
-    assert np.abs(aq).max() < 10**10, np.abs(aq).max()
+    # Sum-level overflow bound (round-5 advice: a per-term |aq| ceiling
+    # alone lets the 64x64 bilinear FOLD reach ~6.5e20 and silently wrap
+    # Spark's int64 SUM while DuckDB's HUGEINT sum survives — a gate
+    # mismatch or a silently wrong dist_q). The v1 query computes
+    # sum_ij d_i·aq_ij·d_j with d in 1e3 units, so the worst-case
+    # accumulated magnitude is max|d|² · Σ|aq|; bound max|d| from the
+    # actual fixture spread (+1 quantization slack, 2x headroom for a
+    # query vector as far from the mean as the farthest corpus vector).
+    max_abs_centered = 2.0 * (np.abs(X - mu).max() * 1_000 + 1)
+    bilinear_bound = max_abs_centered**2 * np.abs(aq).sum()
+    assert bilinear_bound < 2**62, (
+        f"bilinear fold can overflow int64: bound {bilinear_bound:.3e}"
+    )
     with open(MAHA_MODEL, "w") as f:
         json.dump({"mu_q3": muq.tolist(), "ci_q4": aq.tolist()}, f)
     print(

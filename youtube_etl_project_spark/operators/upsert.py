@@ -153,6 +153,7 @@ class ParquetTable:
     # that crashed INSIDE the critical section).
     lock_timeout_sec: float = 10.0
     lock_stale_sec: float = 60.0
+    _lock_token: str | None = None
 
     @property
     def _lock(self) -> str:
@@ -160,16 +161,31 @@ class ParquetTable:
 
     @contextlib.contextmanager
     def _commit_lock(self):
-        """Mutual exclusion for the pointer CAS: O_CREAT|O_EXCL lock file.
-        A lock older than ``lock_stale_sec`` belongs to a writer that died
-        mid-commit and is stolen; a live competitor's lock is waited on up
-        to ``lock_timeout_sec`` (the guarded section never does data IO,
-        so waits are milliseconds in practice)."""
+        """Mutual exclusion for the pointer CAS: O_CREAT|O_EXCL lock file
+        holding this writer's unique token. A lock older than
+        ``lock_stale_sec`` belongs to a writer that died mid-commit and is
+        stolen; a live competitor's lock is waited on up to
+        ``lock_timeout_sec`` (the guarded section never does data IO, so
+        waits are milliseconds in practice).
+
+        Two hazards closed here (round-5 advice): (1) the steal itself is
+        an atomic ``os.rename`` to a unique graveyard name, so when two
+        waiters both observe a stale lock exactly ONE wins the steal — a
+        bare check-then-unlink let the loser remove the winner's fresh
+        lock and put both writers inside the critical section. (2) the
+        holder re-reads its own token before the pointer swap
+        (``_lock_is_mine``), so a writer paused past ``lock_stale_sec``
+        (GC, SIGSTOP) whose lock WAS legitimately stolen aborts with
+        ``ConcurrentWriteError`` instead of double-committing."""
         deadline = time.monotonic() + self.lock_timeout_sec
+        token = uuid.uuid4().hex
         while True:
             try:
                 fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
                 break
             except FileExistsError:
                 try:
@@ -177,8 +193,13 @@ class ParquetTable:
                 except OSError:  # competitor released between tries
                     continue
                 if age > self.lock_stale_sec:
+                    # Atomic steal: exactly one waiter wins the rename of
+                    # the dead lock; losers get FileNotFoundError and loop
+                    # back to the O_EXCL create race above.
+                    grave = f"{self._lock}.stolen.{uuid.uuid4().hex}"
                     with contextlib.suppress(OSError):
-                        os.unlink(self._lock)  # steal the dead lock
+                        os.rename(self._lock, grave)
+                        os.unlink(grave)
                     continue
                 if time.monotonic() > deadline:
                     raise ConcurrentWriteError(
@@ -186,11 +207,27 @@ class ParquetTable:
                         f"{age:.1f}s by another writer"
                     ) from None
                 time.sleep(0.05)
+        self._lock_token = token
         try:
             yield
         finally:
-            with contextlib.suppress(OSError):
-                os.unlink(self._lock)
+            self._lock_token = None
+            # Release only OUR lock: if it was stolen while we were
+            # paused, the current file belongs to the stealer.
+            if self._lock_is_mine(token):
+                with contextlib.suppress(OSError):
+                    os.unlink(self._lock)
+
+    def _lock_is_mine(self, token: str | None = None) -> bool:
+        """True iff the lock file still exists and holds our token."""
+        token = token if token is not None else self._lock_token
+        if not token:
+            return False
+        try:
+            with open(self._lock) as f:
+                return f.read() == token
+        except OSError:
+            return False
 
     def exists(self) -> bool:
         return os.path.exists(self._pointer)
@@ -255,6 +292,25 @@ class ParquetTable:
                 raise ConcurrentWriteError(
                     f"table {self.root} advanced {base!r} -> {now!r} "
                     "during this write; this version was discarded"
+                )
+            if force and now != base:
+                # A competitor committed between our pre-write snapshot
+                # and this forced overwrite: re-read history UNDER the
+                # lock so the superseded competitor version joins the
+                # retention sweep below (the stale ``prior`` predates it
+                # and would leak its data directory forever).
+                prior = self.history()
+            if not self._lock_is_mine():
+                # We were paused long enough for a waiter to declare this
+                # lock stale and steal it — the critical section is no
+                # longer ours, so committing now could interleave with
+                # the stealer's swap (lost update). Abort cleanly.
+                shutil.rmtree(
+                    os.path.join(self.root, version), ignore_errors=True
+                )
+                raise ConcurrentWriteError(
+                    f"commit lock for {self.root} was stolen while this "
+                    "writer was stalled; this version was discarded"
                 )
             tmp = self._pointer + ".tmp"
             with open(tmp, "w") as f:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.operators.checkpointing import pin
-from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.registry import cnt, fixture_path, register
 from youtube_etl_project_spark.sources import load_table
 
 
@@ -280,7 +280,7 @@ def corpus_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Released topic model (functions/topic_centroids_v1.json, k=8 kmeans
 # trained once on the sf0.01 hash embeddings by
 # tools/build_ann_artifacts.py) + golden per-text assignments.
-_TOPIC_GOLDEN = "/root/repo/tests/fixtures/topic_assign_v1.parquet"
+_TOPIC_GOLDEN = fixture_path("topic_assign_v1.parquet")
 
 
 @register(

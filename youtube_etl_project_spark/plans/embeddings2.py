@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.operators.checkpointing import pin
-from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.registry import fixture_path, register
 from youtube_etl_project_spark.sources import load_table
 
 
@@ -100,7 +100,7 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # projection fixture. The join-key expression MUST stay identical to
 # build_ann_artifacts.PCA_KEY_SQL — both are the DuckDB content hash of
 # the 1e6-quantized embedding components.
-_PCA_GOLDEN = "/root/repo/tests/fixtures/pca_proj_v1.parquet"
+_PCA_GOLDEN = fixture_path("pca_proj_v1.parquet")
 _PCA_KEY_SQL = (
     "md5(array_to_string(list_transform(e.embedding, "
     "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ','))"

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from youtube_etl_project_spark.config import LANG_STOPWORDS
 from youtube_etl_project_spark.operators import textops
-from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.registry import fixture_path, register
 from youtube_etl_project_spark.sources import load_table
 
 
@@ -171,7 +171,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle: tests/fixtures/bpe_token_counts_v1.parquet holds
 # (content_md5, n_tokens_bpe) for every fixture text, and DuckDB joins it
 # on md5(text).
-_BPE_GOLDEN = "/root/repo/tests/fixtures/bpe_token_counts_v1.parquet"
+_BPE_GOLDEN = fixture_path("bpe_token_counts_v1.parquet")
 
 
 def _released_merges() -> list:

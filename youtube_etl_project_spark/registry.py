@@ -80,6 +80,19 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def fixture_path(name: str) -> str:
+    """Absolute path of a golden-fixture parquet under ``tests/fixtures/``,
+    derived from this package's location at import time — fixture paths
+    are interpolated into oracle SQL strings, so a hard-coded absolute
+    path would break every checkout that is not /root/repo (round-5
+    advice), unlike the ``functions/*.json`` artifacts which were already
+    resolved package-relative."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo_root, "tests", "fixtures", name)
+
+
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
 
