@@ -292,6 +292,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         evaluation,
         linkage_queries,
         monitoring,
+        incremental_views,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
