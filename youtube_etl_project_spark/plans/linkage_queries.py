@@ -219,3 +219,56 @@ def record_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         master, batch, "doc_id", "text", "source",
         shingle_k=_SHINGLE_K, max_df=_MAX_DF, min_score_pm=_MIN_SCORE_PM,
     )
+
+
+@register(
+    "fuzzy_dup_degree_sym",
+    oracle="""
+        WITH d AS (
+            SELECT c_custkey AS k, c_name AS nm,
+                   unnest(list_append(
+                       list_transform(generate_series(1, length(c_name)),
+                           i -> substr(c_name, 1, i-1)
+                                || substr(c_name, i+1, length(c_name))),
+                       c_name)) AS v
+            FROM customer
+            WHERE length(c_name) >= 1
+        ), cand AS (
+            SELECT DISTINCT a.k AS ka, b.k AS kb, a.nm AS na, b.nm AS nb
+            FROM d a JOIN d b ON a.v = b.v AND a.k < b.k
+        ), pairs AS (
+            SELECT ka, kb FROM cand WHERE levenshtein(na, nb) <= 1
+        ), sym AS (
+            SELECT ka AS k, kb AS nb FROM pairs
+            UNION ALL
+            SELECT kb AS k, ka AS nb FROM pairs
+        )
+        SELECT k AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(MIN(nb) AS BIGINT) AS nearest_key
+        FROM sym GROUP BY k
+    """,
+    doc="Per-record fuzzy-duplicate degree at edit distance ≤ 1 over ALL "
+        "customer names via SymSpell deletion neighborhoods "
+        "(operators/linkage.deletion_neighborhood_pairs): every string "
+        "joins on itself + its single-deletion variants, so the candidate "
+        "join is COMPLETE for k=1 with no blocking misses, then each "
+        "candidate is verified with the early-exit levenshtein bound. "
+        "Cost is O(n·L) exploded rows + one variant-keyed shuffle vs the "
+        "O(n²) all-pairs a brute-force scan needs (the oracle runs the "
+        "same provably-complete neighborhood semantics in SQL; "
+        "completeness vs literal brute force is pinned by pytest on a "
+        "sample — tests/test_linkage2.py). Output: each record with ≥ 1 "
+        "neighbor, its neighbor count and smallest neighboring key — the "
+        "triage list an ER reviewer works through",
+)
+def fuzzy_dup_degree_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = linkage.deletion_neighborhood_pairs(cust, "c_custkey", "c_name")
+    sym = pairs.select(
+        F.col("ka").alias("k"), F.col("kb").alias("nb")
+    ).unionAll(pairs.select(F.col("kb").alias("k"), F.col("ka").alias("nb")))
+    return sym.groupBy(F.col("k").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.min("nb").cast("long").alias("nearest_key"),
+    )
