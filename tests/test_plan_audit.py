@@ -40,6 +40,7 @@ ARROW_ALLOWED = {
     "multimodal_audio_stats",  # real PCM16 WAV decode (stdlib+numpy)
     "multimodal_audio_features",  # same decode kernel, DSP features
     "multimodal_image_ahash",  # real pixel decode -> 32-bit aHash
+    "multimodal_ahash_near_dup",  # same decode+aHash kernel, then banding
     "source_quality_scorer_r2",  # per-group numpy ridge solve (applyInPandas)
     "text_topic_clusters",  # kmeans assignment: numpy matmul per batch
     "multimodal_frame_sample",
