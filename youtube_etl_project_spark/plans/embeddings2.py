@@ -600,3 +600,97 @@ def ridge_eval_mae_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(resid).cast("long").alias("sum_abs_resid_q"),
         )
     )
+
+
+@register(
+    "ridge_calibration_v1",
+    oracle=f"""
+        WITH w(j, wq) AS (VALUES {_RIDGE_VALUES}),
+        qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), s AS (
+            SELECT qe.vec_id,
+                   CAST(SUM(qe.q * w.wq) + {_RIDGE_BQ} AS BIGINT) AS yhat_q
+            FROM qe JOIN w ON w.j = qe.j
+            GROUP BY qe.vec_id
+        ), b AS (
+            SELECT CAST(FLOOR(CAST(s.yhat_q AS DOUBLE) / 500000000000.0)
+                        AS BIGINT) AS bin,
+                   s.yhat_q, e.label
+            FROM s JOIN embeddings e USING (vec_id)
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(CAST(SUM(CAST(yhat_q AS HUGEINT))
+                               AS DECIMAL(38,0)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1000000000000.0, 9)
+                   AS mean_pred,
+               CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_actual
+        FROM b GROUP BY bin
+    """,
+    doc="Calibration (reliability) curve of the frozen v1 ridge scorer: "
+        "predictions bucket into fixed 0.5-label-unit bins on the exact "
+        "1e12 integer grid (floor of an exact-operand double division — "
+        "never an integer div, whose negative-value semantics differ "
+        "between engines), and each bin reports size, mean prediction "
+        "and mean actual label. A well-calibrated scorer tracks the "
+        "diagonal; the curve is what a corpus team reads before trusting "
+        "the scorer's thresholds for a 100 TB quality sweep "
+        "(complements ridge_eval_mae_v1's per-class error). Exactness: "
+        "score sums ride decimal(38,0)/HUGEINT (sum of 1e12-grid scores "
+        "passes 2^53 at ~9k rows) and the one double cast is rounded "
+        "9 dp post-division per the registry's high-scale decimal rule; "
+        "mean_actual is an exact-operand division. Plan: the serving "
+        "dot-product (explode → broadcast weight join) plus one 14-row "
+        "rollup — scoring cost, not an extra pass",
+)
+def ridge_calibration_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wdf = spark.createDataFrame(_RIDGE_WQ, "j int, wq long")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    scores = (
+        qe.join(F.broadcast(wdf), "j")
+        .groupBy("vec_id")
+        .agg(
+            (F.sum(F.col("q") * F.col("wq")) + F.lit(_RIDGE_BQ))
+            .cast("long")
+            .alias("yhat_q")
+        )
+    )
+    binned = scores.join(emb.select("vec_id", "label"), "vec_id").select(
+        F.floor(
+            F.col("yhat_q").cast("double") / F.lit(500_000_000_000.0)
+        ).cast("long").alias("bin"),
+        "yhat_q",
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("yhat_q").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000_000_000.0),
+            9,
+        ).alias("mean_pred"),
+        (
+            F.sum("label").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_actual"),
+    )

@@ -98,3 +98,87 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(in_range)
         .unionByName(domain)
     )
+
+
+_K_ANON = 10  # groups smaller than this re-identify their members
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS balk
+            FROM customer
+        ), l0 AS (
+            SELECT COUNT(*) AS n FROM q GROUP BY nat, seg, balk
+        ), l1 AS (
+            SELECT COUNT(*) AS n FROM q GROUP BY nat, seg
+        ), l2 AS (
+            SELECT COUNT(*) AS n FROM q GROUP BY seg
+        )
+        SELECT 'nat+seg+balk' AS qi_level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(n) AS BIGINT) AS min_group,
+               CAST(COUNT(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT)
+                   AS n_risky_groups,
+               CAST(COALESCE(SUM(n) FILTER (WHERE n < {_K_ANON}), 0)
+                    AS BIGINT) AS n_rows_at_risk
+        FROM l0
+        UNION ALL
+        SELECT 'nat+seg', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT),
+               CAST(COALESCE(SUM(n) FILTER (WHERE n < {_K_ANON}), 0)
+                    AS BIGINT)
+        FROM l1
+        UNION ALL
+        SELECT 'seg', CAST(COUNT(*) AS BIGINT), CAST(MIN(n) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE n < {_K_ANON}) AS BIGINT),
+               CAST(COALESCE(SUM(n) FILTER (WHERE n < {_K_ANON}), 0)
+                    AS BIGINT)
+        FROM l2
+    """,
+    doc=f"k-anonymity audit (k={_K_ANON}) over the customer "
+        "quasi-identifiers (nation, segment, account-balance kilobucket) "
+        "at three generalization levels — the lattice walk a governance "
+        "review does before releasing a dataset: how many QI groups "
+        "exist, the smallest group, and how many rows sit in "
+        "re-identifiable (< k) groups at each level. Coarsening the QI "
+        "set shrinks risk; the level whose risk is acceptable is the "
+        "release cut. Complements the PII scrub (corpus_pipeline): scrub "
+        "removes direct identifiers, this measures the indirect ones. "
+        "All exact bigint; the balance bucket floors an exact-operand "
+        "double division (never integer div — negative balances exist "
+        "and the engines' div semantics differ below zero). Plan: one "
+        "scan feeds three rollups of at most |groups| rows each",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias(
+            "balk"
+        ),
+    )
+
+    def level(name: str, keys: list[str]) -> DataFrame:
+        g = q.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        risky = F.col("n") < _K_ANON
+        return g.agg(
+            F.lit(name).alias("qi_level"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("n").cast("long").alias("min_group"),
+            F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias(
+                "n_risky_groups"
+            ),
+            F.coalesce(
+                F.sum(F.when(risky, F.col("n"))), F.lit(0)
+            ).cast("long").alias("n_rows_at_risk"),
+        )
+
+    return (
+        level("nat+seg+balk", ["nat", "seg", "balk"])
+        .unionByName(level("nat+seg", ["nat", "seg"]))
+        .unionByName(level("seg", ["seg"]))
+    )
