@@ -41,9 +41,8 @@ def test_compact_line_fits_window_at_worst_case_widths():
 
 def test_compact_line_keeps_extras_at_typical_widths():
     rec = json.loads(bench.compact_line(_full(12.34)))
-    assert rec["value_normalized_py"] == 12345.678
-    assert rec["contended_run"] is False
-    assert rec["full_record"] == "BENCH_FULL.json"
+    assert rec["norm_py"] == 12345.678
+    assert rec["contended"] is False
 
 
 def test_compact_line_is_single_line_json():

@@ -22,9 +22,11 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # blocking frontier, record linkage, entity resolution, prefix join);
 # closing wave: group_count_region / fn_engagement_rate ceded to the
 # exact distributed KS test and the TVD drift report.
+# round 6: join_semi / fn_text_blob / dedup_jaccard_dfcut ceded to the
+# scoped MV refresh, the SymSpell fuzzy matcher, and perceptual near-dup.
 FLAGSHIPS = {
     "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
-    "dedup_jaccard_dfcut", "embed_cosine_topk", "embed_lsh_ann_md5",
+    "embed_cosine_topk", "embed_lsh_ann_md5",
     "embed_ivf_ann_v1", "dedup_exact_substring", "scd2_upsert_customers",
     "cdc_apply_latest", "scd2_point_in_time", "tpch_q3_shipping_priority",
     "streaming_dedup_parity", "lineitem_exact_percentiles",
@@ -34,6 +36,8 @@ FLAGSHIPS = {
     "entity_resolution_docs", "dedup_prefix_filter_join",
     "events_ab_ks", "embed_drift_report", "table_diff_versions",
     "streaming_stateful_totals_parity",
+    "mv_scoped_refresh", "fuzzy_dup_degree_sym",
+    "multimodal_ahash_near_dup",
 }
 
 

@@ -170,14 +170,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # full-gate logs)
     # (closing wave: scalar_subquery_counts ceded to the custom-stateful
     # streaming parity below — A6 stays green in the local full gate)
+    # (round 6: join_semi / fn_text_blob / dedup_jaccard_dfcut ceded
+    # their slots to the round-6 capstones at the bottom — semi-join
+    # stays sampled via bloom_semi_join, F1 and the df-cut jaccard
+    # variant stay green in the committed both-scale full-gate logs)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
     "filter_date_incremental", "json_extract_typed", "join_fact_dim",
-    "join_semi", "join_anti", "group_pct_of_total",
+    "join_anti", "group_pct_of_total",
     "agg_refresh_daily",
     "window_latest_per_key", "topk_per_group",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
-    "fn_text_blob", "fn_classify_sentiment", "bloom_semi_join",
+    "fn_classify_sentiment", "bloom_semi_join",
     # staging / upsert / CDC (merge_insert_only ceded to
     # table_diff_versions below — J3 keeps its driver row via join_anti)
     "from_json_struct", "staging_lineage_agg", "merge_upsert_dim",
@@ -187,7 +191,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # LLM-pipeline flagships: dedup + similarity (+ the round-3 graph op;
     # X1 exact dedup keeps its driver row via dedup_exact_keyed)
     "dedup_exact_keyed", "events_markov_pagerank", "dedup_ngram_jaccard",
-    "dedup_jaccard_dfcut", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
     "dedup_cluster_cc", "dedup_cluster_lsh", "dedup_exact_substring",
     # round-5 ANN rotation (VERDICT r4 #3): the rows-only LSH/IVF
     # flagships (embed_lsh_ann / embed_ivf_ann) ceded their slots to
@@ -241,6 +245,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # per-user GroupState carried across two micro-batches, final state
     # hash-matched to the batch GROUP BY via the integer-cents grid
     "streaming_stateful_totals_parity",
+    # round 6: incremental materialized-view maintenance (upsert-scoped
+    # refresh proven equal to a from-scratch rebuild), the blocking-
+    # complete SymSpell edit-distance matcher, and perceptual near-dup
+    # (real-codec aHash classes + Hamming banding) — seated in place of
+    # join_semi / fn_text_blob / dedup_jaccard_dfcut
+    "mv_scoped_refresh", "fuzzy_dup_degree_sym",
+    "multimodal_ahash_near_dup",
 )
 
 
