@@ -411,3 +411,113 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(
         ev, "user_id", top_k=20, target_partitions=32
     )
+
+
+@register(
+    "events_quantile_normalize",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE value IS NOT NULL
+        ), pooled AS (
+            SELECT value AS norm_value,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS grank
+            FROM ev
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev
+        ), wr AS (
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_g
+            FROM ev
+        ), t AS (
+            SELECT event_type,
+                   CAST(FLOOR((2 * r - 1) / (2.0 * n_g)
+                              * CAST(tot.n AS DOUBLE)) AS BIGINT) + 1
+                       AS trank,
+                   tot.n
+            FROM wr, tot
+        ), j AS (
+            SELECT t.event_type, t.trank, t.n, p.norm_value
+            FROM t JOIN pooled p ON p.grank = t.trank
+        )
+        SELECT event_type,
+               CAST((trank - 1) * 10 // n AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(norm_value) AS min_norm,
+               MAX(norm_value) AS max_norm
+        FROM j GROUP BY 1, 2
+    """,
+    doc="Quantile normalization across event-type cohorts — the "
+        "batch-effect remover a corpus team applies when quality scores "
+        "from different sources/scorers must share one scale before a "
+        "global threshold sweep: each row's within-cohort quantile "
+        "position (r−0.5)/n_g maps to the pooled value at the same "
+        "quantile, so every cohort's distribution becomes the pooled "
+        "one exactly. Normalized values are RAW pooled doubles (looked "
+        "up by rank, never arithmetic), so the per-decile min/max "
+        "report is float-exact with zero summation; the target rank is "
+        "one shared double expression with identical association on "
+        "both engines. Plan: the pooled ranking and the target lookup "
+        "both run operators/ranking.global_rank (range shuffle, pinned "
+        "partitions, NO unpartitioned window — the oracle's plain "
+        "ROW_NUMBER() OVER (ORDER BY) would drag 100 TB through one "
+        "task); within-cohort ranks are properly partitioned windows. "
+        "Output: per (cohort, decile) row count and the normalized "
+        "min/max — equal across cohorts per decile IS the "
+        "normalization working",
+)
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from youtube_etl_project_spark.operators.ranking import global_rank
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    pooled, n_total = global_rank(
+        ev, [F.col("value").asc(), F.col("event_id").asc()], "grank"
+    )
+    lookup = pooled.select(
+        F.col("grank").alias("trank"), F.col("value").alias("norm_value")
+    )
+    wpart = Window.partitionBy("event_type")
+    wr = ev.select(
+        "event_type",
+        F.row_number()
+        .over(wpart.orderBy(F.col("value").asc(), F.col("event_id").asc()))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1)).over(wpart).cast("long").alias("n_g"),
+    )
+    t = wr.select(
+        "event_type",
+        (
+            F.floor(
+                (F.lit(2) * F.col("r") - F.lit(1))
+                / (F.lit(2.0) * F.col("n_g"))
+                * F.lit(n_total).cast("double")
+            ).cast("long")
+            + F.lit(1)
+        ).alias("trank"),
+    )
+    j = t.join(lookup, "trank")
+    return (
+        j.select(
+            "event_type",
+            F.expr(f"(trank - 1) * 10 div {n_total}")
+            .cast("long")
+            .alias("decile"),
+            "norm_value",
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("norm_value").alias("min_norm"),
+            F.max("norm_value").alias("max_norm"),
+        )
+    )
