@@ -306,3 +306,67 @@ def incremental_components(
         .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
     )
     return out_old.unionByName(out_new)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree ≥ k
+    — computed by the standard peel (drop all nodes of degree < k,
+    recompute degrees in the survivor-induced subgraph, repeat to
+    fixpoint). Returns ``(id, deg_in_core)`` for the surviving nodes.
+
+    The density filter of graph analysis: on a near-dup graph the 2-core
+    separates genuinely clustered documents (cycles/cliques) from
+    dangling chain links; on interaction graphs high cores flag
+    bot/spam rings. Convergence: the survivor set shrinks monotonically,
+    so an unchanged count IS the fixpoint (count equality implies set
+    equality for a shrinking set) — no fingerprint comparison needed.
+    Peeling can take O(n) rounds on adversarial paths (each round only
+    exposes the next endpoints), hence the generous ``max_iter`` and a
+    hard error on non-convergence — a truncated peel silently OVERSTATES
+    the core, the wrong direction for a spam/dup filter.
+
+    Scale shape: each round is two survivor semi-joins + one map-side
+    count per edge endpoint; every survivor set is pinned
+    (``checkpointing.pin`` — branch-then-checkpoint, same discipline as
+    the CC loops above: the set is referenced by both the degree join
+    and the convergence count, and on a cluster the pin upgrades to a
+    reliable checkpoint under SPARK_GRAFT_CHECKPOINT_DIR).
+    """
+    e = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    sym = pin(e.union(e.select(F.col("b"), F.col("a"))).distinct())
+    alive = sym.select(F.col("a").alias("id")).distinct()
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        deg = (
+            sym.join(alive.withColumnRenamed("id", "a"), "a")
+            .join(
+                alive.select(F.col("id").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg_in_core"))
+        )
+        survivors = pin(
+            deg.filter(F.col("deg_in_core") >= k)
+        )
+        n_next = survivors.count()
+        if n_next == n_alive:
+            return survivors.select(
+                F.col("a").alias("id"), "deg_in_core"
+            )
+        alive = survivors.select(F.col("a").alias("id"))
+        n_alive = n_next
+        if n_alive == 0:
+            return survivors.select(
+                F.col("a").alias("id"), "deg_in_core"
+            )
+    raise RuntimeError(
+        f"k_core did not converge within {max_iter} peel rounds "
+        f"({n_alive} nodes still alive) — raise max_iter; a truncated "
+        "peel would overstate the core"
+    )

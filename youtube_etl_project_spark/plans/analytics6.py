@@ -247,3 +247,78 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8  # fixture peels converge in <= 3; gate fails loudly if not
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: recursive CTEs can only GROW (each iteration sees
+    the delta, not the accumulated set), while peeling SHRINKS — so the
+    oracle chains a fixed number of peel rounds instead. If the fixture
+    ever needed more rounds than the unroll, the Spark side (true
+    fixpoint via operators/graph.k_core) would disagree and the gate
+    would fail loudly — convergence within the unroll is itself under
+    test. tests/test_graph_kcore.py additionally pins the operator
+    against a long-path graph that NEEDS many rounds."""
+    steps = []
+    prev = "peel0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+        peel{i} AS MATERIALIZED (
+            SELECT v FROM (
+                SELECT x.v, COUNT(*) AS d
+                FROM {prev} x
+                JOIN sym s ON s.u = x.v
+                JOIN {prev} y ON y.v = s.w
+                GROUP BY x.v
+            ) WHERE d >= {_KCORE_K}
+        )""")
+        prev = f"peel{i}"
+    chain = ",".join(steps)
+    return f"""
+        WITH {_PAIRS_CTE.strip()},
+        sym AS MATERIALIZED (
+            SELECT id_a AS u, id_b AS w FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS w FROM pairs
+        ),
+        peel0 AS MATERIALIZED (SELECT DISTINCT u AS v FROM sym),
+        {chain}
+        SELECT x.v AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+        FROM {prev} x
+        JOIN sym s ON s.u = x.v
+        JOIN {prev} y ON y.v = s.w
+        GROUP BY x.v
+    """
+
+
+@register(
+    "graph_kcore_docs",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_K}-core of the near-dup pair graph "
+        "(operators/graph.k_core): peel nodes of degree < k, recompute "
+        "degrees in the survivor-induced subgraph, repeat to fixpoint — "
+        "the density filter separating genuinely clustered documents "
+        "(cycles/cliques that survive) from dangling chain links that "
+        "peel away; on interaction graphs, high cores flag bot rings. "
+        "Convergence is detected by survivor COUNT (a shrinking set with "
+        "unchanged count IS the fixpoint) and non-convergence raises — "
+        "a truncated peel would overstate the core. Every round's "
+        "survivor set is pinned (branch-then-checkpoint; reliable "
+        "checkpoint under SPARK_GRAFT_CHECKPOINT_DIR). The oracle "
+        f"unrolls {_KCORE_ROUNDS} peel rounds as chained CTEs (recursive "
+        "CTEs only grow; peels shrink), so gate agreement also proves "
+        "the fixture converged within the unroll",
+)
+def graph_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import dedup
+    from youtube_etl_project_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    core = k_core(pairs, _KCORE_K, src="id_a", dst="id_b")
+    return core.select(F.col("id").alias("doc_id"), "deg_in_core")

@@ -826,3 +826,73 @@ def blocking_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mpairs.join(truth, ["id_a", "id_b"])))
         .unionByName(row("prefix_filter", cand_pref, pref_found, pref_found))
     )
+
+
+@register(
+    "lineitem_weighted_percentiles",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_extendedprice AS v,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS w,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
+                       ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                                l_linenumber ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS w_cum
+            FROM lineitem
+        ), tot AS (
+            SELECT CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                AS big_w
+            FROM lineitem
+        ), t(p) AS (VALUES {", ".join(f"({p})" for p in (25, 50, 75, 90, 99))})
+        SELECT CAST(t.p AS INTEGER) AS p, r.v AS value,
+               CAST(r.w_cum AS BIGINT) AS w_cum
+        FROM t, tot
+        JOIN r ON r.w_cum >= (t.p * tot.big_w + 99) // 100
+              AND r.w_cum - r.w < (t.p * tot.big_w + 99) // 100
+    """,
+    doc="Exact WEIGHTED percentiles of unit price, weighted by quantity — "
+        "the inventory-weighted price distribution, where a 50-unit line "
+        "counts 50x. The target weight-rank ceil(p·W/100) is exact "
+        "integer arithmetic ((p·W + 99) div 100 — positive operands, so "
+        "truncating and flooring division agree across engines) and the "
+        "selected value is the unique row whose cumulative-weight span "
+        "covers the target (prev < target ≤ cum), a raw stored double. "
+        "Spark-side running weights come from "
+        "operators/ranking.global_prefix_sum (range shuffle → pinned "
+        "partitions → bounded per-partition offsets) — the oracle's "
+        "SUM() OVER (ORDER BY) form with no partition would drag 100 TB "
+        "through one task. Weighted complement to "
+        "lineitem_exact_percentiles (weight ≡ 1)",
+)
+def lineitem_weighted_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from youtube_etl_project_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.floor("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [
+        F.col("v").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    cum = global_prefix_sum(li, order, ["w"])
+    big_w = cum.agg(F.sum("w").cast("long")).collect()[0][0]
+    targets = spark.createDataFrame(
+        [(p, (p * big_w + 99) // 100) for p in (25, 50, 75, 90, 99)],
+        "p int, __target long",
+    )
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("w_cum") >= F.col("__target"))
+            & (F.col("w_cum") - F.col("w") < F.col("__target")),
+        )
+        .select("p", F.col("v").alias("value"), "w_cum")
+    )
