@@ -100,6 +100,21 @@ SHOWCASE = {
     "global sort), rank via a broadcast 20-row triangular "
     "nested-loop self-join — every post-count exchange carries ≤ 20 "
     "rows",
+    "mv_scoped_refresh": "incremental view maintenance: the affected-key "
+    "set (distilled from the delta) BROADCASTS into the base scan as a "
+    "semi-filter, so the recompute branch's cost follows the delta's "
+    "key footprint; the untouched remainder rides one anti-join — no "
+    "full-view rebuild anywhere",
+    "fuzzy_dup_degree_sym": "SymSpell edit-distance matching: deletion "
+    "variants generated map-side in codegen (transform/sequence — no "
+    "UDF), ONE variant-keyed shuffle for the candidate equi-join, "
+    "early-exit levenshtein verify on candidates only — never the "
+    "O(n²) all-pairs comparison",
+    "events_quantile_normalize": "quantile normalization: pooled ranks "
+    "and the rank lookup both run the two-pass distributed rank; "
+    "within-cohort ranks are properly PARTITIONED windows — the "
+    "textbook ROW_NUMBER() OVER (ORDER BY) global window appears "
+    "nowhere in the plan",
 }
 
 

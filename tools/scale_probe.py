@@ -149,6 +149,20 @@ PROBE_QUERIES = (
     "events_ab_ks",
     "join_skew_report",
     "table_diff_versions",
+    # round-6 wave: incremental view maintenance, blocking-complete
+    # fuzzy matching, perceptual near-dup, distribution alignment,
+    # weighted quantiles, feature history, k-core, calibration,
+    # governance
+    "mv_additive_merge",
+    "mv_scoped_refresh",
+    "fuzzy_dup_degree_sym",
+    "multimodal_ahash_near_dup",
+    "events_quantile_normalize",
+    "lineitem_weighted_percentiles",
+    "user_recent_history",
+    "graph_kcore_docs",
+    "ridge_calibration_v1",
+    "k_anonymity_report",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows
@@ -302,11 +316,25 @@ def _build_replica(spark: SparkSession, rep: int, out: str) -> None:
 
     cust = load_table(spark, SRC, "customer")
     n_cust = cust.count()
+    # Replica names get a doubled-char suffix ("~bb", "~cc", …; replica 0
+    # unsuffixed): any two replicas of the same name then differ in TWO
+    # positions (Levenshtein 2), so the edit-distance-1 matcher
+    # (fuzzy_dup_degree_sym) sees disjoint name spaces and its TRUE pair
+    # count grows linearly — the same structure-preserving discipline as
+    # the per-replica token remap for documents (cloned names would make
+    # every variant bucket 16x deep and the measured growth an artifact).
     _union_all(
         [
             cust.select(
                 (F.col("c_custkey") + r * n_cust).alias("c_custkey"),
-                "c_name",
+                (
+                    F.col("c_name")
+                    if r == 0
+                    else F.concat(
+                        F.col("c_name"),
+                        F.lit("~" + 2 * "abcdefghijklmnop"[r]),
+                    )
+                ).alias("c_name"),
                 "c_nationkey",
                 "c_acctbal",
                 "c_mktsegment",
