@@ -179,6 +179,11 @@ NOTES = {
         "DESIGN; dedup_jaccard_dfcut / dedup_minhash_lsh are the scale "
         "paths"
     ),
+    "embed_knn_label_accuracy": (
+        "exact-kNN evaluation baseline — all queries x all corpus flops "
+        "BY DESIGN (the blocked shortlist keeps 256x flops at ~7x wall); "
+        "the IVF/LSH serving paths are the sub-linear probe twins"
+    ),
     "dedup_hash_embed_cosine": (
         "exact all-pairs cosine baseline — 256x flops by construction; "
         "the blocked matmul prefilter holds the wall near-linear, "
