@@ -637,3 +637,65 @@ def train_test_split_leakage_safe(
     return docs.join(
         labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
     ).select("doc_id", cluster.alias("cluster_id"), split.alias("split"))
+
+
+@register(
+    "dedup_cluster_weights",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ),
+        cc AS (SELECT n AS doc_id, MIN(m) AS root FROM reach GROUP BY n),
+        labeled AS (
+            SELECT d.doc_id, COALESCE(cc.root, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        ),
+        csizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM labeled GROUP BY cluster_id
+        )
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               1.0 / CAST(s.cluster_size AS DOUBLE) AS weight
+        FROM labeled l JOIN csizes s USING (cluster_id)
+    """,
+    doc="Soft dedup — duplicate-aware loss weights: instead of DROPPING "
+        "non-canonical near-dups (dedup_cluster_cc's survivor flag), "
+        "every document keeps weight 1/cluster_size, so each duplicate "
+        "CLUSTER contributes one unit of training mass however many "
+        "copies it has (the reweighting alternative corpus teams use "
+        "when dups carry distribution signal). Same transitive LSH→CC "
+        "machinery as the cluster queries; the weight is one "
+        "exact-operand double division (1.0 / bigint — both engines "
+        "round identically). The per-cluster size rollup shuffles one "
+        "row per cluster, and singletons (the overwhelming mass) ride "
+        "the left join with weight 1.0",
+)
+def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    labeled = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

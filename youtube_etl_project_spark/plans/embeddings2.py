@@ -694,3 +694,125 @@ def ridge_calibration_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_actual"),
     )
+
+
+@register(
+    "ridge_conformal_v1",
+    oracle=f"""
+        WITH w(j, wq) AS (VALUES {_RIDGE_VALUES}),
+        qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), s AS (
+            SELECT qe.vec_id,
+                   CAST(SUM(qe.q * w.wq) + {_RIDGE_BQ} AS BIGINT) AS yhat_q
+            FROM qe JOIN w ON w.j = qe.j
+            GROUP BY qe.vec_id
+        ), res AS (
+            SELECT s.vec_id,
+                   ABS(s.yhat_q
+                       - CAST(e.label AS BIGINT) * 1000000000000) AS r,
+                   s.vec_id % 2 AS grp
+            FROM s JOIN embeddings e USING (vec_id)
+        ), cal AS (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, vec_id) AS rn
+            FROM res WHERE grp = 0
+        ), ncal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM res WHERE grp = 0
+        ), qhat AS (
+            SELECT c.r AS q_hat FROM cal c, ncal
+            WHERE c.rn = (9 * (ncal.n + 1) + 9) // 10
+        ), test AS (
+            SELECT r FROM res WHERE grp = 1
+        ), cov AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered
+            FROM test t, qhat q
+        )
+        SELECT ncal.n AS n_cal, cov.n_test, q.q_hat, cov.n_covered,
+               CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+                   AS coverage
+        FROM ncal, qhat q, cov
+    """,
+    doc="Split-conformal prediction interval for the frozen v1 ridge "
+        "scorer (α=0.1): the even-vec_id half calibrates — q_hat is the "
+        "⌈0.9·(n_cal+1)⌉-th smallest absolute residual, an exact bigint "
+        "on the 1e12 grid selected by rank (integer ceil, truncating and "
+        "flooring division agree on positive operands) — and the odd "
+        "half reports empirical coverage of ŷ ± q_hat (exact counts, "
+        "one exact-operand division). Conformal is the "
+        "distribution-free way to ship a scorer with a guarantee "
+        "(coverage ≥ 0.9 regardless of the residual distribution); this "
+        "is the audit a corpus team runs before trusting the interval. "
+        "Spark-side order statistic via operators/ranking.global_rank — "
+        "no unpartitioned window; the oracle's ROW_NUMBER() OVER "
+        "(ORDER BY) form would single-task a 100 TB calibration set",
+)
+def ridge_conformal_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.ranking import global_rank
+
+    wdf = spark.createDataFrame(_RIDGE_WQ, "j int, wq long")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(
+                F.col("e").cast("double") * F.lit(1_000_000.0) + F.lit(0.5)
+            ).cast("long").alias("q"),
+        )
+    )
+    scores = (
+        qe.join(F.broadcast(wdf), "j")
+        .groupBy("vec_id")
+        .agg(
+            (F.sum(F.col("q") * F.col("wq")) + F.lit(_RIDGE_BQ))
+            .cast("long")
+            .alias("yhat_q")
+        )
+    )
+    res = scores.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id",
+        F.abs(
+            F.col("yhat_q")
+            - F.col("label").cast("long") * F.lit(1_000_000_000_000)
+        ).alias("r"),
+        (F.col("vec_id") % 2).alias("grp"),
+    )
+    cal = res.filter(F.col("grp") == 0)
+    ranked, n_cal = global_rank(
+        cal, [F.col("r").asc(), F.col("vec_id").asc()], "rn"
+    )
+    k = (9 * (n_cal + 1) + 9) // 10
+    qhat = ranked.filter(F.col("rn") == k).select(
+        F.col("r").alias("q_hat")
+    )
+    test = res.filter(F.col("grp") == 1).select(
+        F.col("r").alias("r_test")
+    )
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("r_test") <= F.col("q_hat"), 1).otherwise(0)
+        ).cast("long").alias("n_covered"),
+        F.first("q_hat").alias("q_hat"),
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        "n_test",
+        "q_hat",
+        "n_covered",
+        (
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
