@@ -163,6 +163,8 @@ PROBE_QUERIES = (
     "graph_kcore_docs",
     "ridge_calibration_v1",
     "k_anonymity_report",
+    "dedup_cluster_weights",
+    "ridge_conformal_v1",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows
