@@ -643,6 +643,7 @@ def lsh_ann_md5(
     query_id: str = "query_id",
     cand_id: str = "neighbor_id",
     vec: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Hyperplane-LSH ANN whose EVERY intermediate is reproducible in
     ANSI SQL — the oracle-twin of :func:`lsh_topk` (whose sha256-seeded
@@ -663,6 +664,17 @@ def lsh_ann_md5(
     explode + broadcast-join + two aggregations (all codegen, no Python),
     the bucket equi-join shuffles bare ids, and scoring touches candidate
     pairs only. Returns (query_id, neighbor_id, rank, dot_q).
+
+    ``multiprobe > 0`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's own (the first ``multiprobe``
+    single-bit flips of the key) — Lv et al.'s multi-probe LSH: near
+    neighbors that land one flipped hyperplane away are recovered from
+    the SAME tables instead of by building more tables, trading a
+    broadcast-side probe-key fan-out (|queries|·tables·(1+multiprobe)
+    rows — still tiny) for an index that is `multiprobe`x smaller in
+    memory/build cost at comparable recall. The candidate side is
+    untouched: one bucket key per (vector, table), so index size does
+    not change with the probe count.
     """
     spark = queries.sparkSession
     signs = spark.createDataFrame(
@@ -678,8 +690,25 @@ def lsh_ann_md5(
 
     qq = quantized(queries, query_id)
     qc = quantized(candidates, cand_id)
+    probe_keys = bucket_keys(qq, query_id)
+    if multiprobe > 0:
+        flips = spark.range(multiprobe).select(
+            F.col("id").cast("int").alias("__mp_p")
+        )
+        flipped = probe_keys.crossJoin(F.broadcast(flips)).select(
+            query_id,
+            "t",
+            F.col("key").bitwiseXOR(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.col("__mp_p")
+                )
+            ).alias("key"),
+        )
+        probe_keys = probe_keys.select(query_id, "t", "key").union(
+            flipped
+        ).dropDuplicates([query_id, "t", "key"])
     pairs = (
-        F.broadcast(bucket_keys(qq, query_id))
+        F.broadcast(probe_keys)
         .join(bucket_keys(qc, cand_id), ["t", "key"])
         .filter(F.col(query_id) != F.col(cand_id))
         .select(query_id, cand_id)

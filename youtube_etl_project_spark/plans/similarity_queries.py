@@ -529,3 +529,89 @@ def embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "label", F.col("clabel").alias("predicted")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_MP_TABLES = 2  # HALF the flagship twin's tables — multiprobe makes it up
+
+
+@register(
+    "embed_lsh_multiprobe_md5",
+    oracle=f"""
+        WITH planes AS (
+            SELECT rt.range AS t, rp.range AS p, rj.range AS j,
+                   CASE WHEN substr(md5(rt.range::VARCHAR || '~' ||
+                                        rp.range::VARCHAR || '~' ||
+                                        rj.range::VARCHAR), 1, 1)
+                        BETWEEN '8' AND 'f' THEN 1 ELSE -1 END AS s
+            FROM range({_MP_TABLES}) rt, range({_ANN_PLANES}) rp,
+                 range({_DIM}) rj
+        ), qe AS (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * {_ANN_SCALE} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), bits AS (
+            SELECT vec_id, t, p,
+                   CASE WHEN SUM(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM qe JOIN planes ON qe.j = planes.j
+            GROUP BY vec_id, t, p
+        ), keys AS (
+            SELECT vec_id, t, CAST(SUM(bit * (1 << p)) AS BIGINT) AS key
+            FROM bits GROUP BY vec_id, t
+        ), probes AS (
+            SELECT vec_id, t, key FROM keys WHERE vec_id < {_N_QUERIES}
+            UNION
+            SELECT k.vec_id, k.t,
+                   CAST(xor(k.key, (1::BIGINT << rp.range)) AS BIGINT)
+            FROM keys k, range({_ANN_PLANES}) rp
+            WHERE k.vec_id < {_N_QUERIES}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM probes a JOIN keys b ON a.t = b.t AND a.key = b.key
+            WHERE a.vec_id <> b.vec_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+            FROM cand c
+            JOIN qe qa ON qa.vec_id = c.query_id
+            JOIN qe qb ON qb.vec_id = c.neighbor_id AND qb.j = qa.j
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+        FROM (
+            SELECT query_id, neighbor_id, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC,
+                                               neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+    doc="X3, multi-probe LSH (Lv et al., VLDB'07) in the md5 domain: "
+        f"HALF the tables of embed_lsh_ann_md5 ({_MP_TABLES} vs "
+        f"{_ANN_TABLES}), with each query additionally probing every "
+        "bucket one hyperplane-flip away in the SAME tables — the "
+        "memory-lever of production ANN services (index build/RAM cost "
+        "∝ tables; probe cost is a broadcast-side key fan-out of "
+        "|queries|·tables·(1+planes) rows, tiny at any corpus size; the "
+        "candidate index keeps ONE key per vector·table). Every probe "
+        "key is an exact bigint XOR of the md5-domain bucket key, so "
+        "the whole path — planes, bits, keys, probes, candidates, "
+        "integer MIPS scores — stays bit-reproducible in ANSI SQL. "
+        "Recall-vs-tables economics pinned in "
+        "tests/test_multiprobe.py",
+)
+def embed_lsh_multiprobe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return similarity.lsh_ann_md5(
+        queries, candidates, dim=_DIM, n_tables=_MP_TABLES,
+        n_planes=_ANN_PLANES, k=5, scale=_ANN_SCALE,
+        multiprobe=_ANN_PLANES,
+    )
