@@ -165,6 +165,7 @@ PROBE_QUERIES = (
     "k_anonymity_report",
     "dedup_cluster_weights",
     "ridge_conformal_v1",
+    "embed_lsh_multiprobe_md5",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows
