@@ -132,6 +132,68 @@ def main() -> None:
         "cost keeps climbing linearly."
     )
 
+    # ---- multi-probe LSH (md5 domain, integer-MIPS scoring) -----------
+    # Own ground truth: the md5 twin ranks by exact quantized inner
+    # product (MIPS), not float cosine, so its recall is measured against
+    # the exact-MIPS top-k.
+    from pyspark.sql import Window
+
+    flat = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+        .select(
+            "vec_id",
+            "j",
+            F.floor(F.col("e").cast("double") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    qs = flat.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("q").alias("qa")
+    )
+    cs = flat.select(
+        F.col("vec_id").alias("neighbor_id"), "j", F.col("q").alias("qb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    mips_gt = _topk_sets(
+        qs.join(cs, "j")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot_q"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+    )
+    mp_rows = []
+    for tables in (2, 4, 8):
+        for probes in (0, 4):
+            ann, secs = timed(
+                similarity.lsh_ann_md5(
+                    queries, candidates, dim=64, n_tables=tables,
+                    n_planes=4, k=K, multiprobe=probes,
+                )
+            )
+            mp_rows.append((tables, probes, _recall(ann, mips_gt), secs))
+            print(f"mp t={tables} probes={probes} done", file=sys.stderr)
+    print()
+    print("## Multi-probe LSH (md5 domain, 4 planes, exact-MIPS truth)")
+    print()
+    print("| n_tables | 1-flip probes | recall@10 | time s |  |")
+    print("|---|---|---|---|---|")
+    for tables, probes, rec, secs in mp_rows:
+        mark = "←" if (tables, probes) == (2, 4) else ""
+        print(f"| {tables} | {probes} | {rec:.3f} | {secs:.2f} | {mark} |")
+    print()
+    print(
+        "Probing the 1-flip neighbor buckets of the SAME tables buys the "
+        "recall that extra tables otherwise would — the index (one key "
+        "per vector·table) stays `tables`-sized while probe keys are a "
+        "broadcast-side fan-out. ← marks embed_lsh_multiprobe_md5's "
+        "registered geometry (half the oracle twin's tables)."
+    )
+
 
 if __name__ == "__main__":
     main()
