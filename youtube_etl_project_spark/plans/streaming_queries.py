@@ -12,6 +12,7 @@ memory sink remains the test harness.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,25 @@ from pyspark.sql.types import LongType, TimestampNTZType
 
 from youtube_etl_project_spark.registry import register
 from youtube_etl_project_spark.sources import load_table
+
+
+@contextlib.contextmanager
+def _drain_state_partitions(spark: SparkSession, n: int = 4):
+    """Bounded parity drains run 1-2 micro-batches over fixture-sized
+    streams, but streaming state partitioning is fixed at query start
+    from spark.sql.shuffle.partitions and EVERY state partition pays
+    per-batch store init/commit overhead (measured on the interval-join
+    drain: 20.7 s at 32 partitions vs 11.4 s at 4, identical results —
+    the oracle gate confirms). Production sizes this to the stream's
+    real key cardinality; the parity drains size it to the fixture.
+    Restores the session conf in finally, so the caller's session (the
+    driver's own, possibly) is never left mutated."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -92,14 +112,15 @@ def streaming_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stp_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -150,14 +171,15 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "ssp_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -289,16 +311,17 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = batch.join(dup, "doc_id", "left_anti")
         fresh.write.mode("append").parquet(surv_path)
 
-    q = (
-        spark.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", os.path.join(tmp, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_state_partitions(spark):
+        q = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     surv = spark.read.parquet(surv_path).select(
         "doc_id", F.lit(1).alias("__k")
     )
@@ -338,14 +361,15 @@ def streaming_dropdup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = "sdd_" + uuid.uuid4().hex[:12]
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_state_partitions(spark):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -411,14 +435,15 @@ def streaming_static_join_parity(
         )
     )
     name = "ssj_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -566,17 +591,7 @@ def _interval_join_parity(
         sv, sc_, "user_id", "ts", "30 minutes", "1 hour", how=how
     )
     name = "soj_" + uuid.uuid4().hex[:12]
-    # Stream-stream join state partitions are fixed at query start from
-    # spark.sql.shuffle.partitions; every state partition pays per-batch
-    # store init/commit overhead, which dominates this bounded parity
-    # drain (measured: 20.7 s at 32 partitions -> 11.4 s at 4, identical
-    # results — the oracle gate confirms). Production sizes this to the
-    # stream's real key cardinality; a two-micro-batch parity drain
-    # wants few. Restored in finally so the session (the driver's own,
-    # possibly) is never left mutated.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with _drain_state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -585,8 +600,6 @@ def _interval_join_parity(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).filter(F.col("user_id") != -999)
 
 
@@ -659,15 +672,16 @@ def streaming_stateful_totals_parity(
         .parquet(src)
     )
     name = "sst_" + uuid.uuid4().hex[:12]
-    q = (
-        running_user_totals_grid(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_state_partitions(spark):
+        q = (
+            running_user_totals_grid(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # the memory sink is driver-resident after the drain — the staged
     # source files are no longer referenced and can go
     shutil.rmtree(tmp, ignore_errors=True)
