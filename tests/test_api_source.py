@@ -67,3 +67,71 @@ def test_composes_with_dataframe_ops(api_df):
     )
     assert {r.region for r in agg} == {"US", "IN", "GB"}
     assert all(r.n == 20 for r in agg)
+
+
+def test_streaming_scan_equals_batch(spark, tmp_path):
+    """T2 x S1: the streaming form of the API source (one page of every
+    combo per micro-batch, offset = page) drains to exactly the batch
+    scan's rows — the poll-loop-as-a-stream contract, with deterministic
+    replay backing checkpointed exactly-once sinks."""
+    import uuid as _uuid
+
+    spark.dataSource.register(YouTubeApiStubDataSource)
+    opts = {
+        "regions": "US,IN",
+        "keywords": "music,news",
+        "resultsPerCombo": "10",
+        "pageSize": "4",  # 3 pages per combo: 4 + 4 + 2
+    }
+    batch = spark.read.format("youtube_api_stub").options(**opts).load()
+
+    name = "api_stream_" + _uuid.uuid4().hex[:10]
+    reader = spark.readStream.format("youtube_api_stub")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(name)
+
+    assert streamed.count() == batch.count() == 40
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+
+
+def test_stream_reader_replay_is_deterministic(spark):
+    """readBetweenOffsets regenerates any page range bit-identically —
+    the recovery path a restarted checkpointed query takes."""
+    from youtube_etl_project_spark.sources.api_source import (
+        YouTubeApiStreamReader,
+    )
+
+    r = YouTubeApiStreamReader(
+        {"regions": "US", "keywords": "music", "resultsPerCombo": "10",
+         "pageSize": "4"}
+    )
+    # walk the live path
+    live = []
+    off = r.initialOffset()
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            break
+        live.extend(rows)
+        off = nxt
+    assert off == {"page": 3}  # 4 + 4 + 2 rows over 3 pages
+    replay = list(r.readBetweenOffsets({"page": 0}, {"page": 3}))
+    assert replay == live and len(live) == 10

@@ -304,6 +304,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         linkage_queries,
         monitoring,
         incremental_views,
+        api_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

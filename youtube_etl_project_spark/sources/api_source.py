@@ -25,7 +25,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 DEFAULT_REGIONS = ("US", "IN", "GB", "PK", "CA")
 DEFAULT_KEYWORDS = ("music", "news", "sports", "gaming", "tech", "food")
@@ -125,3 +130,55 @@ class YouTubeApiStubDataSource(DataSource):
 
     def reader(self, schema) -> YouTubeApiReader:
         return YouTubeApiReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "YouTubeApiStreamReader":
+        return YouTubeApiStreamReader(self.options)
+
+
+class YouTubeApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the scan (T2 × S1): the reference polls the API
+    on a timer (`azure-functions/function_app.py:275-528` daily trigger);
+    streamed, each micro-batch advances ONE page of every (region,
+    keyword) combination and the offset {"page": n} is the resume point.
+    Replays are exact (``readBetweenOffsets`` regenerates any page
+    range deterministically), so the source composes with checkpointed
+    exactly-once sinks; a real HTTP client would substitute
+    ``_fetch_page`` and carry the API's own page tokens in the offset.
+
+    Bounded here (``resultsPerCombo`` caps the pages) so a drain
+    terminates: after the last page ``read`` returns an empty batch with
+    an unchanged offset, which is the "no new data" signal
+    ``processAllAvailable``/AvailableNow terminate on.
+    """
+
+    def __init__(self, options: dict):
+        inner = YouTubeApiReader(options)
+        self.regions = inner.regions
+        self.keywords = inner.keywords
+        self.per_combo = inner.per_combo
+        self.page_size = inner.page_size
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _page_rows(self, page: int) -> list[tuple]:
+        off = page * self.page_size
+        size = min(self.page_size, self.per_combo - off)
+        if size <= 0:
+            return []
+        rows: list[tuple] = []
+        for r in self.regions:
+            for k in self.keywords:
+                rows.extend(_fetch_page(r, k, off, size))
+        return rows
+
+    def read(self, start: dict):
+        page = int(start["page"])
+        rows = self._page_rows(page)
+        if not rows:  # exhausted: unchanged offset = no new data
+            return iter(()), start
+        return iter(rows), {"page": page + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for page in range(int(start["page"]), int(end["page"])):
+            yield from self._page_rows(page)
