@@ -319,6 +319,12 @@ def compact_line(full: dict) -> str:
         if len(line) <= MAX_LINE:
             return line
         base.pop(drop)
+    # ADVICE r6: the loop checks before each pop, so the 2-dp line with
+    # BOTH extras dropped was never length-checked — re-check it before
+    # degrading per-query precision to 1 dp.
+    line = json.dumps(base, separators=(",", ":"))
+    if len(line) <= MAX_LINE:
+        return line
     base["queries"] = {
         n: round(t, 1) for n, t in full["queries"].items()
     }

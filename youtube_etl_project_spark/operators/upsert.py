@@ -198,6 +198,21 @@ class ParquetTable:
                     # back to the O_EXCL create race above.
                     grave = f"{self._lock}.stolen.{uuid.uuid4().hex}"
                     with contextlib.suppress(OSError):
+                        # Re-check staleness immediately before the rename
+                        # (ADVICE r6): a competitor may have stolen AND
+                        # re-created a FRESH lock since the age probe.
+                        # rename has no compare-and-swap, so the residual
+                        # window can't be closed — if a fresh lock still
+                        # slips through, the live writer's token re-check
+                        # in _commit degrades it to a clean
+                        # ConcurrentWriteError abort, never a double
+                        # commit (restoring the grave would be worse: it
+                        # could clobber the NEXT writer's valid lock).
+                        if (
+                            time.time() - os.path.getmtime(self._lock)
+                            <= self.lock_stale_sec
+                        ):
+                            continue
                         os.rename(self._lock, grave)
                         os.unlink(grave)
                     continue

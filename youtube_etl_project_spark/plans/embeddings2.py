@@ -793,6 +793,15 @@ def ridge_conformal_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal, [F.col("r").asc(), F.col("vec_id").asc()], "rn"
     )
     k = (9 * (n_cal + 1) + 9) // 10
+    if k > n_cal:  # ADVICE r6: degenerate calibration half — the oracle's
+        # cross joins would yield ZERO rows while Spark's global agg on
+        # the empty cross join still emits one (n_test=0, null q_hat);
+        # fail loudly instead of hash-mismatching on a shrunken fixture.
+        raise ValueError(
+            f"ridge_conformal_v1: calibration rank {k} exceeds n_cal="
+            f"{n_cal}; fixture too small for a 90% split-conformal "
+            "quantile"
+        )
     qhat = ranked.filter(F.col("rn") == k).select(
         F.col("r").alias("q_hat")
     )
