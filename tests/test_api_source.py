@@ -69,6 +69,75 @@ def test_composes_with_dataframe_ops(api_df):
     assert all(r.n == 20 for r in agg)
 
 
+def test_pushdown_prunes_partitions_at_reader_level():
+    """pushFilters absorbs region/keyword EqualTo/In completely (the
+    predicate IS the partition-generation axis) and yields everything
+    else back for Spark-side evaluation."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from youtube_etl_project_spark.sources.api_source import (
+        YouTubeApiPushdownReader,
+    )
+
+    r = YouTubeApiPushdownReader(
+        {"regions": "US,IN,GB", "keywords": "music,news",
+         "resultsPerCombo": "10"}
+    )
+    assert len(r.partitions()) == 6
+    remaining = list(
+        r.pushFilters(
+            [
+                EqualTo(("region",), "US"),
+                In(("keyword",), ("music", "gaming")),
+                GreaterThan(("views",), 100),  # not a partition axis
+            ]
+        )
+    )
+    # the one unsupported filter comes back; the two absorbed ones don't
+    assert remaining == [GreaterThan(("views",), 100)]
+    assert r.regions == ("US",) and r.keywords == ("music",)
+    assert len(r.partitions()) == 1
+
+
+def test_pushdown_prunes_planned_partitions_e2e(spark):
+    """With the Spark 4.1 pushdown flag on, a plain df.filter on region
+    prunes the planned InputPartitions (6 combos → 2) and the pruned
+    scan returns exactly the rows the option-scoped scan produces."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(YouTubeApiStubDataSource)
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        full = (
+            spark.read.format("youtube_api_stub")
+            .option("regions", "US,IN,GB")
+            .option("keywords", "music,news")
+            .option("resultsPerCombo", "10")
+            .option("pushdown", "true")
+            .load()
+        )
+        filtered = full.filter(F.col("region") == "US")
+        # planning-time pruning: only US's 2 (region, keyword) combos scan
+        assert filtered.rdd.getNumPartitions() == 2
+        scoped = (
+            spark.read.format("youtube_api_stub")
+            .option("regions", "US")
+            .option("keywords", "music,news")
+            .option("resultsPerCombo", "10")
+            .load()
+        )
+        assert sorted(map(tuple, filtered.collect())) == sorted(
+            map(tuple, scoped.collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_streaming_scan_equals_batch(spark, tmp_path):
     """T2 x S1: the streaming form of the API source (one page of every
     combo per micro-batch, offset = page) drains to exactly the batch

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.registry import REGISTRY, register
 
 _REGIONS = ("US", "IN", "GB")
 _KEYWORDS = ("music", "news")
@@ -79,3 +79,53 @@ def api_scan_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("resultsPerCombo", str(_PER_COMBO))
         .load()
     )
+
+
+# Same reconstruction oracle as the batch scan: the stream must drain to
+# exactly the rows the batch scan produces (pages are the only division).
+_API_ORACLE = REGISTRY["api_scan_parity"].oracle
+
+
+@register(
+    "api_stream_parity",
+    oracle=_API_ORACLE,
+    doc="T2 x S1 under the VALUE-HASH gate (VERDICT r6 #4): the "
+        "SimpleDataSourceStreamReader form of the API source — one page "
+        "of every (region, keyword) combination per micro-batch, offset "
+        "= page number — drained through a real Structured Streaming "
+        "query (append mode, memory sink, 3-row pages so the drain "
+        "spans 4 micro-batches) and hash-matched against the SAME "
+        "sha256-reconstruction oracle as the batch scan. Proves the "
+        "streamed pagination covers the identical row set with no "
+        "duplicate or dropped page; replays are exact "
+        "(readBetweenOffsets regenerates any page range), which is what "
+        "makes the source safe under checkpointed exactly-once sinks",
+)
+def api_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from youtube_etl_project_spark.sources.api_source import (
+        YouTubeApiStubDataSource,
+    )
+
+    spark.dataSource.register(YouTubeApiStubDataSource)
+    src = (
+        spark.readStream.format("youtube_api_stub")
+        .option("regions", ",".join(_REGIONS))
+        .option("keywords", ",".join(_KEYWORDS))
+        .option("resultsPerCombo", str(_PER_COMBO))
+        .option("pageSize", "3")  # 4 pages per combo: 3+3+3+1
+        .load()
+    )
+    name = "api_stream_" + uuid.uuid4().hex[:12]
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
