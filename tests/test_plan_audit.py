@@ -49,9 +49,9 @@ ARROW_ALLOWED = {
     "embed_pca_project",  # PCA apply: (x-mean)@W numpy matmul per batch
     "embed_pca_project_v1",  # same matmul, frozen released model
     "text_topic_assign_v1",  # frozen-centroid assignment: numpy matmul
-    "embed_pq_rmse",  # PQ encode+reconstruct: numpy matmul per batch
-    "embed_pq_adc_topk",  # ADC LUT gather over codes: numpy per batch
-    "embed_pq_rerank_topk",  # ADC shortlist (numpy) + codegen re-rank
+    # (round 7: embed_pq_rmse / adc_topk / rerank_topk left this list —
+    # the exact-grid trainer's assignment is a broadcast codebook join in
+    # whole-stage codegen, no Python in the plan at all)
 }
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
@@ -63,6 +63,7 @@ CODEGEN_EXEMPT = {
     "streaming_tumbling_parity",
     "streaming_session_parity",
     "streaming_static_join_parity",
+    "api_stream_parity",  # memory-sink scan of the drained API stream
 }
 
 

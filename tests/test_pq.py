@@ -60,130 +60,127 @@ def test_codebooks_match_numpy_replica(trained):
     np.testing.assert_array_equal(books, _np_train(x))
 
 
-def test_rmse_matches_numpy(trained, spark, sf_dir):
+def _np_train_exact(ids: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Integer replica of pq_train_exact: same grid snap, same id-rank
+    seeds, same exact argmin and snapped means — int64 end to end."""
+    import math
+
+    dsub = DIM // M
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64).reshape(len(x), M, dsub)
+    books = np.transpose(q[:K], (1, 0, 2)).copy()  # m x k x dsub (int64)
+    for _ in range(ITERS):
+        fresh = books.copy()
+        for s in range(M):
+            d = ((q[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            cells = d.argmin(axis=1)  # first (lowest) index on ties
+            for c in np.unique(cells):
+                pts = q[cells == c, s, :]
+                fresh[s, c] = np.array(
+                    [
+                        math.floor(int(col.sum()) / len(pts) + 0.5)
+                        for col in pts.T
+                    ],
+                    dtype=np.int64,
+                )
+            books = books  # previous centroids kept for empty cells
+        books = fresh
+    return books
+
+
+def test_exact_trainer_matches_integer_replica(spark, sf_dir):
+    """pq_train_exact (the oracle-checked trainer behind the converted
+    embed_pq_* flagships) == a driver-side int64 replica."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_train_exact(emb, "vec_id", "embedding", M, DIM, K, ITERS)
+    ids, x = _load_np(spark, sf_dir)
+    expect = _np_train_exact(ids, x)
+    got = np.zeros_like(expect)
+    for (s, c, p), cq in books.items():
+        got[s, c, p] = cq
+    np.testing.assert_array_equal(got, expect)
+
+
+def _exact_parts_np(ids, x):
+    """Codes + per-vector SSE + ADC distances under the exact trainer —
+    the numpy ground truth the quality floors below score against."""
+    dsub = DIM // M
+    books = _np_train_exact(ids, x)
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64).reshape(len(x), M, dsub)
+    d = ((q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    codes = d.argmin(axis=2)  # n x m
+    sse = d.min(axis=2).sum(axis=1)  # n
+    return books, q, d, codes, sse
+
+
+def test_rmse_is_lossy_but_tight(spark, sf_dir):
+    """The oracle pins exactness; this pins QUALITY: reconstruction error
+    is nonzero (compression is lossy) yet well under the signal RMS."""
     from youtube_etl_project_spark.registry import load_all_plans
 
-    emb, books, ids, x = trained
-    dsub = DIM // M
-    xs = x.reshape(len(x), M, dsub)
-    recon = np.empty_like(xs)
-    for s in range(M):
-        c2 = (books[s] * books[s]).sum(axis=1)
-        d = -2.0 * (xs[:, s, :] @ books[s].T) + c2
-        recon[:, s, :] = books[s][d.argmin(axis=1)]
-    err = (xs - recon).reshape(len(x), DIM)
-    expected = np.sqrt((err * err).mean(axis=1))
-
+    ids, x = _load_np(spark, sf_dir)
     got = {
         r["vec_id"]: r["pq_rmse"]
         for r in load_all_plans()["embed_pq_rmse"].fn(spark, sf_dir).collect()
     }
     assert len(got) == len(ids)
+    _, _, _, _, sse = _exact_parts_np(ids, x)
+    expect = np.sqrt(sse.astype(np.float64) / DIM) / 1e6
     for i, vid in enumerate(ids):
-        assert got[vid] == pytest.approx(round(expected[i], 6), abs=1e-9)
-    # compression must actually be lossy-but-tight: nonzero, bounded error
-    mean_rmse = float(expected.mean())
+        assert got[vid] == pytest.approx(round(expect[i], 6), abs=1e-9)
+    mean_rmse = float(expect.mean())
     rms_norm = float(np.sqrt((x * x).mean()))
-    assert 0 < mean_rmse < rms_norm  # reconstructs most of the energy
+    assert 0 < mean_rmse < rms_norm
 
 
-def test_adc_ranks_match_numpy_and_recall(trained, spark, sf_dir):
+def test_adc_recall_and_self_match(spark, sf_dir):
+    """ADC quality floors under the exact-grid trainer (the oracle pins
+    the values; this pins that they are USEFUL): recall@10 vs exact L2,
+    rank correlation, and the self-match-at-rank-1 property."""
     from youtube_etl_project_spark.registry import load_all_plans
 
-    emb, books, ids, x = trained
-    out = (
-        load_all_plans()["embed_pq_adc_topk"].fn(spark, sf_dir).collect()
-    )
-    q_ids = ids[:5]
-    dsub = DIM // M
-    xs = x.reshape(len(x), M, dsub)
-    # numpy ADC: encode all, gather LUTs
-    codes = np.zeros((len(x), M), dtype=np.int64)
-    for s in range(M):
-        c2 = (books[s] * books[s]).sum(axis=1)
-        d = -2.0 * (xs[:, s, :] @ books[s].T) + c2
-        codes[:, s] = d.argmin(axis=1)
-
+    ids, x = _load_np(spark, sf_dir)
+    out = load_all_plans()["embed_pq_adc_topk"].fn(spark, sf_dir).collect()
     got = {}
     for r in out:
-        got.setdefault(r["query_id"], []).append(
-            (r["rank"], r["vec_id"], r["adist"])
-        )
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    q_ids = ids[:5]
     assert sorted(got) == sorted(q_ids.tolist())
 
+    _, _, d, codes, _ = _exact_parts_np(ids, x)
     recalls = []
     for qi, qid in enumerate(q_ids):
-        lut = pq.adc_lut(x[qi], books)  # queries are the 5 lowest ids
-        adist = lut[np.arange(M)[:, None].repeat(len(x), 1).T, codes].sum(1)
-        order = np.lexsort((ids, np.round(adist, 12)))
-        expect = [int(ids[j]) for j in order[:10]]
-        have = [(v, a) for _, v, a in sorted(got[qid])]
-        # exact rank parity with the numpy replica (vec_id tiebreak)
-        assert [h[0] for h in have] == expect
-        for j, (_, a) in zip(order[:10], have):
-            assert a == pytest.approx(round(float(adist[j]), 6), abs=1e-9)
-
-        # ADC quality on this synthetic near-random corpus (measured:
-        # recall@10 2-7/query, mean ~4, Pearson ~0.66-0.72 at both
-        # sf0.001 and sf0.01): pin floors under the measurements
+        lut = d[qi]  # m x k exact int distances for this query
+        adist = lut[np.arange(M), codes].sum(axis=1)
         exact = ((x - x[qi]) ** 2).sum(axis=1)
         true10 = set(ids[np.lexsort((ids, exact))[:10]].tolist())
-        recalls.append(len(true10 & {h[0] for h in have}))
+        have = [v for _, v in sorted(got[qid])]
+        recalls.append(len(true10 & set(have)))
         assert recalls[-1] >= 2
-        assert np.corrcoef(adist, exact)[0, 1] >= 0.5
-
-        # self-match: the query is in the corpus and its reconstruction
-        # distance is far below any cross-vector distance → rank 1
-        assert have[0][0] == qid
+        assert np.corrcoef(adist.astype(np.float64), exact)[0, 1] >= 0.5
+        assert have[0] == qid  # self-match: rank 1
     assert np.mean(recalls) >= 3
 
 
-def test_rerank_matches_replica_and_improves_recall(trained, spark, sf_dir):
-    """embed_pq_rerank_topk == numpy replica of the same pipeline (ADC
-    top-100 shortlist, exact-L2 re-rank, vec_id tiebreaks), and the
-    re-ranked recall@10 is at least the raw-ADC recall on average."""
+def test_rerank_improves_recall(spark, sf_dir):
+    """Exact re-rank of the ADC shortlist must not lose recall vs raw
+    ADC (measured ~0.8 at 20% shortlist on the near-random corpus)."""
     from youtube_etl_project_spark.registry import load_all_plans
 
-    _, books, ids, x = trained
+    ids, x = _load_np(spark, sf_dir)
     out = load_all_plans()["embed_pq_rerank_topk"].fn(spark, sf_dir).collect()
     got = {}
     for r in out:
-        got.setdefault(r["query_id"], []).append(
-            (r["rank"], r["vec_id"], r["l2"])
-        )
-    dsub = DIM // M
-    xs = x.reshape(len(x), M, dsub)
-    codes = np.zeros((len(x), M), dtype=np.int64)
-    for s in range(M):
-        c2 = (books[s] * books[s]).sum(axis=1)
-        codes[:, s] = (-2.0 * (xs[:, s, :] @ books[s].T) + c2).argmin(axis=1)
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
 
-    def fold_l2(a, b):
-        # replicate Spark's sequential aggregate fold exactly
-        acc = 0.0
-        for u, v in zip(a, b):
-            d = u - v
-            acc = acc + d * d
-        return acc
-
+    _, _, d, codes, _ = _exact_parts_np(ids, x)
     adc_recalls, rr_recalls = [], []
     for qi, qid in enumerate(ids[:5]):
-        lut = pq.adc_lut(x[qi], books)
-        ad = lut[np.arange(M)[:, None].repeat(len(x), 1).T, codes].sum(1)
-        short = np.lexsort((ids, np.round(ad, 12)))[:100]
-        l2s = np.array([fold_l2(x[j], x[qi]) for j in short])
-        order = short[np.lexsort((ids[short], l2s))[:10]]
-        l2map = dict(zip(short.tolist(), l2s.tolist()))
-        expect = [(int(ids[j]), round(l2map[j], 6)) for j in order]
-        have = [(v, l2) for _, v, l2 in sorted(got[qid])]
-        assert [h[0] for h in have] == [e[0] for e in expect]
-        for (hv, hl2), (_, el2) in zip(have, expect):
-            assert hl2 == pytest.approx(el2, abs=1e-9)
-
+        lut = d[qi]
+        adist = lut[np.arange(M), codes].sum(axis=1)
         exact = ((x - x[qi]) ** 2).sum(axis=1)
         true10 = set(ids[np.lexsort((ids, exact))[:10]].tolist())
-        adc10 = set(ids[np.lexsort((ids, np.round(ad, 12)))[:10]].tolist())
+        adc10 = set(ids[np.lexsort((ids, adist))[:10]].tolist())
         adc_recalls.append(len(true10 & adc10))
-        rr_recalls.append(len(true10 & {h[0] for h in have}))
+        rr_recalls.append(len(true10 & {v for _, v in sorted(got[qid])}))
     assert np.mean(rr_recalls) >= np.mean(adc_recalls)
-    assert np.mean(rr_recalls) >= 5  # measured ~0.8+ at 20% shortlist
+    assert np.mean(rr_recalls) >= 5

@@ -145,6 +145,137 @@ def pq_train(
     return books
 
 
+QGRID = 1_000_000  # component grid for the EXACT (cross-engine) trainer
+
+
+def quantized_components(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    grid: int = QGRID,
+) -> DataFrame:
+    """(id, sub, pos, q) rows: every component snapped to the integer
+    grid with the one formula both engines share
+    (``FLOOR(CAST(v AS DOUBLE) * grid + 0.5)``)."""
+    dsub = dim // m
+    return (
+        df.filter(F.col(vec).isNotNull())
+        .select(F.col(id_col).alias("id"), F.posexplode(vec).alias("j", "e"))
+        .select(
+            "id",
+            (F.col("j") / dsub).cast("long").alias("sub"),
+            (F.col("j") % dsub).alias("pos"),
+            F.floor(
+                F.col("e").cast("double") * F.lit(float(grid)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+
+
+def pq_train_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+    iters: int = 2,
+    grid: int = QGRID,
+) -> dict[tuple[int, int, int], int]:
+    """EXACT-arithmetic PQ trainer: every quantity in the Lloyd loop is an
+    integer on the grid, so the whole training run — seeds, assignment
+    argmins, snapped means — is reproducible term-for-term in ANSI SQL
+    and the queries built on it carry full DuckDB oracles (this is what
+    converted embed_pq_rmse/adc/rerank from rows-only to value-hashed,
+    round 7).
+
+    Semantics: seeds = the k lowest-id non-null vectors' subvectors
+    (cell = id rank); each round assigns every (vector, subspace) to the
+    cell minimizing the exact squared distance Σ(q−cq)² (lowest cell on
+    ties), then re-centers each (sub, cell, pos) at
+    ``FLOOR(SUM(q)/COUNT(*) + 0.5)`` — one double division of exact
+    integer operands, identical in Spark/DuckDB/Python. Empty cells keep
+    their previous centroid.
+
+    Scale shape: assignment is a broadcast join of the m·k·dsub-row
+    codebook against the exploded components (whole-stage codegen, no
+    Python); only model-sized centroid tables (m·k·dsub rows) ever reach
+    the driver. Returns {(sub, cell, pos): cq}.
+
+    Bounds: |q| ≤ grid·max|v|; dist ≤ dsub·(2·grid)² — int64-safe for
+    unit-normalized embeddings at grid 1e6 (dist ≤ 3.2e13).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qe = pin(quantized_components(df, id_col, vec, m, dim, grid))
+
+    seed_ids = sorted(
+        r["id"]
+        for r in qe.select("id")
+        .distinct()
+        .orderBy(F.col("id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(seed_ids) < k:
+        raise ValueError(
+            f"pq_train_exact: only {len(seed_ids)} non-null vectors for "
+            f"k={k} seeds"
+        )
+    seed_df = spark.createDataFrame(
+        [(int(v), c) for c, v in enumerate(seed_ids)], "id long, cell int"
+    )
+    books: dict[tuple[int, int, int], int] = {
+        (r["sub"], r["cell"], r["pos"]): r["q"]
+        for r in qe.join(F.broadcast(seed_df), "id")
+        .select("sub", "cell", "pos", "q")
+        .collect()
+    }
+
+    for _ in range(iters):
+        cb = spark.createDataFrame(
+            [(s, c, p, q) for (s, c, p), q in books.items()],
+            "sub long, cell int, pos int, cq long",
+        )
+        d = F.col("q") - F.col("cq")
+        dists = (
+            qe.join(F.broadcast(cb), ["sub", "pos"])
+            .groupBy("id", "sub", "cell")
+            .agg(F.sum(d * d).cast("long").alias("dist"))
+        )
+        w = Window.partitionBy("id", "sub").orderBy(
+            F.asc("dist"), F.asc("cell")
+        )
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "sub", "cell")
+        )
+        means = (
+            assign.join(qe, ["id", "sub"])
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.floor(
+                    F.sum("q").cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cq")
+            )
+            .collect()
+        )
+        fresh = dict(books)
+        for r in means:
+            fresh[(r["sub"], r["cell"], r["pos"])] = r["cq"]
+        books = fresh
+    return books
+
+
 def pq_encode_udf(codebooks: np.ndarray):
     """Arrow UDF: full vector → array<int> of m codes (one matmul per
     subspace per batch)."""
