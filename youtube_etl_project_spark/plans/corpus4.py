@@ -324,37 +324,90 @@ def text_topic_assign_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topic_clusters_oracle() -> str:
+    from youtube_etl_project_spark.plans.corpus3 import _hash_embed_oracle
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        kmeans_exact_ctes,
+    )
+
+    return f"""
+        WITH emb AS MATERIALIZED ({_hash_embed_oracle().strip()}),
+        qe AS MATERIALIZED (
+            SELECT e.doc_id AS id, u.pos - 1 AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM emb e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+        ){kmeans_exact_ctes(8)},
+        assigned AS (
+            SELECT id AS doc_id, CAST(cell AS BIGINT) AS cluster_id
+            FROM kassign
+        ), toks AS (
+            SELECT d.doc_id, a.cluster_id, t.term
+            FROM documents d JOIN assigned a ON a.doc_id = d.doc_id
+            CROSS JOIN LATERAL unnest(list_distinct(list_filter(
+                string_split(d.text, ' '), x -> x <> ''))) AS t(term)
+        ), df_t AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY 1
+        ), ct AS (
+            SELECT cluster_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ), sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM assigned GROUP BY 1
+        ), scored AS (
+            SELECT ct.cluster_id, ct.term, ct.tf, d.df,
+                   CAST(ct.tf AS DOUBLE) / d.df AS score
+            FROM ct JOIN df_t d ON d.term = ct.term
+        )
+        SELECT s.cluster_id, z.n_docs, CAST(s.rnk AS BIGINT) AS rank,
+               s.term, s.tf, s.df, ROUND(s.score, 6) AS score
+        FROM (
+            SELECT cluster_id, term, tf, df, score,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY score DESC, term ASC)
+                       AS rnk
+            FROM scored
+        ) s JOIN sizes z ON z.cluster_id = s.cluster_id
+        WHERE s.rnk <= 5
+    """
+
+
 @register(
     "text_topic_clusters",
-    oracle=None,  # k-means cells are model-derived; properties pinned by
-    # tests/test_topic_clusters.py (assignment totals, score ordering,
-    # run-to-run determinism)
-    doc="BERTopic-lite topic discovery: deterministic k-means (k=8, "
-        "seeds = lowest doc ids, 2 Lloyd rounds — the IVF trainer) over "
-        "the 64-dim hash embeddings assigns every doc a topic; each "
-        "topic is then labeled by its top-5 c-TF-IDF terms "
-        "(within-cluster term count weighted against corpus document "
-        "frequency, ranked by the exact ratio with a term tiebreak). "
-        "Cluster assignment is one Arrow matmul pass; the keyword "
-        "rollup is explode → (cell, term) count → broadcast df join — "
+    oracle=_topic_clusters_oracle(),
+    doc="BERTopic-lite topic discovery, ORACLE-CHECKED INCLUDING "
+        "TRAINING (round 7, converted from rows-only): exact-grid "
+        "k-means (k=8, seeds = lowest doc ids, 2 Lloyd rounds on int64 "
+        "arithmetic — plans/exact_kmeans) over the 64-dim hash "
+        "embeddings assigns every doc a topic; each topic is then "
+        "labeled by its top-5 c-TF-IDF terms (within-cluster term count "
+        "weighted against corpus document frequency, ranked by the exact "
+        "ratio with a term tiebreak). The whole pipeline — feature-hash "
+        "embedding, Lloyd training, assignment, keyword rollup — unrolls "
+        "into one DuckDB twin, so the driver hash-checks the trainer "
+        "itself. Assignment is a broadcast centroid join in codegen; "
         "all corpus-sized shuffles are single-key. The LLM-era corpus "
         "triage view: what IS in this crawl, cluster by cluster",
 )
 def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_etl_project_spark.operators import similarity
     from youtube_etl_project_spark.plans.corpus3 import text_hash_embedding
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        centroid_df,
+        kmeans_assign_exact,
+        kmeans_train_exact,
+        quantize_vectors,
+    )
 
-    emb = text_hash_embedding(spark, sf_dir).transform(
-        pin  # train + assign both read it; embeddings are derived
-    )
-    centroids = similarity.kmeans_centroids(
-        emb, vec="embedding", k=8, iters=2, id_col="doc_id"
-    )
-    assigned = emb.select(
-        "doc_id",
-        similarity.nearest_centroid_vectorized(centroids)(
-            F.col("embedding")
-        ).alias("cluster_id"),
+    emb = text_hash_embedding(spark, sf_dir)
+    qe = pin(quantize_vectors(emb, "doc_id", "embedding"))
+    books = kmeans_train_exact(qe, k=8, iters=2)
+    assigned = kmeans_assign_exact(qe, centroid_df(spark, books)).select(
+        F.col("id").alias("doc_id"),
+        F.col("cell").cast("long").alias("cluster_id"),
     ).transform(pin)  # reused: sizes + term rollup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -389,7 +442,7 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cluster_id",
             "n_docs",
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
             "term",
             "tf",
             "df",

@@ -39,7 +39,7 @@ def _pq_exact_train_ctes(iters: int = _ITERS) -> str:
     Every value is an int64 or an exact-operand double both engines
     reproduce bit-for-bit."""
     parts = [
-        f"""qe AS (
+        f"""qe AS MATERIALIZED (
             SELECT vec_id, CAST((u.pos - 1) // {_DSUB} AS BIGINT) AS sub,
                    (u.pos - 1) % {_DSUB} AS pos,
                    CAST(FLOOR(CAST(u.v AS DOUBLE) * {_QGRID} + 0.5)
@@ -54,7 +54,7 @@ def _pq_exact_train_ctes(iters: int = _ITERS) -> str:
                    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
                        AS cell
             FROM (SELECT DISTINCT vec_id FROM qe)
-        ), c0 AS (
+        ), c0 AS MATERIALIZED (
             SELECT qe.sub, s.cell, qe.pos, qe.q AS cq
             FROM qe JOIN seed s ON s.vec_id = qe.vec_id
             WHERE s.cell < {_K}
@@ -83,14 +83,14 @@ def _pq_exact_train_ctes(iters: int = _ITERS) -> str:
             FROM a{i} a
             JOIN qe ON qe.vec_id = a.vec_id AND qe.sub = a.sub
             GROUP BY 1, 2, 3
-        ), c{i} AS (
+        ), c{i} AS MATERIALIZED (
             SELECT c.sub, c.cell, c.pos, COALESCE(m.cq, c.cq) AS cq
             FROM c{i - 1} c LEFT JOIN m{i} m
               ON m.sub = c.sub AND m.cell = c.cell AND m.pos = c.pos
         )"""
         )
     parts.append(
-        f""", dists_final AS (
+        f""", dists_final AS MATERIALIZED (
             SELECT qe.vec_id, qe.sub, c.cell,
                    CAST(SUM((qe.q - c.cq) * (qe.q - c.cq)) AS BIGINT)
                        AS dist
@@ -383,7 +383,7 @@ _PQ_DSUB = 8
     "embed_pq_encode_v1",
     oracle=f"""
         WITH cb(sub, code, pos, cbq) AS (VALUES {_PQ_V1_VALUES}),
-        qe AS (
+        qe AS MATERIALIZED (
             SELECT vec_id,
                    CAST((u.pos - 1) // {_PQ_DSUB} AS BIGINT) AS sub,
                    (u.pos - 1) % {_PQ_DSUB} AS pos,
@@ -455,7 +455,7 @@ def embed_pq_encode_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SAME dists rows restricted to the query vectors) from one relation.
 _PQ_V1_BASE_CTES = f"""
         WITH cb(sub, code, pos, cbq) AS (VALUES {{values}}),
-        qe AS (
+        qe AS MATERIALIZED (
             SELECT vec_id,
                    CAST((u.pos - 1) // {_PQ_DSUB} AS BIGINT) AS sub,
                    (u.pos - 1) % {_PQ_DSUB} AS pos,
