@@ -909,11 +909,39 @@ def simhash_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    n_bands = max_distance + 1
-    width = 64 // n_bands
     sig = simhash64_df(docs, id_col, text_col, seed).select(
         F.col(id_col).alias("doc"), "simhash"
     )
+    return simhash_banded_pairs(sig, max_distance, max_bucket)
+
+
+def simhash_pairs_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`simhash_pairs` over the **md5-domain** fingerprints
+    (:func:`simhash64_md5_df`) — same pigeonhole banding and exact-Hamming
+    verify, but every bit is reproducible in DuckDB, so the whole pairs
+    pipeline sits under the value-hash oracle (round 7: this converted
+    the registered ``dedup_simhash_pairs`` from rows-only)."""
+    sig = simhash64_md5_df(docs, id_col, text_col).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    return simhash_banded_pairs(sig, max_distance, max_bucket)
+
+
+def simhash_banded_pairs(
+    sig: DataFrame,
+    max_distance: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pigeonhole banding + exact-Hamming verify over (doc, simhash)
+    fingerprints — shared by the xxhash and md5 signature families."""
+    n_bands = max_distance + 1
+    width = 64 // n_bands
     sig = pin(sig)  # referenced by bands + both verify sides
 
     def band_bits(i: int) -> Column:

@@ -466,19 +466,95 @@ def dedup_embed_cosine_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_SUMS = ",\n                   ".join(
+    f"SUM(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS b{i}"
+    for i in range(64)
+)
+_SIMHASH_FOLD = "\n                 + ".join(
+    (
+        f"CASE WHEN b{i}*2 > n_tokens THEN (1::BIGINT << {i}) "
+        f"ELSE 0 END"
+    )
+    if i < 63
+    else (
+        f"CASE WHEN b{i}*2 > n_tokens THEN "
+        f"(-9223372036854775808)::BIGINT ELSE 0 END"
+    )
+    for i in range(64)
+)
+
+
+_SIMHASH_BANDS = ",\n                   ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN b{16 * i + r}*2 > n_tokens THEN "
+        f"CAST({1 << r} AS BIGINT) ELSE 0 END"
+        for r in range(16)
+    )
+    + f") AS band{i}"
+    for i in range(4)
+)
+
+
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # xxhash64-based fingerprints have no DuckDB twin;
-    # tests/test_dedup.py pins exact parity with brute-force Hamming
-    doc="X2: near-dup pairs at Hamming distance ≤ 3 over 64-bit SimHash "
-        "via pigeonhole banding (4 disjoint 16-bit bands — a pair within "
-        "distance 3 must agree exactly on ≥ 1 band). Bucket equi-join + "
-        "verify on candidates only: exact recall without the n² cross "
-        "product (Manku et al. WWW'07 layout)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   {_SIMHASH_SUMS}
+            FROM hashed GROUP BY doc_id
+        ), maj AS MATERIALIZED (
+            SELECT doc_id,
+                   {_SIMHASH_FOLD} AS simhash,
+                   {_SIMHASH_BANDS}
+            FROM votes
+        ), bands AS (
+            SELECT doc_id, 0 AS band_id, band0 AS bits FROM maj
+            UNION ALL
+            SELECT doc_id, 1, band1 FROM maj
+            UNION ALL
+            SELECT doc_id, 2, band2 FROM maj
+            UNION ALL
+            SELECT doc_id, 3, band3 FROM maj
+        ), cand AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.bits = r.bits
+             AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM cand c
+        JOIN maj a ON a.doc_id = c.id_a
+        JOIN maj b ON b.doc_id = c.id_b
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="X2, ORACLE-CHECKED end-to-end (round 7, converted from "
+        "rows-only by moving the fingerprints into the md5 domain like "
+        "dedup_simhash): near-dup pairs at Hamming distance ≤ 3 over "
+        "64-bit SimHash via pigeonhole banding (4 disjoint 16-bit bands "
+        "— a pair within distance 3 must agree exactly on ≥ 1 band). "
+        "Bucket equi-join + bit_count(xor) verify on candidates only: "
+        "exact recall without the n² cross product (Manku et al. WWW'07 "
+        "layout); band values rebuild from the majority bits in DuckDB "
+        "so banding, candidates and the Hamming verify all hash-match. "
+        "The xxhash64 signature family remains in "
+        "operators/dedup.simhash_pairs with brute-force-parity pytest",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_distance=3)
+    return dedup.simhash_pairs_md5(docs, "doc_id", "text", max_distance=3)
 
 
 @register(
@@ -504,24 +580,6 @@ def dedup_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n_hashes=_MD5_HASHES, n_bands=_MD5_BANDS,
         threshold=0.5, max_df=50, max_bucket=50,
     )
-
-
-_SIMHASH_SUMS = ",\n                   ".join(
-    f"SUM(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS b{i}"
-    for i in range(64)
-)
-_SIMHASH_FOLD = "\n                 + ".join(
-    (
-        f"CASE WHEN b{i}*2 > n_tokens THEN (1::BIGINT << {i}) "
-        f"ELSE 0 END"
-    )
-    if i < 63
-    else (
-        f"CASE WHEN b{i}*2 > n_tokens THEN "
-        f"(-9223372036854775808)::BIGINT ELSE 0 END"
-    )
-    for i in range(64)
-)
 
 
 @register(
