@@ -152,27 +152,147 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic_oracle() -> str:
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        kmeans_exact_ctes,
+    )
+
+    return f"""
+        WITH RECURSIVE cnt AS (
+            SELECT COUNT(*) AS n FROM embeddings
+        ), kk AS (
+            SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)))
+                                     AS INT)) AS k
+            FROM cnt
+        ), qe AS MATERIALIZED (
+            SELECT vec_id AS id, u.pos - 1 AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS q3
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ){kmeans_exact_ctes("(SELECT k FROM kk)")},
+        feats AS MATERIALIZED (
+            SELECT a.cell, qe.id, qe.pos, qe.q3 FROM kassign a
+            JOIN qe ON qe.id = a.id
+        ), dots AS (
+            SELECT x.id AS id_a, y.id AS id_b,
+                   CAST(SUM(x.q3 * y.q3) AS BIGINT) AS dot
+            FROM feats x JOIN feats y
+              ON y.cell = x.cell AND y.pos = x.pos AND x.id < y.id
+            GROUP BY 1, 2
+        ), n2 AS MATERIALIZED (
+            SELECT id, CAST(SUM(q3 * q3) AS BIGINT) AS nn
+            FROM qe GROUP BY 1
+        ), sem_pairs AS (
+            SELECT d.id_a, d.id_b
+            FROM dots d
+            JOIN n2 a ON a.id = d.id_a
+            JOIN n2 b ON b.id = d.id_b
+            WHERE d.dot > 0 AND 25 * d.dot * d.dot >= 4 * a.nn * b.nn
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM sem_pairs
+            UNION
+            SELECT id_b, id_a FROM sem_pairs
+        ), reach AS (
+            SELECT DISTINCT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON e.src = r.m
+        ), cc AS (
+            SELECT n AS id, MIN(m) AS root FROM reach GROUP BY n
+        )
+        SELECT e.vec_id AS id,
+               COALESCE(a.cell, -1) AS cell,
+               COALESCE(cc.root, e.vec_id) AS cluster_id,
+               CAST(COALESCE(cc.root, e.vec_id) = e.vec_id AS BIGINT)
+                   AS is_kept
+        FROM embeddings e
+        LEFT JOIN kassign a ON a.id = e.vec_id
+        LEFT JOIN cc ON cc.id = e.vec_id
+    """
+
+
 @register(
     "dedup_semantic",
-    oracle=None,  # kmeans cells are seed-derived; pair-exactness vs the
-    # brute-force same-cell ground truth pinned by tests/test_semantic.py
-    doc="X2/X3 composition — SemDeDup (Abbas et al. 2023): k-means "
-        "clustering bounds the cosine comparison to within-cell pairs "
-        "(Σ|cell|², never n²), connected components collapse near-dup "
-        "groups, survivor = min id. The semantic complement to MinHash: "
-        "catches paraphrases that share no shingles. Emits "
-        "(id, cell, cluster_id, is_kept) for every vector. k scales as "
-        "√n (SemDeDup's own regime) so the within-cell join stays "
-        "near-linear as the corpus grows — a fixed k would be quadratic "
-        "by configuration at 100 TB",
+    oracle=_dedup_semantic_oracle(),
+    doc="X2/X3 composition — SemDeDup (Abbas et al. 2023), ORACLE-"
+        "CHECKED INCLUDING TRAINING (round 7, converted from rows-only): "
+        "exact-grid k-means clustering (k = max(16, floor(sqrt(n))), the "
+        "SemDeDup regime — cells stay near-linear as the corpus grows) "
+        "bounds the cosine comparison to within-cell pairs (Σ|cell|², "
+        "never n²); the τ=0.4 threshold runs as the exact integer test "
+        "25·dot² ≥ 4·|a|²·|b|² with dot > 0 on the 1e3 grid (the "
+        "dedup_semantic_v1 comparison, now under the TRAINED quantizer); "
+        "connected components collapse near-dup groups (DuckDB twin: "
+        "recursive CTE), survivor = min id. Emits (id, cell, cluster_id, "
+        "is_kept) for every vector, null embeddings as cell -1",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_etl_project_spark.operators import similarity
+    from youtube_etl_project_spark.operators import graph
+    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        centroid_df,
+        kmeans_assign_exact,
+        kmeans_train_exact,
+        quantize_vectors,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(16, int(emb.count() ** 0.5))
-    return similarity.semantic_dedup(
-        emb, "vec_id", "embedding", k=k, threshold=0.4
+    nn_emb = emb.filter(F.col("embedding").isNotNull())
+    qe = pin(quantize_vectors(nn_emb, "vec_id", "embedding"))
+    books = kmeans_train_exact(qe, k=k, iters=2)
+    assign = pin(
+        kmeans_assign_exact(qe, centroid_df(emb.sparkSession, books))
+    )  # referenced by feats + the output join
+
+    q3 = pin(quantize_vectors(nn_emb, "vec_id", "embedding", grid=1000))
+    feats = assign.join(q3, "id").select("cell", "id", "pos", "q")
+    fa = feats.select(
+        "cell", "pos", F.col("id").alias("id_a"), F.col("q").alias("qa")
+    )
+    fb = feats.select(
+        "cell", "pos", F.col("id").alias("id_b"), F.col("q").alias("qb")
+    )
+    dots = (
+        fa.join(fb, ["cell", "pos"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
+    )
+    n2 = q3.groupBy("id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("nn")
+    ).transform(pin)  # joined twice (both pair sides)
+    pairs = (
+        dots.join(n2.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("nn", "na")
+        .join(n2.withColumnRenamed("id", "id_b"), "id_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(25) * F.col("dot") * F.col("dot")
+                >= F.lit(4) * F.col("na") * F.col("nn")
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    labels = graph.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select(F.col("vec_id").alias("id"))
+        .join(assign.withColumnRenamed("cell", "__cell"), "id", "left")
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("__cell", F.lit(-1)).cast("int").alias("cell"),
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "id") == F.col("id"))
+            .cast("long")
+            .alias("is_kept"),
+        )
     )
 
 
