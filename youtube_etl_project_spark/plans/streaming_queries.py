@@ -534,19 +534,66 @@ def streaming_semi_join_parity(
     return _interval_join_parity(spark, sf_dir, how="left_semi")
 
 
+# The three interval-join parities (left_outer / full_outer / left_semi)
+# consume IDENTICAL staged inputs — the mode lives in the join plan, not
+# the files — so staging (4 coalesce(1) writes + the flush-sentinel max
+# scan, measured ~8-11 s at sf0.1 vs 3-6 s for the drain itself) runs
+# once per fixture dir and is shared across the family (VERDICT r6 #6).
+_STAGED_INTERVAL_INPUTS: dict[str, tuple[str, str]] = {}
+
+
 def _interval_join_parity(
     spark: SparkSession, sf_dir: str, how: str
 ) -> DataFrame:
+    from youtube_etl_project_spark.streaming.pipeline import (
+        interval_joined_streams,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views_schema = ev.select("user_id", "ts").schema
+    cached = _STAGED_INTERVAL_INPUTS.get(sf_dir)
+    if cached is None:
+        cached = _stage_interval_inputs(spark, sf_dir)
+        _STAGED_INTERVAL_INPUTS[sf_dir] = cached
+    v_dir, c_dir = cached
+    sv = (
+        spark.readStream.schema(views_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(v_dir)
+    )
+    sc_ = (
+        spark.readStream.schema(views_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+    )
+    joined = interval_joined_streams(
+        sv, sc_, "user_id", "ts", "30 minutes", "1 hour", how=how
+    )
+    name = "soj_" + uuid.uuid4().hex[:12]
+    # 2 state partitions: the bounded drain's fixture-sized key space —
+    # measured 5.7 s at 4 vs 3.2 s at 2, identical results (production
+    # sizes this to the stream's real key cardinality)
+    with _drain_state_partitions(spark, 2):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") != -999)
+
+
+def _stage_interval_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
     import datetime
     import glob as globmod
     import os
     import shutil
     import tempfile
     import time
-
-    from youtube_etl_project_spark.streaming.pipeline import (
-        interval_joined_streams,
-    )
 
     ev = load_table(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
@@ -576,31 +623,7 @@ def _interval_join_parity(
             os.utime(dest, (mtime, mtime))
         return src
 
-    v_dir, c_dir = stage(views, "views"), stage(clicks, "clicks")
-    sv = (
-        spark.readStream.schema(views.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(v_dir)
-    )
-    sc_ = (
-        spark.readStream.schema(clicks.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(c_dir)
-    )
-    joined = interval_joined_streams(
-        sv, sc_, "user_id", "ts", "30 minutes", "1 hour", how=how
-    )
-    name = "soj_" + uuid.uuid4().hex[:12]
-    with _drain_state_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).filter(F.col("user_id") != -999)
+    return stage(views, "views"), stage(clicks, "clicks")
 
 
 @register(
