@@ -150,29 +150,135 @@ def embed_lsh_ann_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_ivf_ann_oracle() -> str:
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        kmeans_exact_ctes,
+    )
+
+    pows = ", ".join(f"({4 * 2**i})" for i in range(11))  # 4 .. 4096
+    return f"""
+        WITH RECURSIVE cnt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        ), kk AS (
+            -- integer twin of auto_ivf_geometry: the smallest power of
+            -- two K with K^2 * 31.25 >= n  <=>  K*K*125 >= 4*n (capped
+            -- at 4096); proven equal to the float rule for n up to 1e9
+            -- by tests/test_ivf.py::test_integer_geometry_twin
+            SELECT COALESCE(MIN(p), 4096) AS k
+            FROM (VALUES {pows}) pows(p), cnt
+            WHERE CAST(p AS BIGINT) * p * 125 >= 4 * n
+        ), npct AS (
+            SELECT LEAST(k, 1 + (11 * (k - 1) + 20) // 21) AS np FROM kk
+        ), qe AS MATERIALIZED (
+            SELECT vec_id AS id, u.pos - 1 AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ){kmeans_exact_ctes("(SELECT k FROM kk)")},
+        probes AS (
+            SELECT id AS query_id, cell FROM (
+                SELECT id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist ASC, cell ASC)
+                           AS rn
+                FROM kdists WHERE id < {_N_QUERIES}
+            ) WHERE rn <= (SELECT np FROM npct)
+        ), cand AS (
+            SELECT p.query_id, a.id AS neighbor_id
+            FROM probes p JOIN kassign a ON a.cell = p.cell
+            WHERE p.query_id <> a.id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot_q
+            FROM cand c
+            JOIN qe qa ON qa.id = c.query_id
+            JOIN qe qb ON qb.id = c.neighbor_id AND qb.pos = qa.pos
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot_q
+        FROM (
+            SELECT query_id, neighbor_id, dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC,
+                                               neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
+
 @register(
     "embed_ivf_ann",
-    oracle=None,  # data-derived centroids; pinned by tests/test_ivf.py
-    doc="X3 scale path #2: IVF — k-means-lite coarse quantizer (2 Lloyd "
-        "rounds, only the K×dim model reaches the driver), cell equi-join, "
-        "n_probe cells per query. Geometry is AUTO-derived from the corpus "
-        "count (auto_ivf_geometry: K ∝ √n rounded to a power of two — "
-        "the classic IVF balance point where cell count and cell size "
-        "grow together as √n; n_probe back-solved from the RECALL.md sweep "
-        "to hold recall ≥ 0.9) — at sf0.1 this resolves to (K=8, "
-        "n_probe=5), one step above the measured (8,4) knee; pinned by "
-        "tests/test_recall_defaults.py",
+    oracle=_embed_ivf_ann_oracle(),
+    doc="X3 scale path #2, ORACLE-CHECKED INCLUDING TRAINING (round 7, "
+        "converted from rows-only — the seventh conversion, rows-only "
+        "now 11): IVF with an exact-grid-TRAINED coarse quantizer (2 "
+        "Lloyd rounds on int64 arithmetic, only the K×dim model reaches "
+        "the driver), cell equi-join, n_probe cells per query, "
+        "quantized-MIPS top-5 (the embed_ivf_ann_v1 scoring, now under "
+        "the trained quantizer). Geometry stays AUTO-derived from the "
+        "corpus count — the oracle computes (K, n_probe) with an integer "
+        "rule proven equal to auto_ivf_geometry's float rule for n ≤ 1e9 "
+        "(tests/test_ivf.py) — at sf0.1 this resolves to (K=8, "
+        "n_probe=5), one step above the measured RECALL.md (8,4) knee",
 )
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        centroid_df,
+        kmeans_assign_exact,
+        kmeans_dists_exact,
+        kmeans_train_exact,
+        quantize_vectors,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     k_cells, n_probe = similarity.auto_ivf_geometry(emb.count())
-    centroids = similarity.kmeans_centroids(emb, k=k_cells, iters=2)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    qe = pin(quantize_vectors(
+        emb.filter(F.col("embedding").isNotNull()), "vec_id", "embedding"
+    ))
+    books = kmeans_train_exact(qe, k=k_cells, iters=2)
+    cb = centroid_df(spark, books)
+    assign = kmeans_assign_exact(qe, cb)
+    wq = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
+    probes = (
+        kmeans_dists_exact(qe.filter(F.col("id") < _N_QUERIES), cb)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), "cell")
     )
-    candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return similarity.ivf_topk(
-        queries, candidates, centroids, k=5, n_probe=n_probe
+    cand = (
+        probes.join(assign.withColumnRenamed("id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qa = qe.filter(F.col("id") < _N_QUERIES).select(
+        F.col("id").alias("query_id"), "pos", F.col("q").alias("qa")
+    )
+    qb = qe.select(
+        F.col("id").alias("neighbor_id"), "pos", F.col("q").alias("qb")
+    )
+    scored = (
+        cand.join(F.broadcast(qa), "query_id")
+        .join(qb, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rank"),
+            "dot_q",
+        )
     )
 
 
