@@ -60,6 +60,11 @@ PROBE_QUERIES = (
     "dedup_substring_mask",
     "dedup_semantic",
     "embed_pca_project",
+    # round 7: the exact-grid trained family (training now runs inside
+    # the query, so the probe covers the Lloyd loop too)
+    "embed_pq_rmse",
+    "text_topic_clusters",
+    "dedup_simhash_pairs",
     "sessionize_lag_gaps",
     "audience_overlap",
     "events_sliding_distinct",

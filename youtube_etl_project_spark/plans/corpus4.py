@@ -299,7 +299,7 @@ _TOPIC_GOLDEN = fixture_path("topic_assign_v1.parquet")
         "the same -2XCᵀ+|C|² arithmetic the runtime uses — so the "
         "distributed hash-embed → Arrow-matmul assignment pipeline is "
         "value-checked end-to-end at any fixture scale. The data-trained "
-        "flagship (text_topic_clusters) stays rows-only by nature; this "
+        "flagship (text_topic_clusters) is ALSO oracle-checked since round 7 via exact-grid training; this "
         "twin proves the application path",
 )
 def text_topic_assign_v1(spark: SparkSession, sf_dir: str) -> DataFrame:

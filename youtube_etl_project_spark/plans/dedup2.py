@@ -365,8 +365,9 @@ def _semantic_v1_oracle() -> str:
         "4·|a|²·|b|² with dot > 0 on the 1e3 grid — every stage exact "
         "bigint on both engines, so the Σ|cell|² candidate bound AND "
         "the threshold semantics hash-match DuckDB. The data-trained "
-        "flagship (dedup_semantic, √n k-means cells) stays rows-only by "
-        "nature with brute-force parity pinned; the clustering that "
+        "flagship (dedup_semantic, √n k-means cells) is ALSO oracle-"
+        "checked since round 7 via exact-grid training; the clustering "
+        "that "
         "sits on top is separately oracle-proven by dedup_cluster_cc",
 )
 def dedup_semantic_v1(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,7 +5,8 @@ fixed-width md5 hex slices), which makes every hash reproducible in ANSI
 SQL — the md5 pair pipeline, its guarded production config, the
 incremental and persisted-index serving paths, and the SimHash bit-vote
 fold are all value-hash oracle-checked. Only the xxhash64 flagship
-(`dedup_minhash_lsh`, the fastest production hash) stays rows-only, with
+(`dedup_minhash_lsh`, the fastest production hash) and the
+hash-hyperplane `dedup_embed_cosine_lsh` stay rows-only, with
 tests/test_dedup.py asserting its candidates against the exact-Jaccard
 ground truth and the md5 twin carrying the cross-engine proof."""
 

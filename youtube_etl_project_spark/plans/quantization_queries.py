@@ -413,8 +413,8 @@ _PQ_DSUB = 8
         "engines, and each subvector's code (squared-L2 argmin with code "
         "tiebreak) is exact bigint arithmetic. Proves the distributed "
         "encode that every ADC/re-rank query builds on; the per-call-"
-        "trained flagships (embed_pq_rmse/adc/rerank) stay rows-only by "
-        "nature with numpy parity pinned",
+        "trained flagships (embed_pq_rmse/adc/rerank) are ALSO oracle-"
+        "checked since round 7 via exact-grid training",
 )
 def embed_pq_encode_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbdf = spark.createDataFrame(
@@ -559,8 +559,8 @@ def _pq_v1_spark_parts(spark: SparkSession, sf_dir: str):
         "broadcast-LUT gather over the codes, and every distance is "
         "exact bigint arithmetic on the 1e6 grid — so the full "
         "encode->LUT->ADC->rank pipeline hash-matches DuckDB. The "
-        "per-call-trained flagship (embed_pq_adc_topk) stays rows-only "
-        "with numpy parity pinned",
+        "per-call-trained flagship (embed_pq_adc_topk) is ALSO oracle-"
+        "checked since round 7 via exact-grid training",
 )
 def embed_pq_adc_topk_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, _, adc = _pq_v1_spark_parts(spark, sf_dir)

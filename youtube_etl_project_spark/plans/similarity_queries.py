@@ -282,6 +282,88 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cell_report_oracle() -> str:
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        kmeans_exact_ctes,
+    )
+
+    pows = ", ".join(f"({4 * 2**i})" for i in range(11))
+    return f"""
+        WITH cnt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        ), kk AS (
+            SELECT COALESCE(MIN(p), 4096) AS k
+            FROM (VALUES {pows}) pows(p), cnt
+            WHERE CAST(p AS BIGINT) * p * 125 >= 4 * n
+        ), qe AS MATERIALIZED (
+            SELECT vec_id AS id, u.pos - 1 AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ){kmeans_exact_ctes("(SELECT k FROM kk)")},
+        best AS (
+            SELECT id, cell, dist FROM (
+                SELECT id, cell, dist,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY dist ASC, cell ASC)
+                           AS rn
+                FROM kdists
+            ) WHERE rn = 1
+        )
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(dist) AS BIGINT) AS inertia_q,
+               CAST(MAX(dist) AS BIGINT) AS radius_q
+        FROM best GROUP BY cell
+    """
+
+
+@register(
+    "ivf_cell_report",
+    oracle=_ivf_cell_report_oracle(),
+    doc="X3 index-health diagnostics under the ORACLE gate (round 7): "
+        "per-cell population, inertia (sum of exact squared distances to "
+        "the owning centroid on the 1e6 grid) and radius (max distance) "
+        "of the exact-grid-trained IVF quantizer at the auto geometry. "
+        "This is the rebuild signal an ANN serving team watches: a cell "
+        "whose population or radius dwarfs its siblings means the corpus "
+        "drifted off the quantizer and probe cost/recall will degrade "
+        "(examples/ann_serving.py reads the operator form; this is the "
+        "gate-checked twin over the trained-in-query quantizer). One "
+        "broadcast-centroid join + one K-row aggregate — scan cost, not "
+        "an extra pass",
+)
+def ivf_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        centroid_df,
+        kmeans_dists_exact,
+        kmeans_train_exact,
+        quantize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_cells, _ = similarity.auto_ivf_geometry(emb.count())
+    qe = pin(quantize_vectors(
+        emb.filter(F.col("embedding").isNotNull()), "vec_id", "embedding"
+    ))
+    books = kmeans_train_exact(qe, k=k_cells, iters=2)
+    w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
+    best = (
+        kmeans_dists_exact(qe, centroid_df(spark, books))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("dist").cast("long").alias("inertia_q"),
+        F.max("dist").cast("long").alias("radius_q"),
+    )
+
+
 def _ivf_v1_centroids_q() -> list[tuple[int, int, int]]:
     """Frozen v1 IVF centroids (functions/ivf_centroids_v1.json) on the
     1e6 integer grid — ONE list feeds both the Spark broadcast table and
@@ -371,7 +453,8 @@ _IVF_V1_VALUES = ", ".join(
         "quantized-MIPS top-5 are all exact bigint arithmetic. Together "
         "with embed_lsh_ann_md5 this puts both ANN index families under "
         "the value-hash gate; the per-call-trained flagships "
-        "(embed_ivf_ann / embed_ivf_index_ann) stay rows-only by nature "
+        "(embed_ivf_index_ann; embed_ivf_ann converted to exact-grid "
+        "training in round 7 and is now gate-checked too) "
         "with recall floors pinned",
 )
 def embed_ivf_ann_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
