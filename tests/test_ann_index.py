@@ -194,14 +194,29 @@ def test_streaming_ann_ingest_builds_then_appends(spark, sf_dir, tmp_path):
 
 def test_registered_query_matches_inmemory_twin(spark, sf_dir):
     """The REGISTERED serving query (embed_ivf_index_ann, rows-only in the
-    gate) is pinned result-identical to the oracle-shaped in-memory twin
-    (embed_ivf_ann): same frozen geometry (K=8, 2 Lloyd rounds, seeded
-    init) -> same centroids -> same probes -> same top-k."""
+    gate) is pinned result-identical to the float in-memory IVF twin at
+    the same frozen geometry (auto K, 2 Lloyd rounds, seeded init) ->
+    same centroids -> same probes -> same top-k. (Until round 7 the pin
+    target was the registered embed_ivf_ann; that query now trains on
+    the exact integer grid and scores by quantized MIPS under its own
+    DuckDB oracle, so the float persisted path pins against the float
+    ivf_topk twin directly.)"""
     from youtube_etl_project_spark.registry import load_all_plans
+    from youtube_etl_project_spark.sources import load_table
 
     plans = load_all_plans()
     served = plans["embed_ivf_index_ann"].fn(spark, sf_dir)
-    twin = plans["embed_ivf_ann"].fn(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_cells, n_probe = similarity.auto_ivf_geometry(emb.count())
+    cents = similarity.kmeans_centroids(emb, k=k_cells, iters=2)
+    twin = similarity.ivf_topk(
+        _queries(_emb(spark, sf_dir)),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        cents,
+        k=5,
+        n_probe=n_probe,
+    )
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, twin.collect())
     )

@@ -564,8 +564,10 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "embed_ivf_index_ann",
-    oracle=None,  # data-derived centroids; pinned result-identical to
-    # embed_ivf_ann (same frozen geometry) by tests/test_ann_index.py
+    oracle=None,  # float data-derived centroids; pinned result-identical
+    # to the float in-memory ivf_topk twin at the same frozen geometry by
+    # tests/test_ann_index.py (the recompute flagship embed_ivf_ann moved
+    # to exact-grid training + its own oracle in round 7)
     doc="X3 serving path: the PERSISTED IVF index (operators/ann_index) — "
         "build-once (K×dim centroid model + assignments partitioned by "
         "cell), probe-many. The query batch derives its probe cells "
