@@ -24,13 +24,21 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # exact distributed KS test and the TVD drift report.
 # round 6: join_semi / fn_text_blob / dedup_jaccard_dfcut ceded to the
 # scoped MV refresh, the SymSpell fuzzy matcher, and perceptual near-dup.
+# round 7: the rows-only dedup_minhash_lsh row, the exact baselines
+# (dedup_ngram_jaccard / embed_cosine_topk), dedup_cluster_lsh,
+# events_markov_pagerank, scd2_point_in_time, tpch_q3, bloom_semi_join,
+# streaming_dedup_parity, dedup_incremental_indexed and
+# dedup_ensemble_matrix ceded to the round-7 capstones: the custom
+# DataSource (batch + stream) under the gate, the exact-grid-TRAINED
+# model family (PQ re-rank, topic clusters, SemDeDup, md5 SimHash
+# pairs), and the VERDICT-named rotations (k-core, k-anonymity,
+# conformal interval, as-of history). Every family keeps a window row.
 FLAGSHIPS = {
-    "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_cluster_lsh",
-    "embed_cosine_topk", "embed_lsh_ann_md5",
+    "dedup_minhash_lsh_md5", "dedup_cluster_cc",
+    "embed_lsh_ann_md5",
     "embed_ivf_ann_v1", "dedup_exact_substring", "scd2_upsert_customers",
-    "cdc_apply_latest", "scd2_point_in_time", "tpch_q3_shipping_priority",
-    "streaming_dedup_parity", "lineitem_exact_percentiles",
-    "dedup_ensemble_matrix", "dedup_incremental_indexed",
+    "cdc_apply_latest",
+    "lineitem_exact_percentiles",
     "streaming_outer_join_parity", "ann_recall_report",
     "blocking_efficiency_report", "record_linkage_mutual_best",
     "entity_resolution_docs", "dedup_prefix_filter_join",
@@ -38,6 +46,11 @@ FLAGSHIPS = {
     "streaming_stateful_totals_parity",
     "mv_scoped_refresh", "fuzzy_dup_degree_sym",
     "multimodal_ahash_near_dup",
+    # round-7 capstones
+    "api_scan_parity", "api_stream_parity", "embed_pq_rerank_topk",
+    "text_topic_clusters", "dedup_semantic", "dedup_simhash_pairs",
+    "graph_kcore_docs", "k_anonymity_report", "ridge_conformal_v1",
+    "user_recent_history",
 }
 
 
@@ -54,11 +67,11 @@ def test_window_contains_flagships():
 def test_window_rows_only_is_bounded():
     reg = load_all_plans()
     rows_only = {n for n in DRIVER_WINDOW if reg[n].oracle is None}
-    # round 5 shrank this to ONE: the ANN slots now hold the
-    # value-hash-checked twins; dedup_minhash_lsh stays as the single
-    # showcased hash-seeded flagship (xxhash production path, recall
-    # floors pinned in RECALL.md)
-    assert rows_only == {"dedup_minhash_lsh"}
+    # round 7 shrank this to ZERO: every window row is value-hash-backed
+    # (the exact-grid trained conversions removed the last rows-only
+    # showcase; the xxhash production flagships stay registered with
+    # recall floors pinned in RECALL.md and local-gate rows-only checks)
+    assert rows_only == set()
 
 
 def test_no_window_name_lost_from_registry():
