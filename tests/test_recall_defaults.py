@@ -107,3 +107,21 @@ def test_ivf_auto_geometry_recall_at_10(topk_inputs):
         similarity.ivf_topk(queries, candidates, centroids, k=K, n_probe=n_probe)
     )
     assert _recall(ann, gt) >= 0.9
+
+
+def test_lsh_integer_geometry_twin():
+    """The embed_lsh_ann oracle derives planes by the integer
+    bucket-density rule (smallest p in [2,16] with 128*2^p >= n) and
+    tables from the tabulated recall formula — both must equal
+    auto_lsh_geometry everywhere, or the oracle-gated row would diverge
+    on a fixture-size change."""
+    from youtube_etl_project_spark.plans.similarity_queries import (
+        _lsh_tables_for_planes,
+    )
+
+    for n in [*range(1, 3000), 31999, 32000, 32001, 10**6, 10**7, 10**9]:
+        pf, tf = similarity.auto_lsh_geometry(n)
+        p = 2
+        while 128 * (1 << p) < n and p < 16:
+            p += 1
+        assert (pf, tf) == (p, _lsh_tables_for_planes(p)), n

@@ -379,6 +379,131 @@ def auto_ivf_geometry(
     return k, probe
 
 
+def sha256_plane_sign(seed: int, t: int, p: int, j: int) -> int:
+    """±1 hyperplane component from sha256 byte parity — the EXACT-key
+    LSH plane family (round 7): reproducible in ANSI SQL as
+    ``('0x' || substr(sha256('seed:t:p:j'), 1, 2))::INT % 2``."""
+    import hashlib
+
+    h = hashlib.sha256(f"{seed}:{t}:{p}:{j}".encode()).digest()[0]
+    return 1 if h & 1 else -1
+
+
+def _table_keys_exact_vectorized(
+    dim: int, n_planes: int, n_tables: int, seed: int, grid: int = 1_000_000
+):
+    """Arrow-vectorized EXACT bucket keys: components snap to the integer
+    grid and the sign test is an int64 dot against ±1 planes — every bit
+    is reproducible term-for-term in DuckDB (unlike the float-matmul
+    keys, whose near-zero dots are summation-order-sensitive). One numpy
+    int64 matmul per table per batch; bit = (dot > 0), strict."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [
+        np.array(
+            [
+                [sha256_plane_sign(seed, t, p, j) for p in range(n_planes)]
+                for j in range(dim)
+            ],
+            dtype=np.int64,
+        )  # dim × n_planes
+        for t in range(n_tables)
+    ]
+
+    @pandas_udf("array<long>")
+    def keys(v: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — runs on the worker
+
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xq = np.floor(x * float(grid) + 0.5).astype(np.int64)
+        per_table = []
+        for mat in mats:
+            bits = (xq @ mat) > 0  # batch × n_planes, exact int64 dots
+            k = np.zeros(len(xq), dtype=np.int64)
+            for p in range(bits.shape[1]):
+                k |= bits[:, p].astype(np.int64) << p
+            per_table.append(k)
+        stacked = np.stack(per_table, axis=1)
+        return pd.Series(list(stacked))
+
+    return keys
+
+
+def lsh_topk_exact(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """:func:`lsh_topk` with EXACT-integer bucket keys (sha256-parity ±1
+    planes, grid-quantized dots) — the oracle-expressible form that put
+    the registered ``embed_lsh_ann`` under the value-hash gate in round
+    7. Same plan shape: id+key bucket join (vectors never enter it),
+    candidate dedup, exact-fold cosine scoring, (rank, id) tiebreaks."""
+    if n_planes is None or n_tables is None:
+        ap, at = auto_lsh_geometry(candidates.count())
+        n_planes = ap if n_planes is None else n_planes
+        n_tables = at if n_tables is None else n_tables
+    queries = queries.filter(F.col(vec).isNotNull())
+    candidates = candidates.filter(F.col(vec).isNotNull())
+    keys_udf = _table_keys_exact_vectorized(
+        dim, n_planes, n_tables, seed, grid
+    )
+
+    def bucket_ids(df: DataFrame, id_out: str) -> DataFrame:
+        keyed = df.select(F.col(id_out), keys_udf(F.col(vec)).alias("__ks"))
+        return keyed.select(
+            id_out, F.posexplode("__ks").alias("__table", "__key")
+        ).select(
+            id_out,
+            F.struct(
+                F.col("__table").alias("table"), F.col("__key").alias("key")
+            ).alias("__b"),
+        )
+
+    pairs = (
+        F.broadcast(bucket_ids(queries, query_id))
+        .join(bucket_ids(candidates, cand_id), "__b")
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(query_id, cand_id)
+        .dropDuplicates([query_id, cand_id])
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+            ),
+            query_id,
+        )
+        .join(
+            candidates.select(F.col(cand_id), F.col(vec).alias("__cv")),
+            cand_id,
+        )
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            cand_id,
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def auto_lsh_geometry(
     n_candidates: int,
     target_bucket: int = 128,

@@ -52,16 +52,115 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(queries, candidates, k=5)
 
 
+def _lsh_tables_for_planes(planes: int) -> int:
+    """auto_lsh_geometry's tables formula as a function of planes alone —
+    tabulated into the oracle as literals, so no pow/ln float ever
+    crosses engines (tests/test_recall_defaults.py pins the lookup equal
+    to auto_lsh_geometry for n up to 1e9)."""
+    import math
+
+    p_all = 0.62 ** planes
+    if p_all >= 1.0:
+        return 64
+    return max(1, min(64, math.ceil(math.log(1 - 0.9) / math.log(1 - p_all))))
+
+
+_LSH_P_T = ", ".join(
+    f"({p}, {_lsh_tables_for_planes(p)})" for p in range(2, 17)
+)
+
+
+def _embed_lsh_ann_oracle() -> str:
+    pl = ", ".join(f"({p})" for p in range(2, 17))
+    return f"""
+        WITH cnt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        ), g0 AS (
+            -- integer twin of auto_lsh_geometry's planes rule: smallest
+            -- p in [2,16] with expected bucket size n/2^p <= 128
+            SELECT COALESCE(MIN(p), 16) AS planes
+            FROM (VALUES {pl}) pl(p), cnt
+            WHERE 128 * (CAST(1 AS BIGINT) << p) >= n
+        ), g AS (
+            SELECT g0.planes, tt.tables
+            FROM g0 JOIN (VALUES {_LSH_P_T}) tt(p, tables)
+              ON tt.p = g0.planes
+        ), sgn AS MATERIALIZED (
+            SELECT rt.range AS t, rp.range AS p, rj.range AS j,
+                   CASE WHEN ('0x' || substr(sha256(
+                            '42:' || rt.range::VARCHAR || ':'
+                                  || rp.range::VARCHAR || ':'
+                                  || rj.range::VARCHAR), 1, 2))::INT % 2
+                             = 1
+                        THEN 1 ELSE -1 END AS s
+            FROM range(64) rt, range(16) rp, range({_DIM}) rj, g
+            WHERE rt.range < g.tables AND rp.range < g.planes
+        ), qe AS MATERIALIZED (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), dots AS (
+            SELECT qe.vec_id, sgn.t, sgn.p,
+                   CAST(SUM(sgn.s * qe.q) AS BIGINT) AS d
+            FROM qe JOIN sgn ON sgn.j = qe.j
+            GROUP BY 1, 2, 3
+        ), bkeys AS MATERIALIZED (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN d > 0
+                                 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS key
+            FROM dots GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT qk.vec_id AS query_id,
+                            ck.vec_id AS neighbor_id
+            FROM bkeys qk JOIN bkeys ck
+              ON ck.t = qk.t AND ck.key = qk.key
+            WHERE qk.vec_id < {_N_QUERIES} AND ck.vec_id <> qk.vec_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_inner_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) /
+                   (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[])) *
+                    sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))) AS cos
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+               ROUND(cos, 6) AS cosine
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC,
+                                               neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
+
 @register(
     "embed_lsh_ann",
-    oracle=None,  # hyperplanes derive from seeded sha256 — no DuckDB twin
-    doc="X3 scale path: random-hyperplane LSH bucketing + within-bucket "
-        "top-k (bucket equi-join instead of cross product). Geometry is "
-        "AUTO-derived from the corpus count (auto_lsh_geometry): planes "
-        "∝ log2(n/target_bucket) keep bucket density bounded as n grows, "
-        "tables scale to hold recall — at sf0.1 this resolves to the "
-        "measured (4 planes, 15 tables) recall@10 ≈ 0.92 knee "
-        "(RECALL.md; pinned ≥ 0.9 by tests/test_recall_defaults.py)",
+    oracle=_embed_lsh_ann_oracle(),
+    doc="X3 scale path, ORACLE-CHECKED end-to-end (round 7, converted "
+        "from rows-only — the eighth conversion, rows-only now 10): "
+        "random-hyperplane LSH bucketing + within-bucket top-k (bucket "
+        "equi-join instead of cross product), with EXACT integer bucket "
+        "keys — ±1 planes from sha256 byte parity (DuckDB has sha256), "
+        "dots on the 1e6 grid in int64, bit = dot > 0 — so banding is "
+        "reproducible term-for-term and scoring is the exact-fold cosine "
+        "both engines share. Geometry stays AUTO-derived from the corpus "
+        "count: the oracle computes planes by the integer bucket-density "
+        "rule and looks tables up from the tabulated recall formula "
+        "(pinned equal to auto_lsh_geometry for n ≤ 1e9). At sf0.1 this "
+        "resolves to the measured (4 planes, 15 tables) recall knee "
+        "(RECALL.md; floors pinned by tests/test_recall_defaults.py)",
 )
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -69,7 +168,7 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     candidates = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return similarity.lsh_topk(
+    return similarity.lsh_topk_exact(
         queries, candidates, dim=_DIM, k=5, n_planes=None, n_tables=None
     )
 
