@@ -69,11 +69,16 @@ def pin(
     except AttributeError:  # pragma: no cover - very old PySpark
         opt = sc._jsc.sc().getCheckpointDir()
         current = opt.get() if opt.isDefined() else None
-    if current is None:
-        if not env_dir:
-            raise ValueError(
-                "reliable pin needs a checkpoint dir: set "
-                f"{ENV_DIR} or call sc.setCheckpointDir()"
-            )
+    if env_dir:
+        # The env var is authoritative on EVERY reliable pin, not only
+        # the first: the context-level dir sticks for the SparkContext's
+        # lifetime, so a long-lived session that changes the env target
+        # (or a test session whose earlier test claimed the dir) would
+        # otherwise silently keep checkpointing into the old location.
         sc.setCheckpointDir(env_dir)
+    elif current is None:
+        raise ValueError(
+            "reliable pin needs a checkpoint dir: set "
+            f"{ENV_DIR} or call sc.setCheckpointDir()"
+        )
     return df.checkpoint(eager=eager)

@@ -943,6 +943,56 @@ def cosine_pairs_lsh(
     )
 
 
+def cosine_pairs_lsh_exact(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """:func:`cosine_pairs_lsh` with EXACT-integer bucket keys
+    (sha256-parity ±1 planes, grid-quantized strict-positive dots — the
+    ``lsh_topk_exact`` key family), which made the registered
+    ``dedup_embed_cosine_lsh`` oracle-checkable in round 7: banding is
+    reproducible term-for-term in DuckDB and the candidate verify is the
+    exact-fold cosine both engines share. Same plan shape and output
+    (id_a, id_b, cosine)."""
+    vectors = vectors.filter(F.col(vec).isNotNull())
+    keys_udf = _table_keys_exact_vectorized(
+        dim, n_planes, n_tables, seed, grid
+    )
+    keyed = vectors.select(
+        F.col(id_col).alias("id"), keys_udf(F.col(vec)).alias("__ks")
+    )
+    buckets = keyed.select(
+        "id", F.posexplode("__ks").alias("__table", "__key")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__table") == F.col("r.__table"))
+            & (F.col("l.__key") == F.col("r.__key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def _checkpointed_blocks(
     vectors: DataFrame, id_col: str, vec: str, block_rows: int
 ) -> tuple[DataFrame, int]:

@@ -379,20 +379,76 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_cosine_lsh_oracle() -> str:
+    return """
+        WITH sgn AS MATERIALIZED (
+            SELECT rt.range AS t, rp.range AS p, rj.range AS j,
+                   CASE WHEN ('0x' || substr(sha256(
+                            '42:' || rt.range::VARCHAR || ':'
+                                  || rp.range::VARCHAR || ':'
+                                  || rj.range::VARCHAR), 1, 2))::INT % 2
+                             = 1
+                        THEN 1 ELSE -1 END AS s
+            FROM range(16) rt, range(4) rp, range(64) rj
+        ), qe AS MATERIALIZED (
+            SELECT vec_id, u.pos - 1 AS j,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), dots AS (
+            SELECT qe.vec_id, sgn.t, sgn.p,
+                   CAST(SUM(sgn.s * qe.q) AS BIGINT) AS d
+            FROM qe JOIN sgn ON sgn.j = qe.j
+            GROUP BY 1, 2, 3
+        ), bkeys AS MATERIALIZED (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN d > 0
+                                 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS key
+            FROM dots GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bkeys a JOIN bkeys b
+              ON b.t = a.t AND b.key = a.key AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT c.id_a, c.id_b,
+                   list_inner_product(x.embedding::DOUBLE[],
+                                      y.embedding::DOUBLE[]) /
+                   (sqrt(list_inner_product(x.embedding::DOUBLE[],
+                                            x.embedding::DOUBLE[])) *
+                    sqrt(list_inner_product(y.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]))) AS cos
+            FROM cand c
+            JOIN embeddings x ON x.vec_id = c.id_a
+            JOIN embeddings y ON y.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= 0.4
+    """
+
+
 @register(
     "dedup_embed_cosine_lsh",
-    oracle=None,  # hyperplane buckets are hash-derived; recall/precision
-    # pinned vs the exact twin by tests/test_similarity.py
-    doc="X2 embedding mode at scale: hyperplane-LSH bucket self-join "
-        "(4 planes × 16 tables) + exact-cosine verify on candidates only "
-        "— precision 1.0, recall ≈ 0.94 at cosine 0.4, cost ∝ bucket "
-        "collisions instead of n²",
+    oracle=_embed_cosine_lsh_oracle(),
+    doc="X2 embedding mode at scale, ORACLE-CHECKED end-to-end (round 7, "
+        "converted from rows-only — the ninth conversion, rows-only now "
+        "9): hyperplane-LSH bucket self-join (4 planes × 16 tables, "
+        "EXACT integer bucket keys — sha256-parity ±1 planes, strict-"
+        "positive int64 dots on the 1e6 grid) + exact-fold-cosine verify "
+        "on candidates only — precision 1.0, recall ≈ 0.94 at cosine "
+        "0.4 (tests/test_similarity.py), cost ∝ bucket collisions "
+        "instead of n². The md5 twin remains as the independent plane "
+        "family under the same gate",
 )
 def dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_lsh(
+    return similarity.cosine_pairs_lsh_exact(
         emb, "vec_id", "embedding", threshold=0.4
     )
 
