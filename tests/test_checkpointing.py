@@ -54,6 +54,23 @@ def test_pin_reliable_writes_checkpoint(spark, ckpt_dir):
     assert _files_under(ckpt_dir), "reliable pin wrote nothing to the dir"
 
 
+def test_pin_reuses_checkpoint_subdir_per_env_target(spark, ckpt_dir):
+    # setCheckpointDir mints a fresh UUID subdirectory per CALL (ADVICE
+    # r7): re-applying it on every reliable pin would leak one empty dir
+    # per pin in long-lived drivers. Same env target -> the context-level
+    # dir is applied once and reused.
+    for i in range(3):
+        df = spark.range(20 + i)
+        assert pin(df).count() == 20 + i
+    subdirs = [
+        d for d in os.listdir(ckpt_dir)
+        if os.path.isdir(os.path.join(ckpt_dir, d))
+    ]
+    assert len(subdirs) == 1, (
+        f"each pin minted its own setCheckpointDir UUID dir: {subdirs}"
+    )
+
+
 def test_global_rank_identical_across_modes(spark, tmp_path, monkeypatch):
     df = spark.range(500).select(
         "id",

@@ -67,6 +67,6 @@ def test_variance_concentrates_in_leading_components(spark, sf_dir):
 def test_projection_deterministic_across_runs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     fn = load_all_plans()["embed_pca_project"].fn
-    a = {r["vec_id"]: r["proj"] for r in fn(spark, sf_dir).collect()}
-    b = {r["vec_id"]: r["proj"] for r in fn(spark, sf_dir).collect()}
+    a = {(r["vec_id"], r["pos"]): r["pq"] for r in fn(spark, sf_dir).collect()}
+    b = {(r["vec_id"], r["pos"]): r["pq"] for r in fn(spark, sf_dir).collect()}
     assert a == b

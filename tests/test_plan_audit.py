@@ -75,7 +75,7 @@ def _plan(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def built(spark, sf_dir):
     # AQE wraps un-executed plans in AdaptiveSparkPlan(isFinalPlan=false),
     # which hides codegen annotations from explain("formatted"); static
     # planning shows them ("codegen id : N") and leaves broadcast/pushdown/
@@ -84,10 +84,21 @@ def plans(spark, sf_dir):
     try:
         out = {}
         for name, spec in load_all_plans().items():
-            out[name] = _plan(spec.fn(spark, sf_dir))
+            df = spec.fn(spark, sf_dir)
+            out[name] = (_plan(df), df.schema)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return {n: p for n, (p, _) in built.items()}
+
+
+@pytest.fixture(scope="module")
+def schemas(built):
+    return {n: s for n, (_, s) in built.items()}
 
 
 def test_no_row_at_a_time_python_udfs(plans):
@@ -201,6 +212,38 @@ def test_no_unpartitioned_window_exec(plans):
         f"single-partition global window (WindowExec: No Partition Defined) "
         f"in: {offenders} — use operators/ranking.global_rank / exact_ntile "
         f"or a partitioned window instead"
+    )
+
+
+def test_no_comparator_hostile_output_columns(schemas):
+    # The driver's comparator canonicalizes results by pandas
+    # sort_values over EVERY output column: list/dict cells throw
+    # `unhashable type: 'list'` (measured: user_recent_history ERR in
+    # CORRECTNESS_r07.json) and Decimal cells canonicalize differently
+    # from our local replica (both r5 hash-fails). No registered plan may
+    # emit a top-level ArrayType/MapType/StructType/DecimalType/BinaryType
+    # column — serialize collections to delimited strings (array_join) or
+    # explode to rows; report exact big integers as digit strings.
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    banned = (ArrayType, MapType, StructType, DecimalType, BinaryType)
+    offenders = {
+        n: [f"{f.name}:{f.dataType.simpleString()}" for f in s.fields
+            if isinstance(f.dataType, banned)]
+        for n, s in schemas.items()
+    }
+    offenders = {n: cols for n, cols in offenders.items() if cols}
+    assert not offenders, (
+        f"driver-comparator-hostile output columns in: {offenders} — "
+        f"serialize arrays/structs to strings (array_join/concat_ws, "
+        f"to_json only if key order is pinned), explode to rows, or cast "
+        f"decimals to double/bigint/digit-string before returning"
     )
 
 

@@ -72,6 +72,46 @@ def test_lsh_auto_geometry_recall_at_10(topk_inputs):
     assert _recall(ann, gt) >= 0.9
 
 
+def test_lsh_exact_key_recall_at_10(topk_inputs):
+    """The registered embed_lsh_ann path since round 7: sha256-parity
+    EXACT-integer bucket keys (lsh_topk_exact) with auto geometry. A
+    DIFFERENT hash family from the seeded float planes pinned above —
+    the oracle gate only proves cross-engine agreement, not retrieval
+    quality, so this family needs its own recall floor (ADVICE r7)."""
+    _, queries, candidates, gt = topk_inputs
+    ann = _sets(
+        similarity.lsh_topk_exact(
+            queries, candidates, dim=64, k=K, n_planes=None, n_tables=None
+        )
+    )
+    assert _recall(ann, gt) >= 0.9
+
+
+def test_cosine_pairs_lsh_exact_recall(topk_inputs, spark):
+    """The registered dedup_embed_cosine_lsh path since round 7
+    (cosine_pairs_lsh_exact, sha256-parity planes, 4 planes x 16 tables)
+    against the exact all-pairs ground truth at sf0.1 — precision 1.0 by
+    construction (exact-fold verify), recall floor pinned here because
+    the oracle gate cannot see retrieval quality (ADVICE r7)."""
+    emb, _, _, _ = topk_inputs
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_lsh_exact(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert exact, "fixture should contain cosine>=0.4 pairs"
+    assert lsh <= exact, "verify step must hold precision 1.0"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"exact-key pair LSH recall collapsed: {recall}"
+
+
 def test_ivf_default_recall_at_10(topk_inputs):
     emb, queries, candidates, gt = topk_inputs
     centroids = similarity.kmeans_centroids(emb, k=8, iters=2)

@@ -75,7 +75,13 @@ def pin(
         # lifetime, so a long-lived session that changes the env target
         # (or a test session whose earlier test claimed the dir) would
         # otherwise silently keep checkpointing into the old location.
-        sc.setCheckpointDir(env_dir)
+        # But setCheckpointDir mints a fresh UUID SUBdirectory per call
+        # (ADVICE r7), so re-invoking it per pin would leak one empty
+        # dir per pin in long-lived drivers — only re-apply when the env
+        # target actually changed since this context last applied one.
+        if getattr(sc, "_spark_graft_ckpt_env", None) != env_dir:
+            sc.setCheckpointDir(env_dir)
+            sc._spark_graft_ckpt_env = env_dir
     elif current is None:
         raise ValueError(
             "reliable pin needs a checkpoint dir: set "

@@ -141,18 +141,22 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_list",
     oracle="""
         SELECT o_orderpriority,
-               list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
                    AS status_csv
         FROM orders GROUP BY o_orderpriority
     """,
-    doc="Ordered collection aggregates (array + string agg) — sorted for "
-        "determinism",
+    doc="Ordered collection aggregate, serialized — sorted for determinism. "
+        "The collected set leaves the query as a csv STRING (plus its "
+        "cardinality), never as an array column: the driver's comparator "
+        "canonicalizes by pandas sort_values over every output column and "
+        "list cells throw `unhashable type: 'list'` (the r7 "
+        "user_recent_history ERR; rule codified in registry.py)",
 )
 def collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count_distinct("o_orderstatus").cast("long").alias("n_statuses"),
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
             "status_csv"
         ),

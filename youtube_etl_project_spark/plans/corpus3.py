@@ -162,24 +162,13 @@ def _hash_embed_oracle() -> str:
     """
 
 
-@register(
-    "text_hash_embedding",
-    oracle=_hash_embed_oracle(),
-    doc="Feature-hashed text embeddings (the hashing trick): every token "
-        "maps to one of 64 buckets via an md5-derived hash, per-doc bucket "
-        "counts L2-normalize into an array<double> — a deterministic, "
-        "model-free embedding that bridges the documents table into the "
-        "similarity stack (cosine/ANN/semantic-dedup run on it unchanged). "
-        "Explode → (doc_id, bucket) count [map-side combine collapses the "
-        "token rows before the shuffle] → per-doc 64-vector assembled from "
-        "a bucket→count map; everything stays exact integers until the "
-        "final normalize, so bucket-evaluation order can't matter and both "
-        "engines agree bit-for-bit (the earlier 64-conditional-sums-per-"
-        "token-row form burned ~64× the branch evaluations for the same "
-        "result — measured 9.7s → ~2s at sf0.1); bucket hash is the "
-        "cross-engine md5 parse used by corpus_importance_sample",
-)
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed embedding frame (doc_id, embedding: array<double>) —
+    the INTERNAL building block composed by dedup_hash_embed_cosine,
+    source_quality_scorer_r2, text_topic_clusters and corpus4's queries.
+    The registered query of the same name wraps this with a string
+    serialization: array columns must never reach the driver's comparator
+    (registry.py round-8 rule)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -219,6 +208,51 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__c"),
             lambda x: F.round(x / F.sqrt(F.col("__sq")), 6),
         ).alias("embedding"),
+    )
+
+
+@register(
+    "text_hash_embedding",
+    oracle=f"""
+        WITH emb AS ({_hash_embed_oracle().strip()})
+        SELECT doc_id,
+               array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+                             AS VARCHAR)), '|') AS emb_micros
+        FROM emb
+    """,
+    doc="Feature-hashed text embeddings (the hashing trick): every token "
+        "maps to one of 64 buckets via an md5-derived hash, per-doc bucket "
+        "counts L2-normalize into a 64-vector — a deterministic, "
+        "model-free embedding that bridges the documents table into the "
+        "similarity stack (cosine/ANN/semantic-dedup compose the internal "
+        "array frame unchanged). Explode → (doc_id, bucket) count "
+        "[map-side combine collapses the token rows before the shuffle] → "
+        "per-doc 64-vector assembled from a bucket→count map; everything "
+        "stays exact integers until the final normalize, so bucket-"
+        "evaluation order can't matter and both engines agree bit-for-bit "
+        "(the earlier 64-conditional-sums-per-token-row form burned ~64× "
+        "the branch evaluations for the same result — measured 9.7s → "
+        "~2s at sf0.1). Output shape (round 8): the vector leaves the "
+        "query as a '|'-joined string of exact 1e6-grid micro ints, never "
+        "as an array column — the driver's comparator sorts every output "
+        "column with pandas and list cells throw (registry.py rule); the "
+        "rounded components are identical doubles on both engines, so "
+        "FLOOR(x*1e6+0.5) is the same integer on both",
+)
+def text_hash_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = text_hash_embedding(spark, sf_dir)
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("emb_micros"),
     )
 
 

@@ -4,9 +4,10 @@ stack runs in the **md5 domain** (signatures = lexicographic mins of
 fixed-width md5 hex slices), which makes every hash reproducible in ANSI
 SQL — the md5 pair pipeline, its guarded production config, the
 incremental and persisted-index serving paths, and the SimHash bit-vote
-fold are all value-hash oracle-checked. Only the xxhash64 flagship
-(`dedup_minhash_lsh`, the fastest production hash) and the
-hash-hyperplane `dedup_embed_cosine_lsh` stay rows-only, with
+fold are all value-hash oracle-checked; round 7 converted
+`dedup_embed_cosine_lsh` too (sha256-parity hyperplanes, exact integer
+bucket keys). Only the xxhash64 flagship (`dedup_minhash_lsh`, the
+fastest production hash) stays rows-only in this module, with
 tests/test_dedup.py asserting its candidates against the exact-Jaccard
 ground truth and the md5 twin carrying the cross-engine proof."""
 
@@ -439,10 +440,13 @@ def _embed_cosine_lsh_oracle() -> str:
         "9): hyperplane-LSH bucket self-join (4 planes × 16 tables, "
         "EXACT integer bucket keys — sha256-parity ±1 planes, strict-"
         "positive int64 dots on the 1e6 grid) + exact-fold-cosine verify "
-        "on candidates only — precision 1.0, recall ≈ 0.94 at cosine "
-        "0.4 (tests/test_similarity.py), cost ∝ bucket collisions "
-        "instead of n². The md5 twin remains as the independent plane "
-        "family under the same gate",
+        "on candidates only — precision 1.0 by construction, recall ≥ "
+        "0.8 at cosine 0.4 pinned for THIS plane family by "
+        "tests/test_recall_defaults.py::test_cosine_pairs_lsh_exact_"
+        "recall (ADVICE r7: the seeded-float-plane floors in "
+        "tests/test_similarity.py exercise a different hash family), "
+        "cost ∝ bucket collisions instead of n². The md5 twin remains "
+        "as the independent plane family under the same gate",
 )
 def dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import similarity

@@ -90,8 +90,22 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     _, mean, cov = similarity.pca_moments(emb)
     _, comps = similarity.pca_components(cov)
-    return similarity.pca_project(emb, mean, comps, 16).select(
-        "vec_id", "label", "proj"
+    proj = similarity.pca_project(
+        emb, mean, comps, 16, round_dp=None
+    ).select("vec_id", "label", "proj")
+    # exploded (pos, pq) rows on the 1e4 grid, like embed_pca_project_v1:
+    # array columns must never reach the driver's comparator (registry.py
+    # round-8 rule)
+    flat = proj.select(
+        "vec_id", "label", F.posexplode("proj").alias("pos", "p")
+    )
+    return flat.select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor(F.col("p") * F.lit(10_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("pq"),
     )
 
 

@@ -278,11 +278,12 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_recent_history",
     oracle="""
         WITH e AS (
-            SELECT user_id, event_id, event_type, value,
+            SELECT user_id, event_id, event_type,
+                   CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vmicro,
                    CAST(epoch_us(ts) AS BIGINT) AS us
             FROM events
         ), r AS (
-            SELECT user_id, event_id, event_type, value, us,
+            SELECT user_id, event_id, event_type, vmicro, us,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                        ORDER BY us DESC, event_id DESC) AS rn,
                    COUNT(*) OVER (PARTITION BY user_id) AS n
@@ -290,68 +291,73 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                CAST(MIN(n) AS BIGINT) AS n_events,
-               list(us ORDER BY rn) AS hist_us,
-               list(event_type ORDER BY rn) AS hist_types,
-               list(value ORDER BY rn) AS hist_values
+               string_agg(CAST(us AS VARCHAR), '|' ORDER BY rn) AS hist_us,
+               string_agg(event_type, '|' ORDER BY rn) AS hist_types,
+               string_agg(CAST(vmicro AS VARCHAR), '|' ORDER BY rn)
+                   AS hist_value_micros
         FROM r WHERE rn <= 5
         GROUP BY user_id
     """,
     doc="Feature-store materialization: per user, the last 5 events as "
-        "parallel newest-first arrays (epoch-µs, type, value) plus the "
-        "lifetime event count — the 'recent history' feature block a "
-        "training pipeline joins onto examples, and the shape online "
-        "feature stores serve. Determinism: the recency order is a total "
-        "order (ts DESC, event_id DESC) and the arrays are assembled by "
-        "explicit rank (sort_array over rank-keyed structs — "
-        "collect_list alone has NO order guarantee across retries or "
-        "partitionings, which would silently shuffle features between "
-        "engines and across reruns); timestamps ride the exact epoch-µs "
-        "grid. Plan: one properly-partitioned window (user_id), top-5 "
-        "filter BEFORE the aggregation so only 5 rows per key reach the "
-        "collect — at 100 TB the state per key is bounded by the "
-        "history depth, never the key's event count",
+        "parallel newest-first histories (epoch-µs, type, micro-grid "
+        "value) plus the lifetime event count — the 'recent history' "
+        "feature block a training pipeline joins onto examples, and the "
+        "shape online feature stores serve. Output shape (round 8): the "
+        "histories are '|'-delimited STRINGS, not arrays — the driver's "
+        "comparator canonicalizes by pandas sort_values over every output "
+        "column, and list cells throw `unhashable type: 'list'` (measured "
+        "in CORRECTNESS_r07.json). The join is lossless: epoch-µs and "
+        "micro-grid values are exact bigints rendered as digits, and "
+        "event_type never contains the delimiter. Determinism: the "
+        "recency order is a total order (ts DESC, event_id DESC) and the "
+        "strings are assembled by explicit rank (sort_array over "
+        "rank-keyed structs — collect_list alone has NO order guarantee "
+        "across retries or partitionings, which would silently shuffle "
+        "features between engines and across reruns). Plan: one "
+        "properly-partitioned window (user_id), top-5 filter BEFORE the "
+        "aggregation so only 5 rows per key reach the collect — at "
+        "100 TB the state per key is bounded by the history depth, never "
+        "the key's event count",
 )
 def user_recent_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "event_type",
-        "value",
+        # value snaps to the exact micro grid (FLOOR(x*1e6+0.5), the
+        # registry rule) so its digit rendering is engine-independent —
+        # raw double→string formatting differs between Spark and DuckDB.
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .cast("string")
+        .alias("vmicro"),
         F.unix_micros("ts").alias("us"),
     )
     w = Window.partitionBy("user_id")
     ranked = ev.select(
         "user_id",
         "event_type",
-        "value",
+        "vmicro",
         "us",
+        F.col("us").cast("string").alias("us_str"),
         F.row_number()
         .over(w.orderBy(F.col("us").desc(), F.col("event_id").desc()))
         .alias("rn"),
         F.count(F.lit(1)).over(w).cast("long").alias("n"),
     ).filter(F.col("rn") <= 5)
 
-    def ordered(field: str):
-        return F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("rn", field))
+    def ordered(field: str, alias: str):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", field))),
+                lambda s: s[field],
             ),
-            lambda s: s[field],
-        ).alias(f"hist_{field}")
+            "|",
+        ).alias(alias)
 
-    return (
-        ranked.groupBy("user_id")
-        .agg(
-            F.min("n").cast("long").alias("n_events"),
-            ordered("us"),
-            ordered("event_type"),
-            ordered("value"),
-        )
-        .select(
-            "user_id",
-            "n_events",
-            F.col("hist_us"),
-            F.col("hist_event_type").alias("hist_types"),
-            F.col("hist_value").alias("hist_values"),
-        )
+    return ranked.groupBy("user_id").agg(
+        F.min("n").cast("long").alias("n_events"),
+        ordered("us_str", "hist_us"),
+        ordered("event_type", "hist_types"),
+        ordered("vmicro", "hist_value_micros"),
     )
