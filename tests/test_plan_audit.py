@@ -34,20 +34,21 @@ ARROW_ALLOWED = {
     "dedup_ensemble_matrix",  # composes the blocked-matmul cosine pairs
     "embed_knn_label_accuracy",  # nn_shortlist_blocked + exact re-rank
     "embed_hard_negatives",  # class_nn_shortlist_blocked + exact re-rank
-    "embed_mahalanobis_outliers",  # (x-mu)@Cinv numpy matmul per batch
     "multimodal_decode",
     "multimodal_pixel_stats",  # real ppm/bmp/png pixel decode (stdlib+numpy)
     "multimodal_audio_stats",  # real PCM16 WAV decode (stdlib+numpy)
     "multimodal_audio_features",  # same decode kernel, DSP features
     "multimodal_image_ahash",  # real pixel decode -> 32-bit aHash
     "multimodal_ahash_near_dup",  # same decode+aHash kernel, then banding
-    "source_quality_scorer_r2",  # per-group numpy ridge solve (applyInPandas)
     "text_topic_clusters",  # kmeans assignment: numpy matmul per batch
     "multimodal_frame_sample",
     "text_token_count_bpe",
     "pack_sequences_bpe",
-    "embed_pca_project",  # PCA apply: (x-mean)@W numpy matmul per batch
-    "embed_pca_project_v1",  # same matmul, frozen released model
+    "embed_pca_project_v1",  # frozen released model: numpy matmul apply
+    # (round 8: embed_pca_project / embed_mahalanobis_outliers /
+    # source_quality_scorer_r2 left this list — the exact-grid trainers'
+    # scoring paths are broadcast model joins in whole-stage codegen, no
+    # Python in the plan at all; see plans/exact_linalg.py)
     "text_topic_assign_v1",  # frozen-centroid assignment: numpy matmul
     # (round 7: embed_pq_rmse / adc_topk / rerank_topk left this list —
     # the exact-grid trainer's assignment is a broadcast codebook join in
