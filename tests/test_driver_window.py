@@ -33,14 +33,21 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # model family (PQ re-rank, topic clusters, SemDeDup, md5 SimHash
 # pairs), and the VERDICT-named rotations (k-core, k-anonymity,
 # conformal interval, as-of history). Every family keeps a window row.
+# round 8: json_extract_typed / group_pct_of_total / topk_per_group /
+# cdc_apply_latest / blocking_efficiency_report ceded to the round-8
+# capstones — the four exact-grid-trained promotions (ridge global +
+# per-source, Newton-Schulz Mahalanobis, integer subspace PCA) and
+# collect_sorted_list (driver-side proof of the no-array-output rule);
+# the CDC family keeps merge_upsert_dim + scd2_upsert_customers, the
+# eval family keeps ann_recall_report + embed_drift_report + events_ab_ks.
 FLAGSHIPS = {
     "dedup_minhash_lsh_md5", "dedup_cluster_cc",
     "embed_lsh_ann_md5",
     "embed_ivf_ann_v1", "dedup_exact_substring", "scd2_upsert_customers",
-    "cdc_apply_latest",
+    "merge_upsert_dim",
     "lineitem_exact_percentiles",
     "streaming_outer_join_parity", "ann_recall_report",
-    "blocking_efficiency_report", "record_linkage_mutual_best",
+    "record_linkage_mutual_best",
     "entity_resolution_docs", "dedup_prefix_filter_join",
     "events_ab_ks", "embed_drift_report", "table_diff_versions",
     "streaming_stateful_totals_parity",
@@ -51,6 +58,10 @@ FLAGSHIPS = {
     "text_topic_clusters", "dedup_semantic", "dedup_simhash_pairs",
     "graph_kcore_docs", "k_anonymity_report", "ridge_conformal_v1",
     "user_recent_history",
+    # round-8 capstones
+    "embed_ridge_r2", "source_quality_scorer_r2",
+    "embed_mahalanobis_outliers", "embed_pca_project",
+    "collect_sorted_list",
 }
 
 

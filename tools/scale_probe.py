@@ -222,6 +222,18 @@ NOTES = {
         "r5 re-probe (best-of-2): t16/t1 = 1.4 — constant-dominated; "
         "the r4-recorded 4.0 was single-run noise on a sub-second job"
     ),
+    "embed_lsh_multiprobe_md5": (
+        "FROZEN-geometry oracle twin: 2 tables x 4 planes are SQL "
+        "literals, so bucket occupancy grows ∝ n under replication and "
+        "the candidate verify per query grows with it — 5 probed buckets "
+        "x n/16 occupants is the multiprobe trade running outside the "
+        "geometry's operating envelope, same class as the frozen "
+        "dedup_semantic_v1 note below; the auto-geometry exact-key "
+        "family (embed_lsh_ann: planes ∝ log2(n), buckets ~constant) is "
+        "the scale path, and lsh_ann_md5's `multiprobe` arg caps the "
+        "probe fan-out (probe m < planes flips) when the frozen "
+        "geometry must serve a grown corpus"
+    ),
     "streaming_dropdup_parity": (
         "~2 s of streaming machinery dominates t1; the marginal growth "
         "is the parity HARNESS's driver memory sink accumulating the "

@@ -912,7 +912,15 @@ _MP_TABLES = 2  # HALF the flagship twin's tables — multiprobe makes it up
         "the whole path — planes, bits, keys, probes, candidates, "
         "integer MIPS scores — stays bit-reproducible in ANSI SQL. "
         "Recall-vs-tables economics pinned in "
-        "tests/test_multiprobe.py",
+        "tests/test_multiprobe.py. Scale note (SCALE.md t16/t1 = 6.1, "
+        "diagnosed r8): the geometry is FROZEN at 2 tables × 4 planes "
+        "(SQL literals, like every md5-domain twin), so bucket occupancy "
+        "— and with it the per-query candidate verify — grows ∝ n under "
+        "corpus replication; that is the frozen model outside its "
+        "operating envelope, not a plan defect. The auto-geometry "
+        "exact-key flagship (embed_lsh_ann, planes ∝ log₂ n) is the "
+        "scale path, and the `multiprobe` arg caps probe fan-out when a "
+        "frozen geometry must serve a grown corpus",
 )
 def embed_lsh_multiprobe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -183,18 +183,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # their slots to the round-6 capstones at the bottom — semi-join
     # stays sampled via bloom_semi_join, F1 and the df-cut jaccard
     # variant stay green in the committed both-scale full-gate logs)
+    # (round 8: json_extract_typed / group_pct_of_total / topk_per_group /
+    # cdc_apply_latest / blocking_efficiency_report ceded their slots to
+    # the round-8 capstones at the bottom — P7 stays sampled via
+    # from_json_struct, A2/O3 are trivial shapes green in the committed
+    # both-scale full-gate logs, the CDC family keeps merge_upsert_dim +
+    # scd2_upsert_customers, and the eval family keeps ann_recall_report
+    # + embed_drift_report + events_ab_ks)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
-    "filter_date_incremental", "json_extract_typed", "join_fact_dim",
-    "join_anti", "group_pct_of_total",
+    "filter_date_incremental", "join_fact_dim",
+    "join_anti",
     "agg_refresh_daily",
-    "window_latest_per_key", "topk_per_group",
+    "window_latest_per_key",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
     "fn_classify_sentiment", "bloom_semi_join",
     # staging / upsert / CDC (merge_insert_only ceded to
     # table_diff_versions below — J3 keeps its driver row via join_anti)
     "from_json_struct", "staging_lineage_agg", "merge_upsert_dim",
-    "scd2_upsert_customers", "cdc_apply_latest",
+    "scd2_upsert_customers",
     # event-time windows
     "events_tumbling_window", "events_session_window",
     # LLM-pipeline flagships: dedup + similarity. Round 7 rotation: the
@@ -245,7 +252,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # transitive entity resolution with survivorship), and the provably
     # lossless prefix-filtered set-similarity join whose oracle IS the
     # exact all-pairs join
-    "ann_recall_report", "blocking_efficiency_report",
+    "ann_recall_report",
     "record_linkage_mutual_best", "entity_resolution_docs",
     "dedup_prefix_filter_join",
     # round-5 closing wave: the exact distributed two-sample KS test
@@ -283,6 +290,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic", "dedup_simhash_pairs",
     "graph_kcore_docs", "k_anonymity_report",
     "ridge_conformal_v1", "user_recent_history",
+    # round 8 capstones: the four exact-grid-trained promotions — ridge
+    # (global + per-source), the Newton-Schulz Mahalanobis, and the
+    # all-integer subspace-iteration PCA — plus collect_sorted_list,
+    # seated so the no-array-output rule (the r7 ERR class) carries
+    # driver-side proof, not just local-replica proof
+    "embed_ridge_r2", "source_quality_scorer_r2",
+    "embed_mahalanobis_outliers", "embed_pca_project",
+    "collect_sorted_list",
 )
 
 
