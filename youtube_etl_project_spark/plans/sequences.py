@@ -361,3 +361,97 @@ def user_recent_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered("event_type", "hist_types"),
         ordered("vmicro", "hist_value_micros"),
     )
+
+
+@register(
+    "features_asof_join",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, value,
+                   CAST(epoch_us(ts) AS BIGINT) AS us
+            FROM events
+        ), l AS (
+            SELECT user_id, event_id, us, value AS purchase_value
+            FROM e WHERE event_type = 'purchase'
+        ), r0 AS (
+            SELECT user_id, us, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, us
+                                      ORDER BY event_id DESC) AS rn
+            FROM e WHERE event_type <> 'purchase'
+        ), r AS (
+            SELECT user_id, us, event_type AS feat_type,
+                   value AS feat_value
+            FROM r0 WHERE rn = 1
+        )
+        SELECT l.user_id, l.event_id, l.us, l.purchase_value,
+               r.us AS feat_us, r.feat_type, r.feat_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.us > r.us
+    """,
+    doc="Point-in-time-correct feature join under the ORACLE gate "
+        "(VERDICT r7 #7 stretch — the training-data-correctness "
+        "flagship): every purchase (the example/label row) attaches the "
+        "user's most recent STRICTLY-EARLIER non-purchase event (the "
+        "feature snapshot) — the as-of join every feature store runs to "
+        "avoid label leakage, with DuckDB's native ASOF LEFT JOIN "
+        "(l.us > r.us) as the twin. Determinism: the right side is "
+        "first deduped to one row per (user, instant) by highest "
+        "event_id (without this, equal-timestamp snapshots would make "
+        "last(ignorenulls) order-dependent), and strict inequality "
+        "means a feature written at the label's own instant is NEVER "
+        "visible (tests/test_leakage_split.py pins the semantics on "
+        "operators/asof.py). Plan: union-merge as-of (operators/asof) — "
+        "tag both streams, ONE shuffle on user_id, carry-forward via a "
+        "rows-between window; linear in total rows at 100 TB because no "
+        "candidate pairs ever materialize, unlike a band join. Raw "
+        "parquet doubles pass through untouched (bit-identical both "
+        "engines); timestamps ride the epoch-µs grid",
+)
+def features_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "us",
+        F.col("value").alias("purchase_value"),
+    )
+    wdup = Window.partitionBy("user_id", "us").orderBy(
+        F.col("event_id").desc()
+    )
+    right = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "us",
+            F.col("us").alias("feat_us"),
+            F.col("event_type").alias("feat_type"),
+            F.col("value").alias("feat_value"),
+        )
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="us",
+        keys=["user_id"],
+        right_value_cols=["feat_us", "feat_type", "feat_value"],
+        strict=True,
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "us",
+        "purchase_value",
+        F.col("feat_us_asof").alias("feat_us"),
+        F.col("feat_type_asof").alias("feat_type"),
+        F.col("feat_value_asof").alias("feat_value"),
+    )
