@@ -171,6 +171,14 @@ PROBE_QUERIES = (
     "dedup_cluster_weights",
     "ridge_conformal_v1",
     "embed_lsh_multiprobe_md5",
+    # round-8 wave: the exact-grid-trained promotions (the Gram/moment
+    # pass is the scale-sensitive stage — one map-side-combinable d^2
+    # shuffle; training is driver-side on model-sized ints) and the
+    # union-merge as-of feature join (one shuffle, no candidate pairs)
+    "embed_ridge_r2",
+    "embed_mahalanobis_outliers",
+    "embed_pca_project",
+    "features_asof_join",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -507,7 +507,7 @@ def lsh_topk_exact(
 def auto_lsh_geometry(
     n_candidates: int,
     target_bucket: int = 128,
-    p_near: float = 0.62,
+    p_near: float = 0.60,
     recall: float = 0.9,
     min_planes: int = 2,
     max_planes: int = 16,
@@ -521,16 +521,20 @@ def auto_lsh_geometry(
     * ``n_planes = ceil(log2(n / target_bucket))``: expected bucket size
       stays ≈ target_bucket regardless of n.
     * ``n_tables = ceil(ln(1-recall) / ln(1-p^planes))``: holds
-      recall ≈ 1-(1-p^planes)^tables as planes rise. ``p_near = 0.62`` is
-      the per-plane collision probability of a true top-10 neighbor
-      back-solved from the measured RECALL.md sweep at sf0.1
-      (4 planes × 16 tables → recall 0.92 ⇒ p ≈ 0.62) — conservative at
+      recall ≈ 1-(1-p^planes)^tables as planes rise. ``p_near = 0.60``
+      is the per-plane collision probability of a true top-10 neighbor
+      back-solved from the WEAKEST measured plane family (round 8: the
+      sha256-parity exact-key family that the gated embed_lsh_ann
+      serves measured recall@10 = 0.88 at the old p=0.62-derived
+      (4, 15) ⇒ p ≈ 0.603; the seeded float family measures p ≈ 0.62 —
+      calibrating to the weaker family keeps the 0.9 floor true for
+      BOTH, at the cost of ~2 extra tables) — still conservative at
       larger corpora, where true neighbors are closer and p rises.
 
-    At sf0.1 (n=2000) this yields (4, 15) — the measured recall knee; at
-    16× data (n=32000) it yields (8, 64-capped): 2^8 buckets keep
-    collision cost ≈ tables·n/2^planes per query instead of 16× denser
-    buckets at fixed planes.
+    At sf0.1 (n=2000) this yields (4, 17); at 16× data (n=32000) it
+    yields (8, 64-capped): 2^8 buckets keep collision cost ≈
+    tables·n/2^planes per query instead of 16× denser buckets at fixed
+    planes.
     """
     import math
 

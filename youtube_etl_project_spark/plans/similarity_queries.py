@@ -59,7 +59,8 @@ def _lsh_tables_for_planes(planes: int) -> int:
     to auto_lsh_geometry for n up to 1e9)."""
     import math
 
-    p_all = 0.62 ** planes
+    p_all = 0.60 ** planes  # round 8: recalibrated to the weakest
+    # measured plane family (sha256-parity), see auto_lsh_geometry
     if p_all >= 1.0:
         return 64
     return max(1, min(64, math.ceil(math.log(1 - 0.9) / math.log(1 - p_all))))
@@ -159,8 +160,10 @@ def _embed_lsh_ann_oracle() -> str:
         "count: the oracle computes planes by the integer bucket-density "
         "rule and looks tables up from the tabulated recall formula "
         "(pinned equal to auto_lsh_geometry for n ≤ 1e9). At sf0.1 this "
-        "resolves to the measured (4 planes, 15 tables) recall knee; the "
-        "sha256-parity family's OWN recall@10 ≥ 0.9 floor is pinned by "
+        "resolves to (4 planes, 17 tables) — round 8 recalibrated the "
+        "table rule's p_near 0.62 → 0.60 after measuring THIS family at "
+        "recall 0.88 under the old 15-table geometry; the sha256-parity "
+        "family's OWN recall@10 ≥ 0.9 floor is pinned by "
         "tests/test_recall_defaults.py::test_lsh_exact_key_recall_at_10 "
         "(ADVICE r7: the seeded float-plane floors don't transfer across "
         "hash families)",
