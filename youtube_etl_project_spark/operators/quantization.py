@@ -209,10 +209,24 @@ def pq_train_exact(
     Bounds: |q| ≤ grid·max|v|; dist ≤ dsub·(2·grid)² — int64-safe for
     unit-normalized embeddings at grid 1e6 (dist ≤ 3.2e13).
     """
+    qe = pin(quantized_components(df, id_col, vec, m, dim, grid))
+    return pq_train_exact_rows(qe, k=k, iters=iters)
+
+
+def pq_train_exact_rows(
+    qe: DataFrame, k: int = 16, iters: int = 2
+) -> dict[tuple[int, int, int], int]:
+    """The :func:`pq_train_exact` Lloyd loop over pre-built component
+    rows ``qe(id, sub, pos, q)`` (already pinned — every round re-reads
+    it). Factored out so trainers over DERIVED exact-integer components
+    — e.g. IVF-PQ's coarse-quantizer residuals (``plans/ivfpq.py``),
+    which are int64 grid differences and therefore exactly on-grid —
+    share the identical seed / argmin-tiebreak / snapped-mean /
+    empty-cell-carry semantics that the unrolled DuckDB CTE twins
+    mirror. Returns {(sub, cell, pos): cq}."""
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    qe = pin(quantized_components(df, id_col, vec, m, dim, grid))
+    spark = qe.sparkSession
 
     seed_ids = sorted(
         r["id"]

@@ -351,6 +351,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         monitoring,
         incremental_views,
         api_queries,
+        ivfpq,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
