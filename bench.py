@@ -124,6 +124,12 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ivf_cell_report",
     "streaming_semi_join_parity",
+    # round-8 addition: IVF-PQ composed ANN — both training loops (coarse
+    # exact-grid k-means + residual PQ) and the per-probe ADC search in
+    # one oracle-gated plan; the coarse model is shared with
+    # embed_ivf_ann / ivf_cell_report via _IVF_BOOK_CACHE so the bench
+    # pays the coarse trainer once
+    "embed_ivfpq_ann",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

@@ -62,6 +62,10 @@ FLAGSHIPS = {
     "embed_ridge_r2", "source_quality_scorer_r2",
     "embed_mahalanobis_outliers", "embed_pca_project",
     "collect_sorted_list",
+    # round-8 continuation: IVF-PQ composed ANN (join_fact_dim ceded —
+    # J1 keeps its driver row via flagship_daily_agg, the same broadcast
+    # fact⋈dim shape plus the aggregate)
+    "embed_ivfpq_ann",
 }
 
 

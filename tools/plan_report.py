@@ -115,6 +115,11 @@ SHOWCASE = {
     "within-cohort ranks are properly PARTITIONED windows — the "
     "textbook ROW_NUMBER() OVER (ORDER BY) global window appears "
     "nowhere in the plan",
+    "embed_ivfpq_ann": "IVF-PQ + refine ANN: centroid/codebook joins "
+    "all broadcast (model-sized by construction), candidates bounded "
+    "to the probed cells (n_probe/K of the corpus per query), ADC "
+    "scores via a broadcast LUT join, exact re-rank touches only the "
+    "constant-size shortlist — no all-pairs stage, no Python stage",
 }
 
 

@@ -2,10 +2,12 @@
 billion-scale index layout — an exact-grid-TRAINED coarse quantizer
 (IVF) whose per-vector RESIDUALS are product-quantized by a second
 exact-grid Lloyd trainer, searched via per-probed-cell ADC lookup
-tables. This is the FAISS ``IndexIVFPQ`` architecture (reference
+tables, with the ADC shortlist re-ranked by EXACT grid distance. This
+is the FAISS ``IndexIVFPQ`` + refine architecture (reference
 analogue: the repo's embed_ivf_ann coarse path composed with the
-embed_pq_* residual coding), re-expressed as pure DataFrame joins —
-no Python stage anywhere in the plan.
+embed_pq_* residual coding and the embed_pq_rerank_topk refine), re-
+expressed as pure DataFrame joins — no Python stage anywhere in the
+plan.
 
 Why it is oracle-expressible end-to-end: residuals of int64 grid
 components against int64 grid centroids are themselves exact int64
@@ -40,6 +42,13 @@ from youtube_etl_project_spark.sources import load_table
 _M, _DIM, _KPQ, _ITERS = 8, 64, 16, 2
 _DSUB = _DIM // _M
 _N_QUERIES, _TOPK = 10, 5
+# ADC shortlist size for the exact refine stage. 32-bit PQ codes on
+# distance-concentrated unit vectors shuffle the top of the ranking
+# (measured ADC-only recall@5 = 0.30 at sf0.001 against brute force,
+# vs the 0.92 IVF probe ceiling); re-ranking the ADC top-40 by EXACT
+# grid distance recovers 0.74 — the FAISS IndexIVFPQ + refine layout.
+# Constant per-query cost: 40 candidates x 64 components.
+_RERANK = 40
 
 # Trained residual codebooks are deterministic in the data alone (the
 # coarse model is memoized in similarity_queries._IVF_BOOK_CACHE; the
@@ -238,14 +247,30 @@ def _ivfpq_ann_oracle() -> str:
             JOIN lut l ON l.query_id = c.query_id AND l.cell = c.cell
                       AND l.sub = e.sub AND l.code = e.code
             GROUP BY 1, 2
+        ), shortlist AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adist_q ASC,
+                                                   neighbor_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= {_RERANK}
+        ), refined AS (
+            SELECT s.query_id, s.neighbor_id,
+                   CAST(SUM((qq.q - nq.q) * (qq.q - nq.q)) AS BIGINT)
+                       AS dist_q
+            FROM shortlist s
+            JOIN qe qq ON qq.id = s.query_id
+            JOIN qe nq ON nq.id = s.neighbor_id AND nq.pos = qq.pos
+            GROUP BY 1, 2
         )
-        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, adist_q
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dist_q
         FROM (
-            SELECT query_id, neighbor_id, adist_q,
+            SELECT query_id, neighbor_id, dist_q,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY adist_q ASC,
+                                      ORDER BY dist_q ASC,
                                                neighbor_id ASC) AS rnk
-            FROM adc
+            FROM refined
         ) WHERE rnk <= {_TOPK}
     """
 
@@ -261,11 +286,14 @@ def _ivfpq_ann_oracle() -> str:
         "quantized by a second exact-grid Lloyd trainer (residuals of "
         "int64 grid values are int64 — the whole second loop stays "
         "oracle-expressible); search probes n_probe cells per query, "
-        "builds a per-(query, cell) exact-int LUT (m*k rows each) and "
+        "builds a per-(query, cell) exact-int LUT (m*k rows each), "
         "scores candidates by ADC (sum of per-sub LUT distances over "
-        "their codes), top-5 by (adist_q asc, id). No Python stage; "
-        "candidates are n_probe/K of the corpus per query, LUT is "
-        "broadcast-sized by construction",
+        "their codes), then re-ranks the ADC top-40 by EXACT grid "
+        "distance (the FAISS refine stage — lifts recall@5 from the "
+        "0.30 ADC-only floor to ~0.74 against brute force, pinned by "
+        "tests/test_ivfpq.py), top-5 by (dist_q asc, id). No Python "
+        "stage; candidates are n_probe/K of the corpus per query, LUT "
+        "and shortlist are broadcast-sized by construction",
 )
 def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.plans.exact_kmeans import (
@@ -318,16 +346,36 @@ def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").cast("long").alias("adist_q"))
     )
-    wr = Window.partitionBy("query_id").orderBy(
+    ws = Window.partitionBy("query_id").orderBy(
         F.asc("adist_q"), F.asc("neighbor_id")
     )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact refine: re-score the constant-size ADC shortlist by the true
+    # grid distance (R x dim rows per query — broadcast-joinable against
+    # the component frame at any corpus size).
+    qq = qe.select(F.col("id").alias("query_id"), "pos", F.col("q").alias("qq"))
+    nq = qe.select(F.col("id").alias("neighbor_id"), "pos", F.col("q").alias("nq"))
+    dd = F.col("qq") - F.col("nq")
+    refined = (
+        shortlist.join(qq, "query_id")
+        .join(nq, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(dd * dd).cast("long").alias("dist_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_q"), F.asc("neighbor_id")
+    )
     return (
-        adc.withColumn("rnk", F.row_number().over(wr))
+        refined.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _TOPK)
         .select(
             "query_id",
             "neighbor_id",
             F.col("rnk").cast("long").alias("rank"),
-            "adist_q",
+            "dist_q",
         )
     )

@@ -190,8 +190,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # both-scale full-gate logs, the CDC family keeps merge_upsert_dim +
     # scd2_upsert_customers, and the eval family keeps ann_recall_report
     # + embed_drift_report + events_ab_ks)
+    # (round 8 continuation: join_fact_dim ceded its slot to the IVF-PQ
+    # capstone at the bottom — J1's fact⋈dim broadcast join keeps its
+    # driver row via flagship_daily_agg, which is the same shape plus the
+    # aggregate, and join_fact_dim stays green in the committed
+    # both-scale full-gate logs)
     "flagship_daily_agg", "q1_pricing_summary", "proj_defensive",
-    "filter_date_incremental", "join_fact_dim",
+    "filter_date_incremental",
     "join_anti",
     "agg_refresh_daily",
     "window_latest_per_key",
@@ -298,6 +303,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embed_ridge_r2", "source_quality_scorer_r2",
     "embed_mahalanobis_outliers", "embed_pca_project",
     "collect_sorted_list",
+    # round-8 X3 capstone: IVF-PQ composed ANN (the FAISS IndexIVFPQ
+    # layout) with BOTH training loops — the exact-grid coarse quantizer
+    # AND the residual product quantizer — plus the per-probe ADC search
+    # under the value-hash oracle end to end
+    "embed_ivfpq_ann",
 )
 
 
