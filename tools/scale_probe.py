@@ -179,6 +179,11 @@ PROBE_QUERIES = (
     "embed_mahalanobis_outliers",
     "embed_pca_project",
     "features_asof_join",
+    # round-8 continuation: IVF-PQ + refine — coarse training is n·K ∝
+    # n^1.5 under the K ∝ √n auto-geometry (like embed_ivf_ann); search
+    # candidates are n_probe/K of the corpus per query, shortlist is
+    # constant-size
+    "embed_ivfpq_ann",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows
