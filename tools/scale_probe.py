@@ -247,6 +247,15 @@ NOTES = {
         "probe fan-out (probe m < planes flips) when the frozen "
         "geometry must serve a grown corpus"
     ),
+    "embed_mahalanobis_outliers": (
+        "LINEAR by construction, not super-linear: the scatter pass and "
+        "the bilinear-form scoring join each fan out n x d^2 rows (d=64 "
+        "fixed — the declared cost of exact integer Mahalanobis; both "
+        "are map-side-combined into d^2 cells / per-vector scores before "
+        "any exchange), so cost ∝ n and the ratio climbs TOWARD 16 as "
+        "fixed overhead amortizes; the Newton-Schulz inversion is "
+        "driver-side on a 64x64 int model, independent of n"
+    ),
     "streaming_dropdup_parity": (
         "~2 s of streaming machinery dominates t1; the marginal growth "
         "is the parity HARNESS's driver memory sink accumulating the "
