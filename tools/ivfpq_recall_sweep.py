@@ -50,13 +50,14 @@ def main() -> None:
         len(ivf.get(k, set()) & s) / len(s) for k, s in exact.items()
     ) / len(exact)
 
+    n = emb.count()
+    auto_r = ivfpq._refine_r(n)
     print(f"| R (refine shortlist) | recall@5 |  |")
     print(f"|---|---|---|")
-    orig = ivfpq._RERANK
     try:
         for rr in SWEEP:
             # R=0: rank by raw ADC (shortlist == final top-5)
-            ivfpq._RERANK = rr if rr else 5
+            ivfpq._RERANK_OVERRIDE = rr if rr else 5
             got = {}
             for r in ivfpq.embed_ivfpq_ann(spark, SF).collect():
                 got.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -64,11 +65,11 @@ def main() -> None:
                 len(got.get(k, set()) & s) / len(s)
                 for k, s in exact.items()
             ) / len(exact)
-            mark = "←" if rr == orig else ""
+            mark = f"← auto R at n={n}" if rr == auto_r else ""
             label = str(rr) if rr else "0 (ADC-only)"
             print(f"| {label} | {rec:.3f} | {mark} |")
     finally:
-        ivfpq._RERANK = orig
+        ivfpq._RERANK_OVERRIDE = None
     print()
     print(f"IVF probe ceiling (exact re-rank of ALL probed-cell "
           f"candidates): {ceil:.3f}")

@@ -44,11 +44,26 @@ _DSUB = _DIM // _M
 _N_QUERIES, _TOPK = 10, 5
 # ADC shortlist size for the exact refine stage. 32-bit PQ codes on
 # distance-concentrated unit vectors shuffle the top of the ranking
-# (measured ADC-only recall@5 = 0.30 at sf0.001 against brute force,
-# vs the 0.92 IVF probe ceiling); re-ranking the ADC top-40 by EXACT
-# grid distance recovers 0.74 — the FAISS IndexIVFPQ + refine layout.
-# Constant per-query cost: 40 candidates x 64 components.
-_RERANK = 40
+# (measured ADC-only recall@5 = 0.30 at sf0.001 / 0.18 at sf0.1
+# against brute force, vs 0.92 / 0.90 IVF probe ceilings); re-ranking
+# the ADC top-R by EXACT grid distance recovers most of the ceiling —
+# the FAISS IndexIVFPQ + refine layout. R follows the corpus with an
+# integer rule shared by both engines (min(n, max(40, n // 25)):
+# recall@5 = 0.74 at n=500, 0.70 at n=2000 — the full R sweep is in
+# RECALL.md). Per-query refine cost stays R x dim rows — n/25 keeps
+# the shortlist a fixed ~4% of the corpus' ADC candidates, and a
+# deployment pins R at whatever latency budget allows, exactly as
+# n_probe caps the coarse fan-out.
+_R_FLOOR, _R_DIV = 40, 25
+_RERANK_OVERRIDE: int | None = None  # tools/ivfpq_recall_sweep.py only
+
+
+def _refine_r(n: int) -> int:
+    """Refine shortlist size for an n-vector corpus (integer rule —
+    mirrored verbatim in the oracle's rr CTE)."""
+    if _RERANK_OVERRIDE is not None:
+        return min(n, _RERANK_OVERRIDE)
+    return min(n, max(_R_FLOOR, n // _R_DIV))
 
 # Trained residual codebooks are deterministic in the data alone (the
 # coarse model is memoized in similarity_queries._IVF_BOOK_CACHE; the
@@ -247,6 +262,9 @@ def _ivfpq_ann_oracle() -> str:
             JOIN lut l ON l.query_id = c.query_id AND l.cell = c.cell
                       AND l.sub = e.sub AND l.code = e.code
             GROUP BY 1, 2
+        ), rr AS (
+            SELECT LEAST(n, GREATEST({_R_FLOOR}, n // {_R_DIV})) AS r
+            FROM cnt
         ), shortlist AS MATERIALIZED (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
@@ -254,7 +272,7 @@ def _ivfpq_ann_oracle() -> str:
                                           ORDER BY adist_q ASC,
                                                    neighbor_id ASC) AS rn
                 FROM adc
-            ) WHERE rn <= {_RERANK}
+            ) WHERE rn <= (SELECT r FROM rr)
         ), refined AS (
             SELECT s.query_id, s.neighbor_id,
                    CAST(SUM((qq.q - nq.q) * (qq.q - nq.q)) AS BIGINT)
@@ -288,12 +306,14 @@ def _ivfpq_ann_oracle() -> str:
         "oracle-expressible); search probes n_probe cells per query, "
         "builds a per-(query, cell) exact-int LUT (m*k rows each), "
         "scores candidates by ADC (sum of per-sub LUT distances over "
-        "their codes), then re-ranks the ADC top-40 by EXACT grid "
-        "distance (the FAISS refine stage — lifts recall@5 from the "
-        "0.30 ADC-only floor to ~0.74 against brute force, pinned by "
-        "tests/test_ivfpq.py), top-5 by (dist_q asc, id). No Python "
-        "stage; candidates are n_probe/K of the corpus per query, LUT "
-        "and shortlist are broadcast-sized by construction",
+        "their codes), then re-ranks the ADC top-R by EXACT grid "
+        "distance (the FAISS refine stage; R = min(n, max(40, n//25)) "
+        "as an integer rule in both engines — lifts recall@5 from the "
+        "0.30/0.18 ADC-only floors to 0.74/0.70 at sf0.001/sf0.1, "
+        "pinned by tests/test_ivfpq.py, full sweep in RECALL.md), "
+        "top-5 by (dist_q asc, id). No Python stage; candidates are "
+        "n_probe/K of the corpus per query, LUT and shortlist are "
+        "broadcast-sized by construction",
 )
 def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.plans.exact_kmeans import (
@@ -301,6 +321,9 @@ def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     qe, cb, assign, qer, pqcb, n_probe = _ivfpq_parts(spark, sf_dir)
+    # parquet-metadata count (same driver-side action dedup_semantic
+    # uses to size k — fine at any scale); feeds the integer R rule
+    rerank = _refine_r(load_table(spark, sf_dir, "embeddings").count())
     enc = _encode(qer, pqcb)
     wq = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
     probes = (
@@ -351,7 +374,7 @@ def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = (
         adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= _RERANK)
+        .filter(F.col("rn") <= rerank)
         .select("query_id", "neighbor_id")
     )
     # Exact refine: re-score the constant-size ADC shortlist by the true
