@@ -130,6 +130,10 @@ HEADLINE = [
     # embed_ivf_ann / ivf_cell_report via _IVF_BOOK_CACHE so the bench
     # pays the coarse trainer once
     "embed_ivfpq_ann",
+    # round-8 continuation: MMR-diversified retrieval (exact top-20
+    # shortlist -> 5 greedy max-marginal-relevance rounds, all int64,
+    # oracle-checked end to end)
+    "embed_mmr_diversify",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

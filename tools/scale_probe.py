@@ -184,6 +184,10 @@ PROBE_QUERIES = (
     # candidates are n_probe/K of the corpus per query, shortlist is
     # constant-size
     "embed_ivfpq_ann",
+    # round-8 continuation: MMR diversified retrieval — the relevance
+    # pass is the exact oracle-shaped baseline (queries x corpus, like
+    # embed_cosine_topk); everything after is shortlist-sized
+    "embed_mmr_diversify",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -1,0 +1,245 @@
+"""Diversified retrieval (X3 family): maximal-marginal-relevance
+re-ranking of an exact top-N shortlist — the standard fix for
+near-duplicate retrieval results feeding RAG context windows or
+training-example selection (Carbonell & Goldstein 1998; reference
+analogue: none — this is part of the LLM-pipeline extension surface,
+like the dedup/ANN operators).
+
+MMR greedily picks argmax over remaining candidates of
+``lambda*rel - (1-lambda)*max_sim_to_selected``; with lambda = 2/3 the
+objective is proportional to ``2*rel - max_sim``, which keeps the WHOLE
+selection in exact int64 arithmetic on the 1e6 grid (rel and sim are
+exact grid inner products, |2*rel - sim| <= 1.92e14). Both engines run
+the identical greedy trace: seed = argmax rel, then 4 unrolled rounds
+of (anti-join selected) -> (max-sim against selected via the
+precomputed shortlist pair matrix) -> (argmax score, id tiebreak) —
+so the query is value-hash oracle-checkable end to end.
+
+Scale shape (100 TB posture): the only corpus-sized stage is the
+relevance pass (queries x corpus component join with map-side combine
+— in production the ANN shortlist replaces it; the exact pass here IS
+the oracle-shaped baseline, like embed_cosine_topk). Everything after
+operates on shortlist-sized frames: the pair matrix is
+queries x N x (N-1) rows (N=20), each greedy round joins
+shortlist-sized frames only, and the loop-carried ``selected`` frame is
+pinned per round (operators/checkpointing rule) so no round re-executes
+its upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.checkpointing import pin
+from youtube_etl_project_spark.registry import register
+from youtube_etl_project_spark.sources import load_table
+
+_N_QUERIES, _SHORTLIST, _TOPK = 10, 20, 5
+
+
+def _qe_cte() -> str:
+    """Grid-component rows qe(id, pos, q) — the repo's standard 1e6
+    snap (same CTE as plans/ivfpq.py's front)."""
+    return """
+        WITH qe AS MATERIALIZED (
+            SELECT vec_id AS id, u.pos - 1 AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        )"""
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        _qe_cte(),
+        f""", rel AS MATERIALIZED (
+            SELECT a.id AS query_id, b.id AS neighbor_id,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS rel_q
+            FROM qe a
+            JOIN qe b ON b.pos = a.pos AND b.id <> a.id
+            WHERE a.id < {_N_QUERIES}
+            GROUP BY 1, 2
+        ), cand AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rel_q FROM (
+                SELECT query_id, neighbor_id, rel_q,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY rel_q DESC,
+                                                   neighbor_id ASC) AS rn
+                FROM rel
+            ) WHERE rn <= {_SHORTLIST}
+        ), sims AS MATERIALIZED (
+            SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS s
+            FROM cand c1
+            JOIN cand c2 ON c2.query_id = c1.query_id
+                        AND c2.neighbor_id <> c1.neighbor_id
+            JOIN qe qa ON qa.id = c1.neighbor_id
+            JOIN qe qb ON qb.id = c2.neighbor_id AND qb.pos = qa.pos
+            GROUP BY 1, 2, 3
+        ), sel1 AS MATERIALIZED (
+            SELECT query_id, neighbor_id, 1 AS rnk,
+                   2 * rel_q AS score_q
+            FROM (
+                SELECT query_id, neighbor_id, rel_q,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY rel_q DESC,
+                                                   neighbor_id ASC) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        )""",
+    ]
+    for r in range(2, _TOPK + 1):
+        parts.append(
+            f""", scores{r} AS (
+            SELECT c.query_id, c.neighbor_id, c.rel_q,
+                   MAX(s.s) AS msim
+            FROM cand c
+            JOIN sel{r - 1} p ON p.query_id = c.query_id
+            JOIN sims s ON s.query_id = c.query_id
+                       AND s.a = c.neighbor_id
+                       AND s.b = p.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{r - 1} x
+                WHERE x.query_id = c.query_id
+                  AND x.neighbor_id = c.neighbor_id
+            )
+            GROUP BY 1, 2, 3
+        ), pick{r} AS MATERIALIZED (
+            SELECT query_id, neighbor_id, {r} AS rnk,
+                   2 * rel_q - msim AS score_q
+            FROM (
+                SELECT query_id, neighbor_id, rel_q, msim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY 2 * rel_q - msim DESC,
+                                    neighbor_id ASC) AS rn
+                FROM scores{r}
+            ) WHERE rn = 1
+        ), sel{r} AS MATERIALIZED (
+            SELECT * FROM sel{r - 1}
+            UNION ALL SELECT * FROM pick{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+               CAST(score_q AS BIGINT) AS score_q
+        FROM sel{_TOPK}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "embed_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc="X3 family, round-8 continuation, ORACLE-CHECKED END TO END: "
+        "MMR-diversified retrieval — exact grid-MIPS top-20 shortlist "
+        "per query, then 5 greedy maximal-marginal-relevance rounds "
+        "(score = 2*rel - max_sim_to_selected, i.e. lambda = 2/3; "
+        "exact int64 on the 1e6 grid with an id tiebreak) emit a "
+        "diversified top-5 per query. Both engines execute the "
+        "identical greedy trace (unrolled MATERIALIZED CTE rounds as "
+        "the twin). Post-shortlist cost is shortlist-sized only (pair "
+        "matrix = q x 20 x 19 rows, pinned loop-carried selected "
+        "frame); the corpus-sized relevance pass is the oracle-shaped "
+        "exact baseline — production swaps in an ANN shortlist "
+        "(embed_ivfpq_ann / embed_lsh_ann) unchanged. Diversity gain "
+        "vs plain top-5 pinned by tests/test_mmr.py",
+)
+def embed_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = pin(quantize_vectors(emb, "vec_id", "embedding"))
+    qq = qe.filter(F.col("id") < _N_QUERIES).select(
+        F.col("id").alias("query_id"), "pos", F.col("q").alias("ql")
+    )
+    qc = qe.select(
+        F.col("id").alias("neighbor_id"), "pos", F.col("q").alias("qr")
+    )
+    rel = (
+        qq.join(qc, "pos")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("ql") * F.col("qr")).cast("long").alias("rel_q"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_q"), F.asc("neighbor_id")
+    )
+    cand = pin(
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _SHORTLIST)
+        .select("query_id", "neighbor_id", "rel_q")
+    )
+    # shortlist pair matrix: every ordered (a, b) pair within a query's
+    # shortlist with its exact grid inner product
+    pa = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    pb = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    qea = qe.select(F.col("id").alias("a"), "pos", F.col("q").alias("qa"))
+    qeb = qe.select(F.col("id").alias("b"), "pos", F.col("q").alias("qb"))
+    sims = pin(
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(qea, "a")
+        .join(qeb, ["b", "pos"])
+        .groupBy("query_id", "a", "b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("s"))
+    )
+    selected = pin(
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("rnk"),
+            (F.lit(2) * F.col("rel_q")).alias("score_q"),
+        )
+    )
+    for r in range(2, _TOPK + 1):
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scores = (
+            remaining.withColumnRenamed("neighbor_id", "a")
+            .join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("b")
+                ),
+                "query_id",
+            )
+            .join(sims, ["query_id", "a", "b"])
+            .groupBy("query_id", "a", "rel_q")
+            .agg(F.max("s").alias("msim"))
+            .select(
+                "query_id",
+                F.col("a").alias("neighbor_id"),
+                (F.lit(2) * F.col("rel_q") - F.col("msim")).alias(
+                    "score_q"
+                ),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("score_q"), F.asc("neighbor_id")
+        )
+        picked = (
+            scores.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "neighbor_id", F.lit(r).alias("rnk"), "score_q"
+            )
+        )
+        selected = pin(selected.unionByName(picked))
+    return selected.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rnk").cast("long").alias("rank"),
+        F.col("score_q").cast("long").alias("score_q"),
+    )

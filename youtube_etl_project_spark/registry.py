@@ -362,6 +362,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         incremental_views,
         api_queries,
         ivfpq,
+        diversify,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
