@@ -120,6 +120,12 @@ SHOWCASE = {
     "to the probed cells (n_probe/K of the corpus per query), ADC "
     "scores via a broadcast LUT join, exact re-rank touches only the "
     "constant-size shortlist — no all-pairs stage, no Python stage",
+    "embed_mmr_diversify": "greedy MMR selection as a dataflow: the "
+    "corpus-sized relevance pass happens ONCE (map-side-combined "
+    "component join), then every greedy round joins only "
+    "shortlist-sized frames (top-20 per query + the pinned "
+    "loop-carried selected set) — iterative selection without "
+    "re-touching the corpus",
 }
 
 
