@@ -82,7 +82,13 @@ HEADLINE = [
     "embed_lsh_ann_md5",
     "embed_ivf_ann_v1",
     "dedup_embed_cosine_lsh_md5",
-    "embed_pq_encode_v1",
+    # (round 8 continuation: embed_pq_encode_v1 left the list so the
+    # MMR addition keeps the norm_py/contended extras inside the
+    # driver's 1980-char parse window — the r7 precedent; the PQ family
+    # keeps embed_pq_rmse (grid-trained) and embed_ivfpq_ann (trained
+    # encode + ADC + refine), and the frozen-v1 serving family keeps
+    # embed_ivf_ann_v1 + dedup_semantic_v1; embed_pq_encode_v1 stays
+    # gate-covered at both scales)
     "streaming_outer_join_parity",
     "dedup_semantic_v1",
     "ann_recall_report",
