@@ -51,3 +51,35 @@ def test_mmr_is_more_diverse_than_topk(spark, sf_dir):
     # diversification must actually bite on most queries (measured:
     # 10/10 at sf0.001)
     assert diversity_wins >= 7
+
+
+def test_kcenter_radius_monotone_and_valid(spark, sf_dir):
+    """Greedy k-center invariants: the selection radius (min distance
+    of each new pick to the already-selected set) never increases
+    round over round, every pick is distinct, and each recorded
+    mindist_q equals the true min grid distance to its predecessors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = {
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in emb.collect()
+    }
+    plans = load_all_plans()
+    rows = sorted(
+        plans["embed_kcenter_select"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    picks = [r.vec_id for r in rows]
+    assert len(picks) == 5 and len(set(picks)) == 5
+    assert picks[0] == min(grid)  # deterministic seed
+    radii = [r.mindist_q for r in rows]
+    assert radii[0] == 0
+    for i in range(1, 5):
+        d = grid[picks[i]].astype(object)
+        true_min = min(
+            int(((grid[picks[j]].astype(object) - d) ** 2).sum())
+            for j in range(i)
+        )
+        assert radii[i] == true_min
+    assert all(radii[i + 1] <= radii[i] for i in range(1, 4))

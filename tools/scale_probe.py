@@ -188,6 +188,10 @@ PROBE_QUERIES = (
     # pass is the exact oracle-shaped baseline (queries x corpus, like
     # embed_cosine_topk); everything after is shortlist-sized
     "embed_mmr_diversify",
+    # round-8 continuation: greedy k-center coreset selection — k
+    # rounds, each one broadcast selected-set component join against
+    # the corpus (linear in n per round)
+    "embed_kcenter_select",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -243,3 +243,113 @@ def embed_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("long").alias("rank"),
         F.col("score_q").cast("long").alias("score_q"),
     )
+
+
+_KCENTER = 5
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        _qe_cte(),
+        """, sel1 AS MATERIALIZED (
+            SELECT MIN(id) AS id, 1 AS rnk, CAST(0 AS BIGINT) AS mindist_q
+            FROM qe
+        )""",
+    ]
+    for r in range(2, _KCENTER + 1):
+        parts.append(
+            f""", pd{r} AS (
+            SELECT x.id, s.id AS sid,
+                   CAST(SUM((x.q - sq.q) * (x.q - sq.q)) AS BIGINT) AS d
+            FROM qe x
+            JOIN sel{r - 1} s ON TRUE
+            JOIN qe sq ON sq.id = s.id AND sq.pos = x.pos
+            GROUP BY 1, 2
+        ), md{r} AS (
+            SELECT id, MIN(d) AS mind FROM pd{r} GROUP BY 1
+        ), pick{r} AS MATERIALIZED (
+            SELECT id, {r} AS rnk, mind AS mindist_q FROM (
+                SELECT id, mind,
+                       ROW_NUMBER() OVER (ORDER BY mind DESC, id ASC) AS rn
+                FROM md{r}
+                WHERE id NOT IN (SELECT id FROM sel{r - 1})
+            ) WHERE rn = 1
+        ), sel{r} AS MATERIALIZED (
+            SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST(rnk AS BIGINT) AS rank, id AS vec_id,
+               CAST(mindist_q AS BIGINT) AS mindist_q
+        FROM sel{_KCENTER}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "embed_kcenter_select",
+    oracle=_kcenter_oracle(),
+    doc="Corpus-curation (X3/corpus family), round-8 continuation, "
+        "ORACLE-CHECKED END TO END: greedy k-center (farthest-point) "
+        "selection — the classic 2-approximation for max-min diversity "
+        "sampling, used for coreset/annotation-set selection and "
+        "data pruning. Seed = lowest id; each of the 4 remaining "
+        "rounds picks the vector maximizing its MIN squared grid "
+        "distance to the selected set (exact int64, <= 64*(2e6)^2 ~ "
+        "2.6e14; lowest-id tiebreak). Both engines run the identical "
+        "greedy trace (unrolled MATERIALIZED CTE rounds). Per-round "
+        "cost is one broadcast component join of the selected set "
+        "(<= k*dim rows) against the corpus with map-side combine - "
+        "linear in n per round, k rounds total; the loop-carried "
+        "selected frame is pinned (operators/checkpointing rule). "
+        "Max-min radius monotonicity pinned by tests/test_mmr.py",
+)
+def embed_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = pin(quantize_vectors(emb, "vec_id", "embedding"))
+    seed = (
+        qe.groupBy()
+        .agg(F.min("id").alias("id"))
+        .select(
+            "id",
+            F.lit(1).alias("rnk"),
+            F.lit(0).cast("long").alias("mindist_q"),
+        )
+    )
+    selected = pin(seed)
+    for r in range(2, _KCENTER + 1):
+        sq = qe.join(
+            F.broadcast(selected.select(F.col("id").alias("sid"))),
+            F.col("id") == F.col("sid"),
+        ).select("sid", "pos", F.col("q").alias("qs"))
+        dd = F.col("q") - F.col("qs")
+        mind = (
+            qe.join(F.broadcast(sq), "pos")
+            .groupBy("id", "sid")
+            .agg(F.sum(dd * dd).cast("long").alias("d"))
+            .groupBy("id")
+            .agg(F.min("d").alias("mind"))
+            .join(
+                selected.select("id"), "id", "left_anti"
+            )
+        )
+        w = Window.orderBy(F.desc("mind"), F.asc("id"))
+        picked = (
+            mind.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "id",
+                F.lit(r).alias("rnk"),
+                F.col("mind").alias("mindist_q"),
+            )
+        )
+        selected = pin(selected.unionByName(picked))
+    return selected.select(
+        F.col("rnk").cast("long").alias("rank"),
+        F.col("id").alias("vec_id"),
+        F.col("mindist_q").cast("long").alias("mindist_q"),
+    )
