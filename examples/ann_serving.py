@@ -58,6 +58,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "query_id", "rank"
     ).show()
 
+    # Round 8: the compressed-index and diversified-retrieval paths.
+    # embed_ivfpq_ann = IVF-PQ + exact refine (both trainers exact-grid,
+    # oracle-checked); embed_mmr_diversify post-processes a shortlist so
+    # near-duplicate neighbors don't crowd a RAG context;
+    # embed_kcenter_select is max-min coreset sampling for data pruning.
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    plans = load_all_plans()
+    print("IVF-PQ (ADC + refine) top-5:")
+    plans["embed_ivfpq_ann"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+    print("MMR-diversified top-5 (lambda = 2/3):")
+    plans["embed_mmr_diversify"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+    print("k-center coreset picks (max-min radius):")
+    plans["embed_kcenter_select"].fn(spark, sf_dir).orderBy("rank").show()
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
