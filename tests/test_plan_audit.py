@@ -16,6 +16,7 @@ import re
 
 import pytest
 
+from youtube_etl_project_spark.operators.checkpointing import audit_pins, pin
 from youtube_etl_project_spark.registry import load_all_plans
 
 # Queries allowed to run Python at all — each is vectorized (ArrowEvalPython
@@ -85,8 +86,13 @@ def built(spark, sf_dir):
     try:
         out = {}
         for name, spec in load_all_plans().items():
-            df = spec.fn(spark, sf_dir)
-            out[name] = (_plan(df), df.schema)
+            # audit_pins records every pin()'s PRE-checkpoint formatted
+            # plan: checkpointing truncates lineage, so without this the
+            # per-round plans of iterative operators are invisible to
+            # every gate below (the r8 kcenter global-window blind spot).
+            with audit_pins() as pinned:
+                df = spec.fn(spark, sf_dir)
+            out[name] = (_plan(df), df.schema, list(pinned))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     return out
@@ -94,12 +100,19 @@ def built(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def plans(built):
-    return {n: p for n, (p, _) in built.items()}
+    return {n: p for n, (p, _, _) in built.items()}
 
 
 @pytest.fixture(scope="module")
 def schemas(built):
-    return {n: s for n, (_, s) in built.items()}
+    return {n: s for n, (_, s, _) in built.items()}
+
+
+@pytest.fixture(scope="module")
+def pre_pin_plans(built):
+    """name -> concatenated formatted plans of every pin() the query ran
+    at build time (its iterative-loop internals)."""
+    return {n: "\n".join(pp) for n, (_, _, pp) in built.items() if pp}
 
 
 def test_no_row_at_a_time_python_udfs(plans):
@@ -255,3 +268,89 @@ def test_no_cartesian_product_exec(plans):
     # is n*m — never acceptable in a registered plan.
     offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
     assert not offenders, f"data-sized cartesian product in: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Pre-pin plan gates (round 9). pin() truncates lineage, so the per-round
+# plans of every iterative operator are invisible to the gates above — the
+# r8 kcenter corpus-sized global-window argmax shipped exactly through that
+# blind spot. audit_pins() (operators/checkpointing.py) records each pin's
+# PRE-checkpoint formatted plan at build time; the same structural gates run
+# over those here, keyed by the registered query that executed the pin.
+
+# Queries whose PINNED stages legitimately contain an unpartitioned window:
+# each window input is bounded by construction (model-/shortlist-sized),
+# mirroring GLOBAL_WINDOW_ALLOWED for top-level plans.
+PRE_PIN_GLOBAL_WINDOW_ALLOWED: set = set()
+
+# Queries whose PINNED stages legitimately run vectorized Python — the
+# pinned frame is built by the same Arrow kernel the top-level whitelist
+# justifies (e.g. a pinned blocked-matmul shortlist).
+PRE_PIN_ARROW_ALLOWED = {
+    n for n in ARROW_ALLOWED
+}
+
+
+def test_no_row_at_a_time_python_udfs_inside_pins(pre_pin_plans):
+    offenders = [
+        n for n, p in pre_pin_plans.items() if "BatchEvalPython" in p
+    ]
+    assert not offenders, f"row-at-a-time Python UDF inside pin() in: {offenders}"
+
+
+def test_python_inside_pins_only_where_justified(pre_pin_plans):
+    offenders = [
+        n
+        for n, p in pre_pin_plans.items()
+        if any(op in p for op in _ARROW_OPS)
+        and n not in PRE_PIN_ARROW_ALLOWED
+    ]
+    assert not offenders, f"unexpected Python stages inside pin() in: {offenders}"
+
+
+def test_no_unpartitioned_window_inside_pins(pre_pin_plans):
+    offenders = [
+        n
+        for n, p in pre_pin_plans.items()
+        if _unpartitioned_window(p)
+        and n not in PRE_PIN_GLOBAL_WINDOW_ALLOWED
+        and n not in GLOBAL_WINDOW_ALLOWED
+    ]
+    assert not offenders, (
+        f"single-partition global window inside a pinned stage of: "
+        f"{offenders} — use orderBy().limit(k) (TakeOrderedAndProject) "
+        f"or a partitioned window for per-round argmax"
+    )
+
+
+def test_no_cartesian_product_inside_pins(pre_pin_plans):
+    offenders = [
+        n for n, p in pre_pin_plans.items() if "CartesianProduct" in p
+    ]
+    assert not offenders, f"cartesian product inside pin() in: {offenders}"
+
+
+def test_audit_catches_planted_global_window_inside_pin(spark, sf_dir):
+    # Regression for the r8 blind spot itself: a deliberately-planted
+    # corpus-sized unpartitioned window, hidden behind a pin(), MUST be
+    # visible to the detector via audit_pins().
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from youtube_etl_project_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    w = Window.orderBy(F.desc("vec_id"))
+    bad = emb.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with audit_pins() as pinned:
+            pin(bad)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert pinned and _unpartitioned_window("\n".join(pinned)), (
+        "audit_pins failed to record/flag a planted global window "
+        "inside a pinned frame"
+    )

@@ -36,11 +36,45 @@ never need to survive an executor.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 
 from pyspark.sql import DataFrame
 
 ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+# Audit-mode registry (round 9). checkpoint()/localCheckpoint() TRUNCATE
+# lineage, so by the time the plan audit explains a registered query, any
+# stage hidden behind a pin() — the per-round plans of every iterative
+# operator — is invisible: a BatchEvalPython / cartesian / unpartitioned
+# window INSIDE a pinned loop could never fail the audit (that is exactly
+# how the r8 kcenter global-window argmax shipped). Under
+# :func:`audit_pins`, every pin() records its input DataFrame's formatted
+# PRE-checkpoint plan here so tests/test_plan_audit.py can assert the
+# same gates over them. Zero cost outside the context manager.
+_AUDIT: list[str] | None = None
+
+
+@contextlib.contextmanager
+def audit_pins():
+    """Collect the formatted pre-checkpoint plan of every :func:`pin`
+    executed inside the block. Yields the list (appended in call order);
+    nesting restores the outer collector on exit."""
+    global _AUDIT
+    prev = _AUDIT
+    _AUDIT = collected = []
+    try:
+        yield collected
+    finally:
+        _AUDIT = prev
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def pin(
@@ -56,6 +90,8 @@ def pin(
     forcing ``True`` uses the SparkContext's already-set checkpoint dir
     or the env var, and raises if neither exists.
     """
+    if _AUDIT is not None:
+        _AUDIT.append(_formatted_plan(df))
     env_dir = os.environ.get(ENV_DIR)
     if reliable is None:
         reliable = bool(env_dir)
