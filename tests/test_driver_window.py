@@ -66,6 +66,13 @@ FLAGSHIPS = {
     # J1 keeps its driver row via flagship_daily_agg, the same broadcast
     # fact⋈dim shape plus the aggregate)
     "embed_ivfpq_ann",
+    # round-9 capstones: the persisted IVF-PQ serving index, the ANN->MMR
+    # production retrieval composition, and the fixed greedy k-center
+    # (proj_defensive / filter_date_incremental / events_tumbling_window
+    # ceded — all long-green trivial-family shapes covered by the local
+    # full gate; sessionization keeps events_session_window)
+    "embed_ivfpq_index_ann", "embed_ann_mmr_diversify",
+    "embed_kcenter_select",
 }
 
 

@@ -39,3 +39,24 @@ def test_ivfpq_recall_floor_and_shape(spark, sf_dir):
         assert r.dist_q >= 0
     assert len(per_q) == 10
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_persisted_ivfpq_index_bit_identical_and_pruned(spark, sf_dir):
+    """round 9: the persisted index (operators/ann_index.ivfpq_*) is
+    bit-identical to the in-memory capstone (the exact-grid model makes
+    this an equality, not a float approximation), and BOTH data-sized
+    scans — ADC codes and exact-refine components — carry the probe set
+    as a partition filter."""
+    import re
+
+    plans = load_all_plans()
+    want = sorted(
+        map(tuple, plans["embed_ivfpq_ann"].fn(spark, sf_dir).collect())
+    )
+    result = plans["embed_ivfpq_index_ann"].fn(spark, sf_dir)
+    got = sorted(map(tuple, result.collect()))
+    assert got == want
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    pruned = re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*IN[^\]]*\]", plan)
+    assert len(pruned) >= 2, plan[:3000]  # codes AND components scans

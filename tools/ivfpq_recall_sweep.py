@@ -66,7 +66,12 @@ def main() -> None:
                 for k, s in exact.items()
             ) / len(exact)
             mark = f"← auto R at n={n}" if rr == auto_r else ""
-            label = str(rr) if rr else "0 (ADC-only)"
+            # R=0 runs with refine shortlist = final k (5): the
+            # recall@5 SET equals pure ADC ranking (exact-refining 5
+            # candidates can only permute them), but ranks/dist_q come
+            # from the refine — hence "set-equivalent", not identical
+            # (ADVICE r8).
+            label = str(rr) if rr else "0 (ADC-only set-equivalent)"
             print(f"| {label} | {rec:.3f} | {mark} |")
     finally:
         ivfpq._RERANK_OVERRIDE = None

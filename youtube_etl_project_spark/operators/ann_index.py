@@ -95,6 +95,180 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (round 9): the build-once/probe-many twin of the
+# embed_ivfpq_ann capstone (plans/ivfpq.py — FAISS IndexIVFPQ + refine).
+# Unlike the float ivf_* family above, every artifact here is EXACT-GRID
+# integer data (the plans/exact_kmeans 1e6 grid), so the persisted probe
+# path is bit-identical to the in-memory capstone and shares its DuckDB
+# oracle — a full value-hash row, stronger than embed_ivf_index_ann's
+# float result-equality pin.
+#
+# Layout at <path>:
+#   coarse/      (cell, pos, cq)        K×dim coarse codebook (model-sized)
+#   pq/          (sub, cell, pos, cq)   m×k×dsub residual PQ codebook
+#   codes/       (id, sub, code)        PARTITIONED BY cell — m rows/vector
+#   components/  (id, pos, q)           PARTITIONED BY cell — dim rows/vector
+#   meta/        (n_vectors, n_probe)   one row
+#
+# Both data-sized artifacts are partitioned by coarse cell, so a probe
+# reads n_probe/K of the files for BOTH the ADC scan (codes) and the
+# exact-refine scan (components) — every shortlisted neighbor lives in a
+# probed cell by construction, so the refine never leaves the pruned set.
+
+
+def ivfpq_build(
+    assign: DataFrame,
+    qe: DataFrame,
+    enc: DataFrame,
+    cb: DataFrame,
+    pqcb: DataFrame,
+    n_probe: int,
+    path: str,
+) -> None:
+    """Materialize a trained IVF-PQ index.
+
+    ``assign`` (id, cell) / ``qe`` (id, pos, q) / ``enc`` (id, sub, code)
+    are the exact-grid corpus artifacts; ``cb`` (cell, pos, cq) and
+    ``pqcb`` (sub, cell, pos, cq) the trained codebooks (see
+    plans/ivfpq._ivfpq_parts)."""
+    spark = qe.sparkSession
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    pqcb.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq")
+    enc.join(assign, "id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    qe.join(assign, "id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/components")
+    n = assign.count()
+    spark.createDataFrame(
+        [(n, n_probe)], "n_vectors bigint, n_probe int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivfpq_meta(spark: SparkSession, path: str) -> "tuple[int, int]":
+    r = spark.read.parquet(f"{path}/meta").first()
+    return int(r.n_vectors), int(r.n_probe)
+
+
+def ivfpq_query(
+    queries_qe: DataFrame,
+    path: str,
+    n_probe: int,
+    topk: int = 5,
+    rerank: int = 40,
+) -> DataFrame:
+    """ADC + exact-refine top-k against the persisted index.
+
+    ``queries_qe`` is the quantized query batch (id, pos, q) — small by
+    contract (it broadcasts). Probe cells are computed batch-side against
+    the broadcast coarse codebook, collected (batch × n_probe rows), and
+    re-enter the plan as literals so the ``codes`` and ``components``
+    scans both carry ``cell IN (probed)`` partition filters. Result
+    (query_id, neighbor_id, rank, dist_q) is bit-identical to
+    plans/ivfpq.embed_ivfpq_ann under the same trained model."""
+    from pyspark.sql import Window
+
+    spark = queries_qe.sparkSession
+    cb = spark.read.parquet(f"{path}/coarse")
+    pqcb = spark.read.parquet(f"{path}/pq")
+    qq = queries_qe.withColumnRenamed("id", "query_id")
+    d = F.col("q") - F.col("cq")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    probe_rows = [
+        (r.query_id, r.cell)
+        for r in (
+            qq.join(F.broadcast(cb), "pos")
+            .groupBy("query_id", "cell")
+            .agg(F.sum(d * d).cast("long").alias("dist"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", "cell")
+            .collect()
+        )
+    ]
+    cells = sorted({c for _, c in probe_rows})
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    )
+    # per-(query, probed cell) residuals -> exact-int ADC lookup table
+    dsub = pqcb.agg(F.max("pos")).first()[0] + 1
+    rqp = (
+        probes.join(qq, "query_id")
+        .join(F.broadcast(cb), ["cell", "pos"])
+        .select(
+            "query_id",
+            "cell",
+            (F.col("pos") / dsub).cast("long").alias("sub"),
+            (F.col("pos") % dsub).alias("spos"),
+            (F.col("q") - F.col("cq")).alias("rq"),
+        )
+        .withColumnRenamed("spos", "pos")
+    )
+    dl = F.col("rq") - F.col("cq")
+    lut = (
+        rqp.join(
+            F.broadcast(pqcb.withColumnRenamed("cell", "code")),
+            ["sub", "pos"],
+        )
+        .groupBy("query_id", "cell", "sub", "code")
+        .agg(F.sum(dl * dl).cast("long").alias("d"))
+    )
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cells))
+        .withColumnRenamed("id", "neighbor_id")
+    )
+    adc = (
+        codes.join(probes, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adist_q"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_q"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine stays inside the probed partitions: every ADC candidate
+    # came from a probed cell, so the components scan is pruned too
+    nq = (
+        spark.read.parquet(f"{path}/components")
+        .filter(F.col("cell").isin(cells))
+        .select(F.col("id").alias("neighbor_id"), "pos", F.col("q").alias("nq"))
+    )
+    dd = F.col("qq") - F.col("nq")
+    refined = (
+        shortlist.join(nq, "neighbor_id")
+        .join(
+            F.broadcast(
+                qq.select("query_id", "pos", F.col("q").alias("qq"))
+            ),
+            ["query_id", "pos"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(dd * dd).cast("long").alias("dist_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rank"),
+            "dist_q",
+        )
+    )
+
+
 def ivf_query(
     queries: DataFrame,
     path: str,

@@ -54,34 +54,30 @@ def _qe_cte() -> str:
         )"""
 
 
-def _mmr_oracle() -> str:
-    parts = [
-        _qe_cte(),
-        f""", rel AS MATERIALIZED (
-            SELECT a.id AS query_id, b.id AS neighbor_id,
-                   CAST(SUM(a.q * b.q) AS BIGINT) AS rel_q
-            FROM qe a
-            JOIN qe b ON b.pos = a.pos AND b.id <> a.id
-            WHERE a.id < {_N_QUERIES}
-            GROUP BY 1, 2
-        ), cand AS MATERIALIZED (
-            SELECT query_id, neighbor_id, rel_q FROM (
-                SELECT query_id, neighbor_id, rel_q,
-                       ROW_NUMBER() OVER (PARTITION BY query_id
-                                          ORDER BY rel_q DESC,
-                                                   neighbor_id ASC) AS rn
-                FROM rel
-            ) WHERE rn <= {_SHORTLIST}
-        ), sims AS MATERIALIZED (
+def _sims_sql(name: str, cand: str) -> str:
+    """CTE ``{name}(query_id, a, b, s)``: exact grid inner product of
+    every ordered pair within a query's ``{cand}`` shortlist."""
+    return f""", {name} AS MATERIALIZED (
             SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
                    CAST(SUM(qa.q * qb.q) AS BIGINT) AS s
-            FROM cand c1
-            JOIN cand c2 ON c2.query_id = c1.query_id
-                        AND c2.neighbor_id <> c1.neighbor_id
+            FROM {cand} c1
+            JOIN {cand} c2 ON c2.query_id = c1.query_id
+                          AND c2.neighbor_id <> c1.neighbor_id
             JOIN qe qa ON qa.id = c1.neighbor_id
             JOIN qe qb ON qb.id = c2.neighbor_id AND qb.pos = qa.pos
             GROUP BY 1, 2, 3
-        ), sel1 AS MATERIALIZED (
+        )"""
+
+
+def _mmr_greedy_sql(cand: str = "cand", sims: str = "sims") -> str:
+    """The unrolled greedy MMR rounds + final projection, given CTEs
+    ``{cand}(query_id, neighbor_id, rel_q)`` and
+    ``{sims}(query_id, a, b, s)`` (see :func:`_sims_sql`). CTE-name
+    parameterization lets the ANN-composed twin reuse the identical
+    trace over its own shortlist without colliding with the IVF-PQ
+    front's ``cand`` CTE."""
+    parts = [
+        f""", sel1 AS MATERIALIZED (
             SELECT query_id, neighbor_id, 1 AS rnk,
                    2 * rel_q AS score_q
             FROM (
@@ -89,7 +85,7 @@ def _mmr_oracle() -> str:
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY rel_q DESC,
                                                    neighbor_id ASC) AS rn
-                FROM cand
+                FROM {cand}
             ) WHERE rn = 1
         )""",
     ]
@@ -98,9 +94,9 @@ def _mmr_oracle() -> str:
             f""", scores{r} AS (
             SELECT c.query_id, c.neighbor_id, c.rel_q,
                    MAX(s.s) AS msim
-            FROM cand c
+            FROM {cand} c
             JOIN sel{r - 1} p ON p.query_id = c.query_id
-            JOIN sims s ON s.query_id = c.query_id
+            JOIN {sims} s ON s.query_id = c.query_id
                        AND s.a = c.neighbor_id
                        AND s.b = p.neighbor_id
             WHERE NOT EXISTS (
@@ -133,6 +129,30 @@ def _mmr_oracle() -> str:
     """
     )
     return "".join(parts)
+
+
+def _mmr_oracle() -> str:
+    return (
+        _qe_cte()
+        + f""", rel AS MATERIALIZED (
+            SELECT a.id AS query_id, b.id AS neighbor_id,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS rel_q
+            FROM qe a
+            JOIN qe b ON b.pos = a.pos AND b.id <> a.id
+            WHERE a.id < {_N_QUERIES}
+            GROUP BY 1, 2
+        ), cand AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rel_q FROM (
+                SELECT query_id, neighbor_id, rel_q,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY rel_q DESC,
+                                                   neighbor_id ASC) AS rn
+                FROM rel
+            ) WHERE rn <= {_SHORTLIST}
+        )"""
+        + _sims_sql("sims", "cand")
+        + _mmr_greedy_sql()
+    )
 
 
 @register(
@@ -177,6 +197,14 @@ def embed_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SHORTLIST)
         .select("query_id", "neighbor_id", "rel_q")
     )
+    return _mmr_greedy_spark(cand, qe)
+
+
+def _mmr_greedy_spark(cand: DataFrame, qe: DataFrame) -> DataFrame:
+    """The greedy MMR trace over a PINNED shortlist ``cand(query_id,
+    neighbor_id, rel_q)`` with grid rows ``qe(id, pos, q)`` — shared by
+    the exact-shortlist flagship and the ANN-composed serving query.
+    Everything here is shortlist-sized."""
     # shortlist pair matrix: every ordered (a, b) pair within a query's
     # shortlist with its exact grid inner product
     pa = cand.select("query_id", F.col("neighbor_id").alias("a"))
@@ -190,6 +218,9 @@ def embed_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qeb, ["b", "pos"])
         .groupBy("query_id", "a", "b")
         .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("s"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_q"), F.asc("neighbor_id")
     )
     selected = pin(
         cand.withColumn("rn", F.row_number().over(wq))
@@ -243,6 +274,80 @@ def embed_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("long").alias("rank"),
         F.col("score_q").cast("long").alias("score_q"),
     )
+
+
+def _ann_mmr_oracle() -> str:
+    from youtube_etl_project_spark.plans.ivfpq import (
+        _ivfpq_front,
+        _ivfpq_search_ctes,
+    )
+
+    return (
+        _ivfpq_front()
+        + ","
+        + _ivfpq_search_ctes()
+        + f""", mcand AS MATERIALIZED (
+            SELECT s.query_id, s.neighbor_id,
+                   CAST(SUM(qa.q * qb.q) AS BIGINT) AS rel_q
+            FROM (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY dist_q ASC,
+                                                       neighbor_id ASC)
+                               AS rn
+                    FROM refined
+                ) WHERE rn <= {_SHORTLIST}
+            ) s
+            JOIN qe qa ON qa.id = s.query_id
+            JOIN qe qb ON qb.id = s.neighbor_id AND qb.pos = qa.pos
+            GROUP BY 1, 2
+        )"""
+        + _sims_sql("msims", "mcand")
+        + _mmr_greedy_sql("mcand", "msims")
+    )
+
+
+@register(
+    "embed_ann_mmr_diversify",
+    oracle=_ann_mmr_oracle(),
+    doc="X3 serving composition (round 9), ORACLE-CHECKED END TO END "
+        "INCLUDING BOTH TRAINING LOOPS: the production retrieval query — "
+        "IVF-PQ ANN shortlist (plans/ivfpq.ivfpq_refined: probe -> ADC "
+        "-> exact refine) feeding the greedy MMR re-rank "
+        "(_mmr_greedy_spark). The MMR flagship's docstring claims "
+        "'production swaps in an ANN shortlist unchanged' — this row "
+        "makes that claim a green gate entry, like dedup_cluster_lsh "
+        "did for connected components. Shortlist = ANN top-20 by exact "
+        "refined distance; rel/sim scores are exact grid dots over the "
+        "shortlist only, so post-ANN cost is shortlist-sized; the "
+        "corpus-sized stages are exactly the capstone's (bounded "
+        "candidates, broadcast LUT). Diversity gain and ANN-vs-exact "
+        "overlap pinned by tests/test_mmr.py",
+)
+def embed_ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.plans.ivfpq import ivfpq_refined
+
+    refined, qe = ivfpq_refined(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_q"), F.asc("neighbor_id")
+    )
+    short = (
+        refined.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qa = qe.select(F.col("id").alias("query_id"), "pos", F.col("q").alias("qa"))
+    qb = qe.select(
+        F.col("id").alias("neighbor_id"), "pos", F.col("q").alias("qb")
+    )
+    cand = pin(
+        short.join(qa, "query_id")
+        .join(qb, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("rel_q"))
+    )
+    return _mmr_greedy_spark(cand, qe)
 
 
 _KCENTER = 5
