@@ -31,9 +31,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # family (scan-agg, join-agg, window, top-k, explode, merge, windows,
 # dedup/LSH, similarity, text, multimodal UDF).
 HEADLINE = [
+    # (round 9: join_fact_dim / conditional_agg / zscore_by_type left
+    # the list so the two round-9 serving rows keep the norm_py/contended
+    # extras inside the driver's 1980-char parse window — the r7/r8
+    # precedent; J1 keeps flagship_daily_agg (same broadcast fact-dim
+    # shape plus the aggregate), conditional aggregation keeps
+    # q1_pricing_summary, and all three stay gate-covered at both scales)
     "flagship_daily_agg",
     "q1_pricing_summary",
-    "join_fact_dim",
     "agg_refresh_daily",
     "window_latest_per_key",
     "topk_per_group",
@@ -52,10 +57,8 @@ HEADLINE = [
     "rollup_hierarchy",
     "range_join_events",
     "salted_skew_join",
-    "conditional_agg",
     "dedup_cluster_lsh",
     "corpus_filter_funnel",
-    "zscore_by_type",
     "tpch_q10_returned_revenue",
     "embed_ivf_ann",
     "dedup_substring_mask",
@@ -140,6 +143,12 @@ HEADLINE = [
     # shortlist -> 5 greedy max-marginal-relevance rounds, all int64,
     # oracle-checked end to end)
     "embed_mmr_diversify",
+    # round-9 additions: the persisted IVF-PQ serving index (build
+    # memoizes per fixture dir, so this row times the partition-pruned
+    # ADC+refine probe after the first call) and the ANN->MMR production
+    # retrieval composition
+    "embed_ivfpq_index_ann",
+    "embed_ann_mmr_diversify",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json
@@ -308,9 +317,22 @@ def main() -> None:
         "insensitive, <2% run spread) for cross-round "
         "comparisons from r5 on",
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    # Never overwrite a quiet-host record with a contended one (VERDICT
+    # r8 #4: the round-8 driver run, contended_run=true, clobbered the
+    # quiet capture the round's perf claims rested on). A contended run
+    # whose predecessor at BENCH_FULL.json was quiet lands at
+    # BENCH_FULL_CONTENDED.json instead; the driver-facing line still
+    # prints normally either way.
+    if full["contended_run"] and os.path.exists(full_path):
+        try:
+            with open(full_path) as fh:
+                prev_quiet = not json.load(fh).get("contended_run", True)
+        except (OSError, ValueError):
+            prev_quiet = False
+        if prev_quiet:
+            full_path = os.path.join(here, "BENCH_FULL_CONTENDED.json")
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=2)
     print(f"full telemetry record: {full_path}", flush=True)
