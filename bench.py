@@ -53,7 +53,6 @@ HEADLINE = [
     "embed_lsh_ann",
     "text_langid",
     "multimodal_decode",
-    "percentile_value",
     "rollup_hierarchy",
     "range_join_events",
     "salted_skew_join",
@@ -149,6 +148,11 @@ HEADLINE = [
     # retrieval composition
     "embed_ivfpq_index_ann",
     "embed_ann_mmr_diversify",
+    # round-9 stretch: the fourth ANN family — NSW graph build (per-cell
+    # exact-int64 kNN kernel) + 3-round beam-search trace, oracle-checked
+    # end to end (percentile_value ceded — the percentile family keeps
+    # lineitem_exact_percentiles, the harder two-pass exact form)
+    "embed_nsw_ann",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

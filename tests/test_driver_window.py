@@ -73,6 +73,9 @@ FLAGSHIPS = {
     # full gate; sessionization keeps events_session_window)
     "embed_ivfpq_index_ann", "embed_ann_mmr_diversify",
     "embed_kcenter_select",
+    # round-9 stretch: NSW graph ANN (agg_refresh_daily ceded — A7 keeps
+    # mv_scoped_refresh, the harder incremental form)
+    "embed_nsw_ann",
 }
 
 

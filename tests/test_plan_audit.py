@@ -51,6 +51,9 @@ ARROW_ALLOWED = {
     # scoring paths are broadcast model joins in whole-stage codegen, no
     # Python in the plan at all; see plans/exact_linalg.py)
     "text_topic_assign_v1",  # frozen-centroid assignment: numpy matmul
+    "embed_nsw_ann",  # graph build: per-cell exact-int64 k-NN matmul
+    # (_knn_parts_blocked — inside the edges pin, so it surfaces via the
+    # pre-pin gates; the search trace itself is pure codegen)
     # (round 7: embed_pq_rmse / adc_topk / rerank_topk left this list —
     # the exact-grid trainer's assignment is a broadcast codebook join in
     # whole-stage codegen, no Python in the plan at all)

