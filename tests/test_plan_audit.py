@@ -54,6 +54,7 @@ ARROW_ALLOWED = {
     "embed_nsw_ann",  # graph build: per-cell exact-int64 k-NN matmul
     # (_knn_parts_blocked — inside the edges pin, so it surfaces via the
     # pre-pin gates; the search trace itself is pure codegen)
+    "embed_nsw_nnd_ann",  # same build kernel under the NN-descent round
     # (round 7: embed_pq_rmse / adc_topk / rerank_topk left this list —
     # the exact-grid trainer's assignment is a broadcast codebook join in
     # whole-stage codegen, no Python in the plan at all)
