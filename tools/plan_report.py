@@ -128,6 +128,26 @@ SHOWCASE = {
     "re-touching the corpus",
 }
 
+# (name, why, pin index) — pre-pin plans worth showing (see main()).
+PRE_PIN_SHOWCASE = [
+    (
+        "embed_kcenter_select",
+        "per-round farthest-point argmax compiles to "
+        "TakeOrderedAndProject (parallel partial top-1 per partition, "
+        "1-row merge) — the r8 verdict's corpus-sized "
+        "unpartitioned-window scale-killer, fixed in r9 and now visible",
+        2,
+    ),
+    (
+        "embed_nsw_ann",
+        "graph build inside the edges pin: per-cell Arrow int64 k-NN "
+        "kernel (FlatMapGroupsInPandas), partitioned top-M window, "
+        "reverse-union degree re-cap — bounded candidates, no "
+        "all-pairs stage",
+        1,
+    ),
+]
+
 
 def main() -> None:
     from youtube_etl_project_spark.registry import load_all_plans
@@ -148,21 +168,42 @@ def main() -> None:
         "properties over EVERY registered query; this file shows the actual\n"
         "plans for a representative subset."
     )
-    for name, why in SHOWCASE.items():
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            plans[name].fn(spark, SF_DIR).explain("formatted")
+    def emit(name: str, why: str, text: str) -> None:
         print(f"\n## {name}\n\n*{why}*\n\n```")
-        text = buf.getvalue().rstrip()
         # keep the operator tree + scan details; drop the long column lists
         keep: list[str] = []
-        for line in text.splitlines():
+        for line in text.rstrip().splitlines():
             s = line.strip()
             if s.startswith(("Input", "Output", "Arguments", "Result")):
                 continue
             keep.append(line)
         print("\n".join(keep))
         print("```")
+
+    for name, why in SHOWCASE.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plans[name].fn(spark, SF_DIR).explain("formatted")
+        emit(name, why, buf.getvalue())
+
+    # Iterative operators checkpoint per round, so their top-level plan is
+    # a localCheckpoint scan — the interesting plan is INSIDE the pins
+    # (the r8 audit blind spot). Showcase the recorded pre-pin plans for
+    # the queries whose round shape carries a design decision.
+    from youtube_etl_project_spark.operators.checkpointing import audit_pins
+
+    print("\n# Pre-pin plans of iterative operators")
+    print()
+    print(
+        "checkpointing.pin() truncates lineage, so the plans above show a\n"
+        "scan for anything pinned. audit_pins() (round 9) records each\n"
+        "pin's PRE-checkpoint plan; `tests/test_plan_audit.py` gates ALL\n"
+        "of them, and the showcase below proves the named fix."
+    )
+    for name, why, idx in PRE_PIN_SHOWCASE:
+        with audit_pins() as pinned:
+            plans[name].fn(spark, SF_DIR)
+        emit(f"{name} (pin #{idx})", why, pinned[idx])
 
 
 if __name__ == "__main__":
