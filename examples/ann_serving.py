@@ -77,6 +77,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print("k-center coreset picks (max-min radius):")
     plans["embed_kcenter_select"].fn(spark, sf_dir).orderBy("rank").show()
 
+    # Round 9: the full serving stack. embed_ivfpq_index_ann probes a
+    # PERSISTED IVF-PQ index (partition-pruned ADC + refine — the
+    # production twin of embed_ivfpq_ann, bit-identical results);
+    # embed_ann_mmr_diversify is the end-to-end retrieval query (ANN
+    # shortlist -> greedy MMR re-rank); embed_nsw_ann searches the
+    # fourth index family, a navigable-small-world neighbor graph.
+    print("persisted IVF-PQ index probe (partition-pruned):")
+    plans["embed_ivfpq_index_ann"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+    print("ANN -> MMR production retrieval:")
+    plans["embed_ann_mmr_diversify"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+    print("NSW graph-ANN beam search:")
+    plans["embed_nsw_ann"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
