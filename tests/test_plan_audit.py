@@ -287,11 +287,15 @@ def test_no_cartesian_product_exec(plans):
 # mirroring GLOBAL_WINDOW_ALLOWED for top-level plans.
 PRE_PIN_GLOBAL_WINDOW_ALLOWED: set = set()
 
-# Queries whose PINNED stages legitimately run vectorized Python — the
-# pinned frame is built by the same Arrow kernel the top-level whitelist
-# justifies (e.g. a pinned blocked-matmul shortlist).
+# Queries whose PINNED stages legitimately run vectorized Python —
+# enumerated explicitly (NOT a copy of ARROW_ALLOWED: a query justified
+# for a top-level Arrow kernel does not automatically earn amnesty for
+# Python stages hidden inside its pins — ADVICE r9). Today that is the
+# graph-ANN family, whose pinned edge list is built by the per-cell
+# Arrow int64 k-NN kernel (plans/graph_ann._knn_parts_blocked).
 PRE_PIN_ARROW_ALLOWED = {
-    n for n in ARROW_ALLOWED
+    "embed_nsw_ann",
+    "embed_nsw_nnd_ann",
 }
 
 

@@ -128,7 +128,12 @@ SHOWCASE = {
     "re-touching the corpus",
 }
 
-# (name, why, pin index) — pre-pin plans worth showing (see main()).
+# (name, why, distinctive-operator substring) — pre-pin plans worth
+# showing (see main()). The showcased pin is selected by the FIRST
+# recorded pre-pin plan containing the marker, not a hardcoded index:
+# adding or reordering a pin() inside these operators would silently
+# showcase the wrong plan (or IndexError) under positional selection
+# (ADVICE r9).
 PRE_PIN_SHOWCASE = [
     (
         "embed_kcenter_select",
@@ -136,7 +141,7 @@ PRE_PIN_SHOWCASE = [
         "TakeOrderedAndProject (parallel partial top-1 per partition, "
         "1-row merge) — the r8 verdict's corpus-sized "
         "unpartitioned-window scale-killer, fixed in r9 and now visible",
-        2,
+        "TakeOrderedAndProject",
     ),
     (
         "embed_nsw_ann",
@@ -144,7 +149,7 @@ PRE_PIN_SHOWCASE = [
         "kernel (FlatMapGroupsInPandas), partitioned top-M window, "
         "reverse-union degree re-cap — bounded candidates, no "
         "all-pairs stage",
-        1,
+        "FlatMapGroupsInPandas",
     ),
 ]
 
@@ -200,10 +205,18 @@ def main() -> None:
         "pin's PRE-checkpoint plan; `tests/test_plan_audit.py` gates ALL\n"
         "of them, and the showcase below proves the named fix."
     )
-    for name, why, idx in PRE_PIN_SHOWCASE:
+    for name, why, marker in PRE_PIN_SHOWCASE:
         with audit_pins() as pinned:
             plans[name].fn(spark, SF_DIR)
-        emit(f"{name} (pin #{idx})", why, pinned[idx])
+        idx = next(
+            (i for i, p in enumerate(pinned) if marker in p), None
+        )
+        if idx is None:
+            raise SystemExit(
+                f"PRE_PIN_SHOWCASE: no pin of {name} contains "
+                f"{marker!r} — the showcased stage moved or was removed"
+            )
+        emit(f"{name} (pin #{idx}, matched {marker!r})", why, pinned[idx])
 
 
 if __name__ == "__main__":

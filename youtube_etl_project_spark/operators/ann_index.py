@@ -125,13 +125,20 @@ def ivfpq_build(
     pqcb: DataFrame,
     n_probe: int,
     path: str,
+    n_vectors: int,
 ) -> None:
     """Materialize a trained IVF-PQ index.
 
     ``assign`` (id, cell) / ``qe`` (id, pos, q) / ``enc`` (id, sub, code)
     are the exact-grid corpus artifacts; ``cb`` (cell, pos, cq) and
     ``pqcb`` (sub, cell, pos, cq) the trained codebooks (see
-    plans/ivfpq._ivfpq_parts)."""
+    plans/ivfpq._ivfpq_parts). ``n_vectors`` is the RAW corpus row count
+    — including null-embedding rows, i.e. ``load_table(...).count()`` —
+    NOT the indexed-vector count: consumers feed it to the rerank-size
+    rule (plans/ivfpq._refine_r), whose oracle twin (the ``cnt`` CTE)
+    and the in-memory capstone both count raw rows, so storing the
+    post-null-filter count would silently diverge the persisted twin's
+    shortlist on any corpus with null embeddings (ADVICE r9)."""
     spark = qe.sparkSession
     cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
     pqcb.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq")
@@ -141,9 +148,8 @@ def ivfpq_build(
     qe.join(assign, "id").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/components")
-    n = assign.count()
     spark.createDataFrame(
-        [(n, n_probe)], "n_vectors bigint, n_probe int"
+        [(n_vectors, n_probe)], "n_vectors bigint, n_probe int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 

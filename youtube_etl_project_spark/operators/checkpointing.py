@@ -37,6 +37,7 @@ never need to survive an executor.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import io
 import os
 
@@ -52,8 +53,12 @@ ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 # how the r8 kcenter global-window argmax shipped). Under
 # :func:`audit_pins`, every pin() records its input DataFrame's formatted
 # PRE-checkpoint plan here so tests/test_plan_audit.py can assert the
-# same gates over them. Zero cost outside the context manager.
-_AUDIT: list[str] | None = None
+# same gates over them. Zero cost outside the context manager. A
+# ContextVar (not a module global) so concurrent plan builds on different
+# threads each collect only their own pins (ADVICE r9).
+_AUDIT: contextvars.ContextVar[list[str] | None] = contextvars.ContextVar(
+    "spark_graft_pin_audit", default=None
+)
 
 
 @contextlib.contextmanager
@@ -61,13 +66,12 @@ def audit_pins():
     """Collect the formatted pre-checkpoint plan of every :func:`pin`
     executed inside the block. Yields the list (appended in call order);
     nesting restores the outer collector on exit."""
-    global _AUDIT
-    prev = _AUDIT
-    _AUDIT = collected = []
+    collected: list[str] = []
+    token = _AUDIT.set(collected)
     try:
         yield collected
     finally:
-        _AUDIT = prev
+        _AUDIT.reset(token)
 
 
 def _formatted_plan(df: DataFrame) -> str:
@@ -90,8 +94,9 @@ def pin(
     forcing ``True`` uses the SparkContext's already-set checkpoint dir
     or the env var, and raises if neither exists.
     """
-    if _AUDIT is not None:
-        _AUDIT.append(_formatted_plan(df))
+    collector = _AUDIT.get()
+    if collector is not None:
+        collector.append(_formatted_plan(df))
     env_dir = os.environ.get(ENV_DIR)
     if reliable is None:
         reliable = bool(env_dir)

@@ -895,6 +895,7 @@ def simhash_pairs(
     max_distance: int = 3,
     seed: int = 7,
     max_bucket: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ d over 64-bit SimHashes —
     *exact* (recall 1.0), via pigeonhole banding instead of all-pairs.
@@ -912,7 +913,7 @@ def simhash_pairs(
     sig = simhash64_df(docs, id_col, text_col, seed).select(
         F.col(id_col).alias("doc"), "simhash"
     )
-    return simhash_banded_pairs(sig, max_distance, max_bucket)
+    return simhash_banded_pairs(sig, max_distance, max_bucket, n_blocks)
 
 
 def simhash_pairs_md5(
@@ -921,6 +922,7 @@ def simhash_pairs_md5(
     text_col: str,
     max_distance: int = 3,
     max_bucket: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """:func:`simhash_pairs` over the **md5-domain** fingerprints
     (:func:`simhash64_md5_df`) — same pigeonhole banding and exact-Hamming
@@ -930,26 +932,104 @@ def simhash_pairs_md5(
     sig = simhash64_md5_df(docs, id_col, text_col).select(
         F.col(id_col).alias("doc"), "simhash"
     )
-    return simhash_banded_pairs(sig, max_distance, max_bucket)
+    return simhash_banded_pairs(sig, max_distance, max_bucket, n_blocks)
+
+
+def simhash_block_lengths(n_blocks: int) -> "list[int]":
+    """Bit lengths of the ``n_blocks`` disjoint simhash blocks: 64//B
+    each, remainder folded into the last (the historical 4-band layout
+    extended to any B)."""
+    width = 64 // n_blocks
+    return [width] * (n_blocks - 1) + [64 - width * (n_blocks - 1)]
+
+
+def simhash_block_combos(
+    n_blocks: int, max_distance: int
+) -> "list[tuple[int, ...]]":
+    """The combination tables of the Manku/Jain/Sarma block scheme: all
+    C(B, B-d) block subsets of size B-d. A pair within Hamming distance d
+    has ≤ d dirty blocks, hence ≥ B-d clean ones, hence agrees EXACTLY on
+    at least one subset — recall 1.0 for any B ≥ d+1. B = d+1 degenerates
+    to the classic one-block-per-band layout."""
+    from itertools import combinations
+
+    return list(combinations(range(n_blocks), n_blocks - max_distance))
+
+
+def choose_simhash_blocks(n: int, max_distance: int = 3) -> int:
+    """Adaptive band geometry — the auto_lsh_geometry pattern for the
+    simhash candidate join: pick the smallest block count B whose
+    combination-key width is ≥ log2(n) + 8, so expected band-bucket
+    occupancy stays ≤ ~1/256 per key and candidate volume stays ~linear
+    in n instead of n²/2^keybits (the r9 frozen-geometry finding: 4
+    blocks freeze keys at 16 bits, so occupancy ∝ n). Wider keys cost
+    combinatorially more tables (C(B, B-d): 4, 10, 20, 35, 56, ...), so
+    the search stops at a 64-table budget — at d=3 that caps B at 8
+    (40-bit keys, 56 tables), enough for ~2^32 docs at the target
+    occupancy; past that the geometry saturates and candidate growth
+    returns (the named escape is a 128-bit fingerprint, which doubles
+    every width, not denser 64-bit banding). Deterministic integer rule
+    → oracle-expressible as a tabulated twin; pinned against this
+    definition by tests/test_dedup.py."""
+    from math import comb
+
+    target = min(40, max(2, n - 1).bit_length() + 8)
+    best_b, best_w = max_distance + 1, -1
+    b = max_distance + 1
+    while comb(b, b - max_distance) <= 64 and 64 // b >= 1:
+        lens = simhash_block_lengths(b)
+        key_bits = min(
+            sum(lens[x] for x in c)
+            for c in simhash_block_combos(b, max_distance)
+        )
+        if key_bits > best_w:
+            best_b, best_w = b, key_bits
+        if key_bits >= target:
+            return b
+        b += 1
+    return best_b
 
 
 def simhash_banded_pairs(
     sig: DataFrame,
     max_distance: int = 3,
     max_bucket: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Pigeonhole banding + exact-Hamming verify over (doc, simhash)
-    fingerprints — shared by the xxhash and md5 signature families."""
-    n_bands = max_distance + 1
-    width = 64 // n_bands
+    fingerprints — shared by the xxhash and md5 signature families.
+
+    ``n_blocks`` (default d+1, the classic layout) widens the band keys
+    via the Manku/Jain/Sarma WWW'07 block-combination scheme: split the
+    fingerprint into B > d+1 blocks and key each band on a combination of
+    B-d of them (:func:`simhash_block_combos` — still exact recall by
+    pigeonhole). B=5 at d=3 turns 16-bit keys into 24-28-bit keys: 2^8-2^12
+    × sparser buckets for 2.5× more band rows, collapsing the n²/2^16
+    candidate regime that froze the 4-band geometry (r9 verdict);
+    :func:`choose_simhash_blocks` picks B from the corpus size."""
+    if n_blocks is None:
+        n_blocks = max_distance + 1
+    if n_blocks < max_distance + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} < d+1={max_distance + 1}: pigeonhole "
+            "recall guarantee needs at least d+1 blocks"
+        )
+    lens = simhash_block_lengths(n_blocks)
+    offs = [sum(lens[:i]) for i in range(n_blocks)]
+    combos = simhash_block_combos(n_blocks, max_distance)
     sig = pin(sig)  # referenced by bands + both verify sides
 
-    def band_bits(i: int) -> Column:
-        length = width if i < n_bands - 1 else 64 - width * (n_bands - 1)
-        mask = (1 << length) - 1
-        return F.shiftrightunsigned("simhash", i * width).bitwiseAND(
+    def block_bits(i: int) -> Column:
+        mask = (1 << lens[i]) - 1
+        return F.shiftrightunsigned("simhash", offs[i]).bitwiseAND(
             F.lit(mask)
         )
+
+    def combo_key(c: "tuple[int, ...]") -> Column:
+        key = block_bits(c[0])
+        for b in c[1:]:
+            key = F.shiftleft(key, lens[b]).bitwiseOR(block_bits(b))
+        return key
 
     bands = sig.select(
         "doc",
@@ -957,10 +1037,10 @@ def simhash_banded_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band_id"),
-                        band_bits(i).alias("bits"),
+                        F.lit(ci).alias("band_id"),
+                        combo_key(c).alias("bits"),
                     )
-                    for i in range(n_bands)
+                    for ci, c in enumerate(combos)
                 ]
             )
         ).alias("b"),

@@ -441,8 +441,13 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
     if path is None or not os.path.isdir(f"{path}/codes"):
         qe, cb, assign, qer, pqcb, n_probe = _ivfpq_parts(spark, sf_dir)
         path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        # raw row count INCLUDING null-embedding rows: the rerank rule's
+        # oracle twin (cnt CTE) and the in-memory capstone both count raw
+        # rows (ADVICE r9 — assign.count() would diverge under nulls)
+        n_raw = load_table(spark, sf_dir, "embeddings").count()
         ann_index.ivfpq_build(
-            assign, qe, _encode(qer, pqcb), cb, pqcb, n_probe, path
+            assign, qe, _encode(qer, pqcb), cb, pqcb, n_probe, path,
+            n_vectors=n_raw,
         )
         _IVFPQ_INDEX_CACHE[sf_dir] = path
     return path
