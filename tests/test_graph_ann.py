@@ -123,7 +123,7 @@ def test_nsw_graph_degree_bounded_and_undirected_core(spark, sf_dir):
     out-degree <= DEG_CAP for every node (hub in-degree bound), every
     original top-M out-edge's reverse edge exists unless the cap pruned
     it, and edges never self-loop."""
-    edges, _qe, _assign = graph_ann.nsw_graph(spark, sf_dir)
+    edges, _qe, _assign, _cb = graph_ann.nsw_graph(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     assert deg.agg(F.max("d")).first()[0] <= graph_ann._DEG_CAP
     assert edges.filter(F.col("src") == F.col("dst")).count() == 0
@@ -133,3 +133,109 @@ def test_nsw_graph_degree_bounded_and_undirected_core(spark, sf_dir):
         .count()
     )
     assert deg.count() == n_nodes  # every vector has out-edges
+
+
+def test_persisted_nsw_index_bit_identical_and_pruned(spark, sf_dir):
+    """round 10: the persisted NSW graph index (operators/ann_index.
+    nsw_build/nsw_query) is bit-identical to the in-memory beam trace
+    (exact-grid model -> equality, not approximation), and the
+    data-sized scans — edge expansion AND frontier components — carry
+    the beam/frontier cell sets as partition filters."""
+    import re
+
+    plans = load_all_plans()
+    want = sorted(
+        map(tuple, plans["embed_nsw_ann"].fn(spark, sf_dir).collect())
+    )
+    result = plans["embed_nsw_index_ann"].fn(spark, sf_dir)
+    got = sorted(map(tuple, result.collect()))
+    assert got == want
+
+    # the final plan's lineage was pinned per round; assert pruning on
+    # the PRE-pin plans, where the scans are visible (r9 audit story)
+    from youtube_etl_project_spark.operators.checkpointing import audit_pins
+    from youtube_etl_project_spark.plans import graph_ann as ga
+
+    with audit_pins() as pinned:
+        plans["embed_nsw_index_ann"].fn(spark, sf_dir)
+    pruned = [
+        p
+        for p in pinned
+        if re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN[^\]]*\]", p)
+    ]
+    # every search round pins a pruned frontier (edges scan) and a
+    # pruned visited union (components scan)
+    assert len(pruned) >= 2 * ga._T, (
+        f"{len(pruned)} pruned pinned scans of {len(pinned)}"
+    )
+
+
+def test_alpha_prune_kernel_rule(spark):
+    """Deterministic check of the MRNG domination rule in
+    _alpha_prune_blocked on a handcrafted geometry: candidates of src=0
+    on a line at grid ints 1000 (v) and 1900 (w), plus a far point in
+    the opposite direction. d²(u,w)=3.61e6, d²(v,w)=0.81e6:
+    3·0.81e6 < 2·3.61e6 → w is covered by v and pruned; the far point
+    has no closer coverage and survives."""
+    from youtube_etl_project_spark.plans.graph_ann import (
+        _alpha_prune_blocked,
+    )
+
+    rows = [
+        # (src, dst, d2(src,dst), embedding of dst)
+        (0, 1, 1000**2, [0.001, 0.0]),       # v: nearest, always kept
+        (0, 2, 1900**2, [0.0019, 0.0]),      # w: dominated by v
+        (0, 3, 2000**2, [-0.002, 0.0]),      # far opposite: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "src long, dst long, d long, embedding array<double>"
+    )
+    got = {(r.src, r.dst) for r in _alpha_prune_blocked(df).collect()}
+    assert got == {(0, 1), (0, 3)}
+
+
+def test_alpha_graph_restores_search_recall(spark, sf_dir):
+    """The round-10 navigability fix, measured with the exact int64 grid
+    metric: the wide-pool α-pruned graph's greedy-search recall@5 beats
+    BOTH the base graph and the top-M NND graph at the same out-degree
+    cap (measured 0.82 vs 0.68 / 0.66 at sf0.001). The lift comes from
+    selecting out-edges from the top-2×DEG_CAP pool (the NND round's
+    top-M=8 starves the degree budget); the α-rule itself prunes only
+    ~0.5% on this distance-concentrated fixture — both facts on record."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    rows_e = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows_e])
+    Q = np.floor(
+        np.stack([np.array(r.embedding, dtype=np.float64) for r in rows_e])
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    na = (Q * Q).sum(axis=1)
+    exact = set()
+    for qi in np.where(ids < 10)[0]:
+        d = na + na[qi] - 2 * (Q @ Q[qi])
+        d[qi] = 2**62
+        sel = np.lexsort((ids, d))[:5]
+        exact.update((int(ids[qi]), int(ids[j])) for j in sel)
+
+    plans = load_all_plans()
+
+    def recall(name):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in plans[name].fn(spark, sf_dir).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    base, nnd, alpha = (
+        recall("embed_nsw_ann"),
+        recall("embed_nsw_nnd_ann"),
+        recall("embed_nsw_alpha_ann"),
+    )
+    assert alpha >= base, (alpha, base)
+    assert alpha >= nnd, (alpha, nnd)
+    assert alpha >= 0.75, alpha  # measured 0.82 — noise margin

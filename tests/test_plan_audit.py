@@ -296,6 +296,10 @@ PRE_PIN_GLOBAL_WINDOW_ALLOWED: set = set()
 PRE_PIN_ARROW_ALLOWED = {
     "embed_nsw_ann",
     "embed_nsw_nnd_ann",
+    # first call builds the persisted graph via the same kernel
+    "embed_nsw_index_ann",
+    # k-NN build kernel + the per-src α-prune kernel (both bounded groups)
+    "embed_nsw_alpha_ann",
 }
 
 

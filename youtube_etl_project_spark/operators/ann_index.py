@@ -353,3 +353,182 @@ def ivf_query(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NSW graph serving index (round 10) — the persisted twin of
+# plans/graph_ann's in-memory build, completing the promise in that
+# module's docstring: "a deployment buckets the persisted edge list by
+# src for shuffle-free probes". Layout at <path>:
+#   coarse/      (cell, pos, cq)           K×dim coarse codebook (model)
+#   edges/       (src, dst, d, dst_cell)   PARTITIONED BY cell (src's
+#                                          coarse cell)
+#   components/  (id, pos, q)              PARTITIONED BY cell
+#
+# Every artifact is exact-grid int64 (the graph build's own data), so a
+# persisted probe is bit-identical to the in-memory beam trace and the
+# registered query shares plans/graph_ann._nsw_oracle() verbatim — the
+# same full-value-hash posture as the IVF-PQ index above.
+#
+# Probe mechanics: each beam-search round's beam is q×B rows (model-
+# sized by contract — the query batch broadcasts everywhere). The beam
+# is collected and re-enters the plan as literals, so the edges scan
+# carries ``cell IN (beam cells)`` — a probe physically reads only the
+# beam members' partitions of the edge list, never the whole graph.
+# Frontier distances likewise scan only the frontier's dst_cell
+# partitions of components (dst_cell rides on every persisted edge
+# exactly so the NEXT scan's pruning set is known without a corpus
+# lookup).
+
+
+def nsw_build(
+    edges: DataFrame,
+    assign: DataFrame,
+    qe: DataFrame,
+    cb: DataFrame,
+    path: str,
+) -> None:
+    """Materialize a built NSW graph: ``edges`` (src, dst, d) the
+    degree-capped edge list, ``assign`` (id, cell) the coarse ownership,
+    ``qe`` (id, pos, q) the exact-grid components, ``cb`` (cell, pos,
+    cq) the coarse codebook (model-sized — it computes query entry
+    cells at probe time)."""
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    src_cell = assign.select(
+        F.col("id").alias("src"), F.col("cell").alias("cell")
+    )
+    dst_cell = assign.select(
+        F.col("id").alias("dst"), F.col("cell").alias("dst_cell")
+    )
+    (
+        edges.join(src_cell, "src")
+        .join(dst_cell, "dst")
+        .select("src", "dst", "d", "dst_cell", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/edges")
+    )
+    qe.join(assign, "id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/components")
+
+
+def nsw_query(
+    queries_qe: DataFrame,
+    path: str,
+    topk: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
+    """Greedy beam-search trace against the persisted NSW graph —
+    bit-identical to plans/graph_ann._beam_search over the same graph.
+
+    ``queries_qe`` is the quantized query batch (id, pos, q), small by
+    contract. Entry = lowest-id member of the query's nearest coarse
+    cell under the persisted codebook (the same exact-int argmin rule
+    as the build's kassign, so corpus-member queries recover their own
+    training assignment). Per round the beam re-enters as literals →
+    pruned edges scan; the frontier is pinned, its distinct dst cells
+    collected (≤ K ints) → pruned components scan for the distance
+    join. Returns (query_id, neighbor_id, rank, dist_q)."""
+    from pyspark.sql import Window
+
+    from youtube_etl_project_spark.operators.checkpointing import pin
+
+    spark = queries_qe.sparkSession
+    cb = spark.read.parquet(f"{path}/coarse")
+    comp = spark.read.parquet(f"{path}/components")
+    edges = spark.read.parquet(f"{path}/edges")
+    qq = queries_qe.withColumnRenamed("id", "query_id")
+    dc = F.col("q") - F.col("cq")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    qcell_rows = [
+        (r.query_id, r.cell)
+        for r in (
+            qq.join(F.broadcast(cb), "pos")
+            .groupBy("query_id", "cell")
+            .agg(F.sum(dc * dc).cast("long").alias("dist"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cell")
+            .collect()
+        )
+    ]
+    qcells = sorted({c for _, c in qcell_rows})
+    qcell_df = F.broadcast(
+        spark.createDataFrame(qcell_rows, "query_id bigint, cell int")
+    )
+    # entry: lowest-id member of the query's cell — pruned components scan
+    entry = (
+        comp.filter(F.col("cell").isin(qcells))
+        .join(qcell_df, "cell")
+        .groupBy("query_id", "cell")
+        .agg(F.min("id").alias("id"))
+    )
+    qa = F.broadcast(
+        qq.select("query_id", "pos", F.col("q").alias("qa"))
+    )
+    dd = F.col("qa") - F.col("qb")
+
+    def qdist(front: DataFrame, cells: "list[int]") -> DataFrame:
+        """Exact grid distance of (query_id, id, cell) rows to their
+        query — components scan pruned to the frontier's cells."""
+        nq = comp.filter(F.col("cell").isin(cells)).select(
+            "id", "pos", F.col("q").alias("qb")
+        )
+        return (
+            front.join(qa, "query_id")
+            .join(nq, ["id", "pos"])
+            .groupBy("query_id", "id", "cell")
+            .agg(F.sum(dd * dd).cast("long").alias("d"))
+        )
+
+    visited = pin(qdist(entry, qcells))
+    wb = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("id"))
+    beam_df = visited  # one row per query (the entry)
+    for _t in range(rounds):
+        beam_rows = [
+            (r.query_id, r.id, r.cell)
+            for r in beam_df.select("query_id", "id", "cell").collect()
+        ]
+        bcells = sorted({c for _, _, c in beam_rows})
+        bdf = F.broadcast(
+            spark.createDataFrame(
+                beam_rows, "query_id bigint, src bigint, cell int"
+            ).drop("cell")
+        )
+        frontier = pin(
+            edges.filter(F.col("cell").isin(bcells))
+            .join(bdf, "src")
+            .select(
+                "query_id",
+                F.col("dst").alias("id"),
+                F.col("dst_cell").alias("cell"),
+            )
+            .distinct()
+            .join(
+                visited.select("query_id", "id"),
+                ["query_id", "id"],
+                "left_anti",
+            )
+        )
+        fcells = sorted(
+            r.cell for r in frontier.select("cell").distinct().collect()
+        )
+        visited = pin(visited.unionByName(qdist(frontier, fcells)))
+        beam_df = (
+            visited.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "id", "cell", "d")
+        )
+    return (
+        visited.filter(F.col("id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("d").alias("dist_q"),
+        )
+    )
