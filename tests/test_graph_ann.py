@@ -239,3 +239,24 @@ def test_alpha_graph_restores_search_recall(spark, sf_dir):
     assert alpha >= base, (alpha, base)
     assert alpha >= nnd, (alpha, nnd)
     assert alpha >= 0.75, alpha  # measured 0.82 — noise margin
+
+
+def test_nnd_convergence_loop_and_early_exit(spark, sf_dir):
+    """The NN-descent convergence loop (nsw_nnd_graph_rounds): the
+    per-round update fraction — new pool candidates entering the top-M
+    re-rank over all top-M slots, Dong et al.'s termination counter —
+    decays geometrically (measured 0.082 -> 0.017 -> 0.006 at sf0.001),
+    and min_new_frac stops the loop at the first round below delta."""
+    stats: list = []
+    graph_ann.nsw_nnd_graph_rounds(spark, sf_dir, rounds=3, stats=stats)
+    assert len(stats) == 3
+    assert stats[0] > stats[1] > stats[2]
+    assert stats[2] < 0.05
+
+    early: list = []
+    graph_ann.nsw_nnd_graph_rounds(
+        spark, sf_dir, rounds=5, min_new_frac=0.05, stats=early
+    )
+    # round 1 is above delta, round 2 drops below it -> exit at 2 of 5
+    assert len(early) == 2
+    assert early[0] >= 0.05 > early[1]

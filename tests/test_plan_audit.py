@@ -300,6 +300,8 @@ PRE_PIN_ARROW_ALLOWED = {
     "embed_nsw_index_ann",
     # k-NN build kernel + the per-src α-prune kernel (both bounded groups)
     "embed_nsw_alpha_ann",
+    # iterated NND rounds over the kernel-built base graph
+    "embed_nsw_nnd2_ann",
 }
 
 
