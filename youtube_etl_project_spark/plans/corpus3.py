@@ -162,13 +162,38 @@ def _hash_embed_oracle() -> str:
     """
 
 
+# Materialized hash-embedding frames, keyed by fixture dir (round 10,
+# VERDICT r9 #5 — the _IVFPQ_INDEX_CACHE pattern): seven registered
+# queries compose this exact frame (topic clusters, quality scorer,
+# hash-embed cosine, corpus4/embeddings2 pipelines), and each rebuilt
+# the explode→count→assemble pipeline per call. The frame is a pure
+# deterministic function of the documents table (rounded to 6dp, so the
+# parquet round-trip is bit-exact), hence safe to build once per fixture
+# and read back — across SparkSessions too, unlike a cached DataFrame.
+_HASH_EMB_CACHE: "dict[str, str]" = {}
+
+
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed embedding frame (doc_id, embedding: array<double>) —
     the INTERNAL building block composed by dedup_hash_embed_cosine,
     source_quality_scorer_r2, text_topic_clusters and corpus4's queries.
+    Memoized to parquet per fixture dir (build once, scan thereafter).
     The registered query of the same name wraps this with a string
     serialization: array columns must never reach the driver's comparator
     (registry.py round-8 rule)."""
+    import os
+    import tempfile
+
+    path = _HASH_EMB_CACHE.get(sf_dir)
+    if path is not None and os.path.isfile(f"{path}/_SUCCESS"):
+        return spark.read.parquet(path)
+    path = tempfile.mkdtemp(prefix="hashemb_")
+    _hash_embedding_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _HASH_EMB_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _hash_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",

