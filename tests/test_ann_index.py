@@ -221,3 +221,84 @@ def test_registered_query_matches_inmemory_twin(spark, sf_dir):
         map(tuple, twin.collect())
     )
     assert served.schema == twin.schema
+
+
+def test_streaming_nsw_ingest_bootstrap_insert_parity(spark, sf_dir, tmp_path):
+    """The graph twin of the IVF streaming ingest: first batch
+    bootstraps the persisted NSW index, later batches attach online.
+    Parity evidence (the incremental_components pattern): (1) every
+    inserted vector's out-edges equal its beam-search top-m recomputed
+    against a frozen copy of the pre-insert index; (2) every touched
+    neighbor's edge list equals the batch-recomputed top-deg_cap of its
+    old edges plus the capped reverse edges; (3) re-draining with no new
+    files changes nothing (exactly-once)."""
+    import shutil
+
+    from youtube_etl_project_spark.operators import ann_index
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+    from youtube_etl_project_spark.streaming.pipeline import (
+        streaming_nsw_ingest,
+    )
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40))
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "nsw")
+    ckpt = str(tmp_path / "ckpt")
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_nsw_ingest(spark, src, emb.schema, idx, ckpt)
+    q.awaitTermination(300)
+    e0 = spark.read.parquet(f"{idx}/edges")
+    assert e0.select("src").distinct().count() == half_a.count()
+
+    pre = str(tmp_path / "pre")
+    shutil.copytree(idx, pre)
+
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_nsw_ingest(spark, src, emb.schema, idx, ckpt)
+    q2.awaitTermination(300)
+
+    new_ids = {r.vec_id for r in half_b.collect()}
+    e1 = spark.read.parquet(f"{idx}/edges")
+
+    # (1) inserted out-edges == beam-search top-m on the frozen snapshot
+    qe_b = quantize_vectors(half_b, "vec_id", "embedding")
+    want_rows = ann_index.nsw_query(qe_b, pre, topk=8).collect()
+    want = {(r.query_id, r.neighbor_id, r.dist_q) for r in want_rows}
+    got = {
+        (r.src, r.dst, r.d)
+        for r in e1.collect()
+        if r.src in new_ids
+    }
+    assert got == want and want
+
+    # (2) touched neighbors: old edges + reverse edges, re-capped at 16
+    old: dict = {}
+    for r in spark.read.parquet(f"{pre}/edges").collect():
+        old.setdefault(r.src, []).append((r.d, r.dst))
+    rev: dict = {}
+    for qid, nid, d in want:
+        rev.setdefault(nid, []).append((d, qid))
+    e1_rows: dict = {}
+    for r in e1.collect():
+        if r.src not in new_ids:
+            e1_rows.setdefault(r.src, []).append((r.d, r.dst))
+    for u, extra in rev.items():
+        expect = sorted(old.get(u, []) + extra)[:16]
+        assert sorted(e1_rows[u]) == expect, u
+
+    # (3) exactly-once: re-drain with no new files changes nothing
+    n_edges = e1.count()
+    q3 = streaming_nsw_ingest(spark, src, emb.schema, idx, ckpt)
+    q3.awaitTermination(300)
+    assert spark.read.parquet(f"{idx}/edges").count() == n_edges
+
+    # the updated index serves: new nodes are reachable as results
+    res = ann_index.nsw_query(qe_b, idx, topk=5).collect()
+    per_q: dict = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == new_ids
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

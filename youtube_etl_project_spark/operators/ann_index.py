@@ -419,6 +419,7 @@ def nsw_query(
     topk: int = 5,
     beam: int = 8,
     rounds: int = 3,
+    include_cell: bool = False,
 ) -> DataFrame:
     """Greedy beam-search trace against the persisted NSW graph —
     bit-identical to plans/graph_ann._beam_search over the same graph.
@@ -521,6 +522,7 @@ def nsw_query(
             .filter(F.col("rn") <= beam)
             .select("query_id", "id", "cell", "d")
         )
+    extra = [F.col("cell")] if include_cell else []
     return (
         visited.filter(F.col("id") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(wb))
@@ -530,5 +532,120 @@ def nsw_query(
             F.col("id").alias("neighbor_id"),
             F.col("rnk").cast("long").alias("rank"),
             F.col("d").alias("dist_q"),
+            *extra,
         )
     )
+
+
+def nsw_insert(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    m: int = 8,
+    beam: int = 8,
+    rounds: int = 3,
+    deg_cap: int = 16,
+) -> None:
+    """Online insert into the persisted NSW graph — the standard
+    online-HNSW attach, micro-batch-sized work against an index of any
+    size: each new vector beam-searches the EXISTING graph for its
+    top-``m`` neighbors (pruned scans, like any probe), gains those as
+    out-edges, and its neighbors gain capped reverse edges.
+
+    Write mechanics per batch: new components and new out-edges APPEND
+    to the new vectors' own cell partitions; reverse edges rewrite only
+    the touched neighbors' cell partitions (dynamic partition
+    overwrite), re-applying the (d asc, dst asc) top-``deg_cap`` rule —
+    online-HNSW's prune — to every node in them. The merged frame is
+    localCheckpoint'ed before the overwrite (a plan may not scan the
+    path it overwrites; batch-scoped pins stay local per the
+    checkpointing module contract). Vectors inside one batch attach to
+    the pre-batch graph, not to each other (the standard batch-insert
+    semantics; intra-batch links arrive with later batches' searches).
+    Caveat, documented not hidden: a new vector whose nearest coarse
+    cell has no indexed members finds no beam entry and is inserted
+    edgeless (components only); production would widen the entry probe.
+    """
+    from pyspark.sql import Window
+
+    from youtube_etl_project_spark.operators.checkpointing import pin
+
+    spark = batch.sparkSession
+    nn = batch.filter(F.col(vec).isNotNull())
+    qe_new = nn.select(
+        F.col(id_col).alias("id"), F.posexplode(vec).alias("pos", "e")
+    ).select(
+        "id",
+        "pos",
+        F.floor(F.col("e").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    if qe_new.isEmpty():
+        return
+    cb = spark.read.parquet(f"{path}/coarse")
+    qq = qe_new.withColumnRenamed("id", "query_id")
+    dc = F.col("q") - F.col("cq")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    assign_new = F.broadcast(
+        qq.join(F.broadcast(cb), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(dc * dc).cast("long").alias("dist"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(F.col("query_id").alias("id"), "cell")
+    )
+    # 1) neighbors of each new vector on the PRE-batch graph
+    res = nsw_query(
+        qe_new, path, topk=m, beam=beam, rounds=rounds, include_cell=True
+    )
+    new_edges = pin(  # referenced by out-append, reverse rows, cell list
+        res.select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.col("dist_q").alias("d"),
+            F.col("cell").alias("dst_cell"),
+        )
+    )
+    # 2) components of the new vectors -> their own cell partitions
+    qe_new.join(
+        assign_new, "id"
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/components")
+    # 3) out-edges of the new vectors -> their own cell partitions
+    new_edges.join(
+        assign_new.withColumnRenamed("id", "src"), "src"
+    ).select("src", "dst", "d", "dst_cell", "cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/edges")
+    # 4) reverse edges into the touched neighbor cells: read the touched
+    # partitions (AFTER the out-edge append, so same-cell new edges
+    # survive the overwrite), merge, re-cap, dynamic-overwrite
+    touched = sorted(
+        r.dst_cell for r in new_edges.select("dst_cell").distinct().collect()
+    )
+    if not touched:
+        return
+    rev = (
+        new_edges.join(assign_new.withColumnRenamed("id", "src"), "src")
+        .select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "d",
+            F.col("cell").alias("dst_cell"),
+            F.col("dst_cell").alias("cell"),
+        )
+    )
+    existing = spark.read.parquet(f"{path}/edges").filter(
+        F.col("cell").isin(touched)
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.asc("d"), F.asc("dst"))
+    merged = pin(
+        existing.unionByName(rev)
+        .withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= deg_cap)
+        .select("src", "dst", "d", "dst_cell", "cell")
+    )
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(f"{path}/edges")

@@ -360,21 +360,18 @@ def _knn_parts_blocked(m2emb: DataFrame) -> DataFrame:
     )
 
 
-def nsw_graph(
-    spark: SparkSession, sf_dir: str
+def _graph_from_parts(
+    spark: SparkSession, emb: DataFrame, qe: DataFrame, books: dict
 ) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
-    """Build the neighbor graph: (edges(src, dst) pinned, pinned grid
-    rows qe(id, pos, q), ownership assign(id, cell), coarse codebook
-    cb(cell, pos, cq) — model-sized, persisted by the serving index)."""
+    """The bounded k-NN graph build over pinned grid rows ``qe`` and a
+    trained codebook: (edges pinned, qe, assign(id, cell), cb). Shared
+    by the fixture-dir path (nsw_graph) and the from-DataFrame bootstrap
+    (nsw_graph_from_vectors — the streaming ingest's first batch)."""
     from youtube_etl_project_spark.plans.exact_kmeans import (
         centroid_df,
         kmeans_dists_exact,
     )
-    from youtube_etl_project_spark.plans.similarity_queries import (
-        _ivf_trained_parts,
-    )
 
-    qe, books, _k, _np_ = _ivf_trained_parts(spark, sf_dir)
     cb = centroid_df(spark, books)
     wc = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
     ranked = pin(
@@ -384,11 +381,6 @@ def nsw_graph(
         .select("id", "cell", "rn")
     )
     assign = ranked.filter(F.col("rn") == 1).select("id", "cell")
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select(F.col("vec_id").alias("id"), "embedding")
-    )
     m2emb = ranked.join(emb, "id").select(
         "cell", "id", (F.col("rn") == 1).alias("own"), "embedding"
     )
@@ -415,6 +407,50 @@ def nsw_graph(
         .select("src", "dst", "d")
     )
     return edges, qe, assign, cb
+
+
+def nsw_graph(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
+    """Build the neighbor graph: (edges(src, dst) pinned, pinned grid
+    rows qe(id, pos, q), ownership assign(id, cell), coarse codebook
+    cb(cell, pos, cq) — model-sized, persisted by the serving index)."""
+    from youtube_etl_project_spark.plans.similarity_queries import (
+        _ivf_trained_parts,
+    )
+
+    qe, books, _k, _np_ = _ivf_trained_parts(spark, sf_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("id"), "embedding")
+    )
+    return _graph_from_parts(spark, emb, qe, books)
+
+
+def nsw_graph_from_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
+    """The same bounded build from an arbitrary embedding DataFrame —
+    trains its own exact-grid coarse quantizer (auto K from the row
+    count, the auto_ivf_geometry rule) instead of the fixture-dir
+    memoized model. The streaming NSW ingest bootstraps its index from
+    the first micro-batch through this."""
+    from youtube_etl_project_spark.operators.similarity import (
+        auto_ivf_geometry,
+    )
+    from youtube_etl_project_spark.plans.exact_kmeans import (
+        kmeans_train_exact,
+        quantize_vectors,
+    )
+
+    spark = df.sparkSession
+    nn = df.filter(F.col(vec).isNotNull())
+    qe = pin(quantize_vectors(nn, id_col, vec))
+    k_cells, _ = auto_ivf_geometry(df.count())
+    books = kmeans_train_exact(qe, k=k_cells, iters=2)
+    emb = nn.select(F.col(id_col).alias("id"), F.col(vec).alias("embedding"))
+    return _graph_from_parts(spark, emb, qe, books)
 
 
 def _pool_from(edges: DataFrame, qe: DataFrame) -> DataFrame:

@@ -363,3 +363,58 @@ def streaming_ann_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_nsw_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> StreamingQuery:
+    """Streaming ingest into the persisted NSW graph index
+    (:mod:`operators.ann_index` ``nsw_build``/``nsw_insert``/
+    ``nsw_query``) — the graph twin of :func:`streaming_ann_ingest`,
+    completing the streaming-serving matrix: parquet file source of
+    arriving embedding batches → foreachBatch → the first batch
+    bootstraps the index (trains its own exact-grid coarse quantizer
+    and runs the bounded k-NN build — plans/graph_ann.
+    nsw_graph_from_vectors); every later batch attaches online via
+    ``nsw_insert``: each new vector beam-searches the existing graph
+    for its neighbors (pruned probes), appends its components and
+    out-edges to its own cell partitions, and rewrites only the touched
+    neighbor partitions with capped reverse edges — O(|batch| × probe)
+    per micro-batch, the corpus never rescanned.
+
+    Exactly-once per input file via the checkpoint, so a re-run cannot
+    double-insert vectors or double-append edges."""
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        import os
+
+        from youtube_etl_project_spark.operators import ann_index
+
+        if os.path.isdir(f"{index_path}/edges"):
+            ann_index.nsw_insert(batch, index_path, id_col=id_col, vec=vec)
+        else:
+            from youtube_etl_project_spark.plans.graph_ann import (
+                nsw_graph_from_vectors,
+            )
+
+            edges, qe, assign, cb = nsw_graph_from_vectors(
+                batch, id_col=id_col, vec=vec
+            )
+            ann_index.nsw_build(edges, assign, qe, cb, index_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
