@@ -153,6 +153,12 @@ HEADLINE = [
     # end to end (percentile_value ceded — the percentile family keeps
     # lineitem_exact_percentiles, the harder two-pass exact form)
     "embed_nsw_ann",
+    # round-10 additions: the persisted NSW serving index (probe-many
+    # row — the graph memoizes per fixture dir like the IVF-PQ index)
+    # and the wide-pool α-pruned graph (the navigability fix; its line
+    # includes the NND candidate pass + per-node α kernel)
+    "embed_nsw_index_ann",
+    "embed_nsw_alpha_ann",
 ]
 
 # Host-speed reference: the exact calib_jvm_sec recorded in BENCH_r03.json

@@ -40,16 +40,25 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 # collect_sorted_list (driver-side proof of the no-array-output rule);
 # the CDC family keeps merge_upsert_dim + scd2_upsert_customers, the
 # eval family keeps ann_recall_report + embed_drift_report + events_ab_ks.
+# round 10: fn_classify_sentiment / collect_sorted_list /
+# embed_ivf_ann_v1 / embed_drift_report ceded their slots to the four
+# round-10 graph-ANN capstones (NND seated per VERDICT r9 #7, NND
+# iterated to convergence, the persisted NSW serving index, and the
+# wide-pool α-pruned graph) — F3 stays sampled via flagship composition,
+# the no-array rule stays audit-enforced, the IVF serving family keeps
+# embed_ivfpq_index_ann, and the eval family keeps ann_recall_report +
+# events_ab_ks; every ceded shape stays green in the committed
+# both-scale full-gate logs.
 FLAGSHIPS = {
     "dedup_minhash_lsh_md5", "dedup_cluster_cc",
     "embed_lsh_ann_md5",
-    "embed_ivf_ann_v1", "dedup_exact_substring", "scd2_upsert_customers",
+    "dedup_exact_substring", "scd2_upsert_customers",
     "merge_upsert_dim",
     "lineitem_exact_percentiles",
     "streaming_outer_join_parity", "ann_recall_report",
     "record_linkage_mutual_best",
     "entity_resolution_docs", "dedup_prefix_filter_join",
-    "events_ab_ks", "embed_drift_report", "table_diff_versions",
+    "events_ab_ks", "table_diff_versions",
     "streaming_stateful_totals_parity",
     "mv_scoped_refresh", "fuzzy_dup_degree_sym",
     "multimodal_ahash_near_dup",
@@ -61,7 +70,6 @@ FLAGSHIPS = {
     # round-8 capstones
     "embed_ridge_r2", "source_quality_scorer_r2",
     "embed_mahalanobis_outliers", "embed_pca_project",
-    "collect_sorted_list",
     # round-8 continuation: IVF-PQ composed ANN (join_fact_dim ceded —
     # J1 keeps its driver row via flagship_daily_agg, the same broadcast
     # fact⋈dim shape plus the aggregate)
@@ -76,6 +84,9 @@ FLAGSHIPS = {
     # round-9 stretch: NSW graph ANN (agg_refresh_daily ceded — A7 keeps
     # mv_scoped_refresh, the harder incremental form)
     "embed_nsw_ann",
+    # round-10 capstones: the completed graph-ANN story
+    "embed_nsw_nnd_ann", "embed_nsw_nnd2_ann",
+    "embed_nsw_index_ann", "embed_nsw_alpha_ann",
 }
 
 
