@@ -202,6 +202,18 @@ PROBE_QUERIES = (
     # (2n²/K pairs, the SemDeDup n^1.5 regime, Arrow int64 kernel);
     # search rounds are broadcast beam probes of the pinned edge list
     "embed_nsw_ann",
+    # round-10 wave: the persisted NSW serving index (build memoizes per
+    # fixture dir — build+probe envelope per rep, like ivfpq_index), the
+    # wide-pool α-pruned graph (NND candidate pass + bounded per-node
+    # Arrow α kernel), NN-descent iterated (two bounded rounds), and the
+    # prefix-doubling suffix spans (log L rounds of shifted join +
+    # distributed rank — O(N·log L) integer rows, the windowed plan's
+    # O(N·L) character shuffle eliminated)
+    "embed_nsw_index_ann",
+    "embed_nsw_alpha_ann",
+    "embed_nsw_nnd2_ann",
+    "dedup_suffix_spans",
+    "dedup_dup_segments",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows

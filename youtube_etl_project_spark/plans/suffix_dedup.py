@@ -1,0 +1,236 @@
+"""Suffix-array-grade substring dedup (round 10 stretch — VERDICT r9
+#8): prefix-doubling suffix ranks over the corpus, on DataFrames.
+
+``dedup_exact_substring`` (plans/dedup2.py) is the windowed
+approximation of Lee et al. 2022's suffix-array span dedup: it
+materializes every L-token window as TEXT and groups on it — cost
+O(N·L) characters shuffled, fine at L=16, hopeless at the L=256+ spans
+long-boilerplate corpora need. This module builds the suffix-array
+primitive itself, distributably: Manber-Myers PREFIX DOUBLING, where
+round k assigns each position a dense rank of its 2k-token prefix from
+the pair (rank_k(i), rank_k(i+k)). log2(L) rounds of {self-join,
+distinct, distributed rank} give rank_L — O(N·log L) rows total, never
+a multi-token string after tokenization, and the dense rank uses
+``operators/ranking.global_rank`` (range-shuffle + per-partition
+offsets) so no unpartitioned window appears anywhere (the audit gate).
+
+Two registered rows:
+
+* ``dedup_suffix_spans`` — duplicated L=16-token spans via rank_16
+  grouping. Its oracle is the GROUND-TRUTH windowed span grouping (the
+  dedup_exact_substring oracle verbatim), which is a stronger check
+  than mirroring the doubling in SQL: the value hash proves four
+  rounds of doubling + distributed ranking reproduce exact substring
+  equality, not merely that two engines ran the same algorithm. Parity
+  with the windowed plan is additionally pinned by pytest at L=16 and
+  L=32.
+* ``dedup_dup_segments`` — the Lee-et-al. REMOVAL unit: maximal
+  duplicated segments per document (consecutive covered window starts
+  → islands via a per-doc partitioned window), (doc_id, seg_start,
+  seg_len). A span of 100 duplicated tokens is one 100-token segment
+  here, not 85 overlapping windows.
+
+Tokenization matches dedup_exact_substring exactly (raw split on ' ')
+so the parity is literal. Positions stay (doc_id, i)-keyed — a window
+that would cross a document boundary is simply never emitted (only
+full in-document windows reach the grouping), which removes the need
+for the classic unique-separator sentinels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_project_spark.operators.checkpointing import pin
+from youtube_etl_project_spark.operators.ranking import global_rank
+from youtube_etl_project_spark.registry import cnt, register
+from youtube_etl_project_spark.sources import load_table
+
+_L = 16  # registered span length (= dedup_exact_substring's _K)
+
+
+def suffix_window_ranks(
+    toks: DataFrame, span_len: int
+) -> DataFrame:
+    """Prefix-doubling ranks: for ``toks`` (doc_id, t array<string>),
+    return (doc_id, i, rk) for every 0-based position i with a FULL
+    in-document ``span_len``-token window, where rk is a dense rank of
+    the window's token sequence: rk equal ⟺ windows equal (exact — the
+    doubling pairs chain only over positions inside the window).
+    ``span_len`` must be a power of two ≥ 2. log2(span_len) rounds,
+    each {shifted self-join, distinct pairs, global_rank} — no window
+    text is ever materialized, no unpartitioned window is used."""
+    if span_len < 2 or span_len & (span_len - 1):
+        raise ValueError(f"span_len must be a power of two >= 2: {span_len}")
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("i", "term")
+    )
+    vocab, _ = global_rank(
+        pos.select("term").distinct(), [F.col("term")], "rk"
+    )
+    r = pin(pos.join(vocab, "term").select("doc_id", "i", "rk"))
+    k = 1
+    while k < span_len:
+        nxt = r.select(
+            "doc_id", (F.col("i") - k).alias("i"), F.col("rk").alias("r2")
+        )
+        pairs = pin(
+            r.withColumnRenamed("rk", "r1")
+            .join(nxt, ["doc_id", "i"], "left")
+            .fillna({"r2": -1})
+        )  # referenced by the distinct AND the rank join-back
+        dr, _ = global_rank(
+            pairs.select("r1", "r2").distinct(),
+            [F.col("r1"), F.col("r2")],
+            "rk",
+        )
+        r = pin(pairs.join(dr, ["r1", "r2"]).select("doc_id", "i", "rk"))
+        k *= 2
+    lens = toks.select("doc_id", F.size("t").alias("__n"))
+    return (
+        r.join(lens, "doc_id")
+        .filter(F.col("i") <= F.col("__n") - span_len)
+        .select("doc_id", "i", "rk")
+    )
+
+
+def dup_window_starts(
+    toks: DataFrame, span_len: int
+) -> "tuple[DataFrame, DataFrame]":
+    """(groups, covered): duplicated-window rank groups
+    (rk, n_docs, n_occ, rep_doc, rep_i) and the covered window starts
+    (doc_id, i) — shared by both registered rows."""
+    ranks = pin(suffix_window_ranks(toks, span_len))
+    groups = pin(
+        ranks.groupBy("rk")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            cnt("n_occ"),
+            F.min(F.struct("doc_id", "i")).alias("__rep"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "rk",
+            "n_docs",
+            "n_occ",
+            F.col("__rep.doc_id").alias("rep_doc"),
+            F.col("__rep.i").alias("rep_i"),
+        )
+    )
+    covered = ranks.join(groups.select("rk"), "rk", "semi").select(
+        "doc_id", "i"
+    )
+    return groups, covered
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _L
+    )
+
+
+@register(
+    "dedup_suffix_spans",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), spans AS (
+            SELECT doc_id,
+                   array_to_string(t[i.i : i.i + {_L} - 1], ' ') AS span
+            FROM toks CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(t) - {_L} + 2)) AS i
+            ) AS i(i)
+            WHERE len(t) >= {_L}
+        )
+        SELECT span,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM spans
+        GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    doc="X2 suffix-array-grade substring dedup (round 10 stretch): "
+        f"duplicated {_L}-token spans found by Manber-Myers PREFIX "
+        "DOUBLING — log2(L) rounds of (shifted self-join, distinct "
+        "pairs, distributed dense rank via operators/ranking."
+        "global_rank), so no multi-token window text is ever "
+        "materialized or shuffled: O(N·log L) integer rank rows "
+        "replace the windowed plan's O(N·L) characters, which is the "
+        "path to the L=256+ span lengths Lee et al.-style boilerplate "
+        "removal needs at 100 TB. The ORACLE is the ground-truth "
+        "windowed span grouping (dedup_exact_substring's oracle "
+        "verbatim) — the value hash proves the doubling pipeline "
+        "reproduces exact substring equality, a stronger statement "
+        "than a mirrored-algorithm twin; span text is reconstructed "
+        "only for the duplicated groups (one representative slice "
+        "each). Parity with the windowed plan is pinned by pytest at "
+        "L=16 AND L=32; no unpartitioned window anywhere (rank is the "
+        "range-shuffle two-pass)",
+)
+def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    groups, _covered = dup_window_starts(toks, _L)
+    rep = groups.select(
+        F.col("rep_doc").alias("doc_id"), "rep_i", "n_docs", "n_occ"
+    )
+    return rep.join(toks, "doc_id").select(
+        F.array_join(
+            F.slice(F.col("t"), F.col("rep_i") + 1, _L), " "
+        ).alias("span"),
+        "n_docs",
+        "n_occ",
+    )
+
+
+@register(
+    "dedup_dup_segments",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), spans AS (
+            SELECT doc_id, i.i AS i,
+                   array_to_string(t[i.i : i.i + {_L} - 1], ' ') AS span
+            FROM toks CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(t) - {_L} + 2)) AS i
+            ) AS i(i)
+            WHERE len(t) >= {_L}
+        ), dup AS (
+            SELECT span FROM spans
+            GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1
+        ), cov AS (
+            SELECT DISTINCT s.doc_id, s.i
+            FROM spans s JOIN dup USING (span)
+        ), isl AS (
+            SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS grp
+            FROM cov
+        )
+        SELECT doc_id,
+               CAST(MIN(i) AS BIGINT) AS seg_start,
+               CAST(COUNT(*) + {_L} - 1 AS BIGINT) AS seg_len
+        FROM isl GROUP BY doc_id, grp
+    """,
+    doc="The Lee et al. REMOVAL unit built on the suffix ranks: maximal "
+        f"duplicated segments per document — consecutive {_L}-token "
+        "duplicated-window starts collapse into islands (start index "
+        "minus per-doc row_number — a PARTITIONED window), one row per "
+        "maximal segment with its 1-based start and total token length "
+        "(a 100-token duplicated block is ONE 100-token segment, not 85 "
+        "overlapping windows — the unit a corpus filter actually trims). "
+        "Covered starts come from the prefix-doubling ranks; the oracle "
+        "recomputes them from ground-truth window text",
+)
+def dedup_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    _groups, covered = dup_window_starts(toks, _L)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = covered.withColumn(
+        "grp", F.col("i") - F.row_number().over(w)
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        (F.min("i") + 1).cast("long").alias("seg_start"),
+        (F.count(F.lit(1)) + _L - 1).cast("long").alias("seg_len"),
+    ).select("doc_id", "seg_start", "seg_len")

@@ -409,6 +409,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         ivfpq,
         diversify,
         graph_ann,
+        suffix_dedup,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
