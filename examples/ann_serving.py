@@ -96,6 +96,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "query_id", "rank"
     ).show(10)
 
+    # Round 10: the graph family's serving + quality rows.
+    # embed_nsw_index_ann probes the PERSISTED graph (src-cell-
+    # partitioned edge list, every round's scans pruned to the beam's
+    # cells — bit-identical to the in-memory trace above);
+    # embed_nsw_alpha_ann searches the wide-pool α-pruned graph (the
+    # navigability fix: recall@5 0.82/0.92/0.84 across scales vs the
+    # base 0.68/0.76/0.86 — see RECALL.md).
+    print("persisted NSW graph probe (partition-pruned):")
+    plans["embed_nsw_index_ann"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+    print("wide-pool α-pruned graph search:")
+    plans["embed_nsw_alpha_ann"].fn(spark, sf_dir).orderBy(
+        "query_id", "rank"
+    ).show(10)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
