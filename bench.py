@@ -37,12 +37,14 @@ HEADLINE = [
     # precedent; J1 keeps flagship_daily_agg (same broadcast fact-dim
     # shape plus the aggregate), conditional aggregation keeps
     # q1_pricing_summary, and all three stay gate-covered at both scales)
+    # (round 10: agg_refresh_daily / topk_per_group / explode_tokens
+    # left the list so the two round-10 serving rows keep the
+    # norm_py/contended extras inside the parse window — same precedent;
+    # A7 keeps mv_scoped_refresh in the gate, O3/F11 are sub-second
+    # trivial shapes covered at both scales by the full gate)
     "flagship_daily_agg",
     "q1_pricing_summary",
-    "agg_refresh_daily",
     "window_latest_per_key",
-    "topk_per_group",
-    "explode_tokens",
     "merge_insert_only",
     "events_sliding_window",
     "events_session_window",
