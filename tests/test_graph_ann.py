@@ -260,3 +260,20 @@ def test_nnd_convergence_loop_and_early_exit(spark, sf_dir):
     # round 1 is above delta, round 2 drops below it -> exit at 2 of 5
     assert len(early) == 2
     assert early[0] >= 0.05 > early[1]
+
+
+def test_persisted_alpha_index_bit_identical(spark, sf_dir):
+    """round 10: the persisted α-pruned graph index serves bit-identical
+    results to the in-memory α search (nsw_build/nsw_query work on any
+    degree-capped edge list — exact grid makes it an equality)."""
+    plans = load_all_plans()
+    want = sorted(
+        map(tuple, plans["embed_nsw_alpha_ann"].fn(spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            plans["embed_nsw_alpha_index_ann"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert got == want

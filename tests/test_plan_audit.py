@@ -302,6 +302,8 @@ PRE_PIN_ARROW_ALLOWED = {
     "embed_nsw_alpha_ann",
     # iterated NND rounds over the kernel-built base graph
     "embed_nsw_nnd2_ann",
+    # first call builds the persisted α-graph via the same kernels
+    "embed_nsw_alpha_index_ann",
 }
 
 

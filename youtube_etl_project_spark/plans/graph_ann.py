@@ -818,6 +818,53 @@ def _nsw_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_NSW_ALPHA_INDEX_CACHE: "dict[str, str]" = {}
+
+
+def _nsw_alpha_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from youtube_etl_project_spark.operators import ann_index
+
+    path = _NSW_ALPHA_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(f"{path}/edges"):
+        edges3, qe, assign, cb = nsw_alpha_graph(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="nsw_alpha_index_")
+        ann_index.nsw_build(edges3, assign, qe, cb, path)
+        _NSW_ALPHA_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "embed_nsw_alpha_index_ann",
+    oracle=_nsw_alpha_oracle(),
+    doc="X3 serving path (round 10): the PERSISTED α-pruned graph — the "
+        "build-once/probe-many twin of embed_nsw_alpha_ann, completing "
+        "the serving matrix (every graph variant servable: base → "
+        "embed_nsw_index_ann, α-pruned → this row). Same src-cell-"
+        "partitioned layout and pruned beam probes as the base index "
+        "(operators/ann_index.nsw_build/nsw_query work on ANY "
+        "degree-capped edge list); exact-grid arithmetic keeps the "
+        "persisted trace bit-identical to the in-memory α search, so "
+        "this row shares _nsw_alpha_oracle() verbatim — and it serves "
+        "the BEST-recall graph (0.82/0.92/0.84 across scales, "
+        "RECALL.md), which is what a deployment would actually persist",
+)
+def embed_nsw_alpha_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import ann_index
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    path = _nsw_alpha_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_qe = quantize_vectors(
+        emb.filter(F.col("vec_id") < _N_QUERIES), "vec_id", "embedding"
+    )
+    return ann_index.nsw_query(
+        queries_qe, path, topk=_TOPK, beam=_B, rounds=_T
+    )
+
+
 @register(
     "embed_nsw_index_ann",
     oracle=_nsw_oracle(),
