@@ -203,9 +203,14 @@ def main() -> None:
         # this host shows transient multi-second GC/noisy-neighbor stalls
         # (see SCALE.md note); the min of n runs is the reproducible cost.
         # Sub-second queries are fixed-overhead dominated and the noisiest
-        # round-over-round, so they get a third sample.
+        # round-over-round, so they get a third sample. Streaming drains
+        # get one too (documented best-of-3, VERDICT r10 #2): their first
+        # sample often absorbs one-time costs (input staging, streaming-
+        # engine init — see the streaming warmup below), leaving min-of-2
+        # resting on a SINGLE warm drain, which is what whipsawed the
+        # r9→r10 committed records (2.26 s vs 6.12 s, same code).
         times = [run(name) for _ in range(n)]
-        if min(times) < 1.0:
+        if min(times) < 1.0 or name.startswith("streaming_"):
             times.append(run(name))
         return min(times)
 
@@ -221,6 +226,11 @@ def main() -> None:
     # first pandas_udf in a session pays ~5s of worker spin-up)
     run("flagship_daily_agg")
     run("multimodal_decode")
+    # streaming warmup (VERDICT r10 #2): the first drain in a process
+    # pays ~20 s of one-time interval-input staging plus streaming-engine
+    # init (measured: 23 s cold vs 2.6-3.5 s warm at sf0.1) — stage it
+    # here so every timed streaming sample measures the drain, not setup
+    run("streaming_outer_join_parity")
     # settle the calibration path before timing it: tiered JIT + GC
     # adaptation need several iterations (measured: the first timed calib
     # runs 1.4-1.7x its settled cost even on an idle host, which tripped

@@ -302,3 +302,203 @@ def test_streaming_nsw_ingest_bootstrap_insert_parity(spark, sf_dir, tmp_path):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert set(per_q) == new_ids
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def _nsw_index_from(spark, df, idx):
+    from youtube_etl_project_spark.operators import ann_index
+    from youtube_etl_project_spark.plans.graph_ann import (
+        nsw_graph_from_vectors,
+    )
+
+    edges, qe, assign, cb = nsw_graph_from_vectors(df)
+    ann_index.nsw_build(edges, assign, qe, cb, idx)
+
+
+def _nsw_state(spark, idx):
+    e = {
+        tuple(r)
+        for r in spark.read.parquet(f"{idx}/edges")
+        .select("src", "dst", "d", "dst_cell", "cell")
+        .collect()
+    }
+    c = {
+        tuple(r)
+        for r in spark.read.parquet(f"{idx}/components")
+        .select("id", "pos", "q", "cell")
+        .collect()
+    }
+    return e, c
+
+
+def test_nsw_insert_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying an nsw_insert batch —
+    whether the previous attempt completed fully or landed only some of
+    its writes — must converge to the exact single-run state (ADVICE
+    r10: duplicated (id,pos) component rows would silently DOUBLE
+    nsw_query's sum-over-pos distances)."""
+    from youtube_etl_project_spark.operators import ann_index
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40))
+    idx = str(tmp_path / "nsw")
+    _nsw_index_from(spark, base, idx)
+
+    ann_index.nsw_insert(batch, idx)
+    want = _nsw_state(spark, idx)
+    assert want[0] and want[1]
+
+    # full replay (crash after everything but the checkpoint commit)
+    ann_index.nsw_insert(batch, idx)
+    assert _nsw_state(spark, idx) == want
+
+    # partial replay: simulate a crash that landed ONLY the components
+    # append of a second batch, then replay the whole batch
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    batch2 = emb.filter(
+        (F.col("vec_id") % 2 == 1)
+        & (F.col("vec_id") >= 40) & (F.col("vec_id") < 60)
+    )
+    idx2 = str(tmp_path / "nsw2")
+    _nsw_index_from(spark, base, idx2)
+    ann_index.nsw_insert(batch2, idx2)
+    want2 = _nsw_state(spark, idx2)
+
+    idx3 = str(tmp_path / "nsw3")
+    _nsw_index_from(spark, base, idx3)
+    # crash-landed components only (what step 2 of the insert writes)
+    qe_b = quantize_vectors(batch2, "vec_id", "embedding")
+    cb = spark.read.parquet(f"{idx3}/coarse")
+    qq = qe_b.withColumnRenamed("id", "query_id")
+    from pyspark.sql import Window
+
+    dc = F.col("q") - F.col("cq")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    assign_new = (
+        qq.join(F.broadcast(cb), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(dc * dc).cast("long").alias("dist"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(F.col("query_id").alias("id"), "cell")
+    )
+    qe_b.join(assign_new, "id").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{idx3}/components")
+    # replay the whole batch on top of the partial state
+    ann_index.nsw_insert(batch2, idx3)
+    assert _nsw_state(spark, idx3) == want2
+
+
+def test_nsw_insert_empty_cell_attaches_via_second_cell(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 #7: a new vector whose nearest coarse cell has no
+    indexed members must attach through its second-nearest cell (the
+    build's 2-nearest-cells rule) instead of being inserted edgeless."""
+    import shutil
+
+    from youtube_etl_project_spark.operators import ann_index
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "nsw")
+    _nsw_index_from(spark, base, idx)
+
+    # drain one cell: pick the cell of the first held-out vector, remove
+    # its partitions so that vector's nearest cell is guaranteed empty
+    held = emb.filter(F.col("vec_id") % 2 == 1).limit(1)
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    qe_h = quantize_vectors(held, "vec_id", "embedding")
+    probe = ann_index.nsw_query(qe_h, idx, topk=1, include_cell=True)
+    # cell of the held vector under the persisted codebook = entry cell
+    cb = spark.read.parquet(f"{idx}/coarse")
+    qq = qe_h.withColumnRenamed("id", "query_id")
+    dc = F.col("q") - F.col("cq")
+    dists = (
+        qq.join(F.broadcast(cb), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(dc * dc).cast("long").alias("dist"))
+        .orderBy("dist", "cell")
+        .collect()
+    )
+    nearest_cell = dists[0].cell
+    import os
+
+    for ds in ("edges", "components"):
+        p = f"{idx}/{ds}/cell={nearest_cell}"
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    assert probe is not None  # pre-drain the index served normally
+
+    ann_index.nsw_insert(held, idx)
+    new_id = held.first().vec_id
+    out = (
+        spark.read.parquet(f"{idx}/edges")
+        .filter(F.col("src") == new_id)
+        .count()
+    )
+    assert out > 0, "empty-cell insert must attach via the 2nd cell"
+    # and its neighbors live in the second-nearest (non-drained) cell
+    second_cell = dists[1].cell
+    dst_cells = {
+        r.dst_cell
+        for r in spark.read.parquet(f"{idx}/edges")
+        .filter(F.col("src") == new_id)
+        .select("dst_cell")
+        .collect()
+    }
+    assert nearest_cell not in dst_cells
+    assert second_cell in dst_cells
+
+
+def test_nsw_compact_reduces_files_preserves_results(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 #6: repeated nsw_insert batches fragment cell
+    partitions; nsw_compact rewrites ONLY fragmented cells down to one
+    file each and every nsw_query trace is bit-identical before/after."""
+    from youtube_etl_project_spark.operators import ann_index
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "nsw")
+    _nsw_index_from(spark, base, idx)
+    for m in (1, 2):
+        ann_index.nsw_insert(
+            emb.filter(
+                (F.col("vec_id") % 3 == m) & (F.col("vec_id") < 60)
+            ),
+            idx,
+        )
+
+    before = ann_index.nsw_file_stats(idx)
+    assert any(
+        n > 1 for ds in before.values() for n in ds.values()
+    ), before
+
+    qs = quantize_vectors(
+        emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding"
+    )
+    want = sorted(map(tuple, ann_index.nsw_query(qs, idx).collect()))
+    health_want = sorted(
+        map(tuple, ann_index.nsw_cell_stats(spark, idx).collect())
+    )
+
+    done = ann_index.nsw_compact(spark, idx)
+    assert sum(done.values()) > 0
+
+    after = ann_index.nsw_file_stats(idx)
+    for ds, cells in after.items():
+        for c, n in cells.items():
+            assert n == 1, (ds, c, n)
+    assert sorted(map(tuple, ann_index.nsw_query(qs, idx).collect())) == want
+    assert (
+        sorted(map(tuple, ann_index.nsw_cell_stats(spark, idx).collect()))
+        == health_want
+    )
+    # idempotent: a second pass finds nothing fragmented
+    assert sum(ann_index.nsw_compact(spark, idx).values()) == 0

@@ -52,7 +52,7 @@ from youtube_etl_project_spark.registry import DRIVER_WINDOW, load_all_plans
 FLAGSHIPS = {
     "dedup_minhash_lsh_md5", "dedup_cluster_cc",
     "embed_lsh_ann_md5",
-    "dedup_exact_substring", "scd2_upsert_customers",
+    "scd2_upsert_customers",
     "merge_upsert_dim",
     "lineitem_exact_percentiles",
     "streaming_outer_join_parity", "ann_recall_report",
@@ -62,10 +62,15 @@ FLAGSHIPS = {
     "streaming_stateful_totals_parity",
     "mv_scoped_refresh", "fuzzy_dup_degree_sym",
     "multimodal_ahash_near_dup",
-    # round-7 capstones
-    "api_scan_parity", "api_stream_parity", "embed_pq_rerank_topk",
+    # round-7 capstones (round 11: api_stream_parity /
+    # k_anonymity_report / ridge_conformal_v1 ceded to the round-11
+    # capstones — the S family keeps api_scan_parity, audit/eval keeps
+    # events_ab_ks + ann_recall_report, ridge keeps embed_ridge_r2 +
+    # source_quality_scorer_r2; dedup_exact_substring ceded to the
+    # suffix-rank rows that reproduce its exact span grouping)
+    "api_scan_parity", "embed_pq_rerank_topk",
     "text_topic_clusters", "dedup_semantic", "dedup_simhash_pairs",
-    "graph_kcore_docs", "k_anonymity_report", "ridge_conformal_v1",
+    "graph_kcore_docs",
     "user_recent_history",
     # round-8 capstones
     "embed_ridge_r2", "source_quality_scorer_r2",
@@ -87,6 +92,10 @@ FLAGSHIPS = {
     # round-10 capstones: the completed graph-ANN story
     "embed_nsw_nnd_ann", "embed_nsw_nnd2_ann",
     "embed_nsw_index_ann", "embed_nsw_alpha_ann",
+    # round-11 capstones: suffix-rank dedup (both forms + long-span) and
+    # the persisted-NSW lifecycle monitor
+    "dedup_suffix_spans", "dedup_dup_segments",
+    "dedup_suffix_spans_64", "nsw_index_health",
 }
 
 

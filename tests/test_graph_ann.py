@@ -195,15 +195,19 @@ def test_alpha_prune_kernel_rule(spark):
 
 
 def test_alpha_graph_restores_search_recall(spark, sf_dir):
-    """The round-10 navigability fix, measured with the exact int64 grid
-    metric: the wide-pool α-pruned graph's greedy-search recall@5 beats
-    BOTH the base graph and the top-M NND graph at the same out-degree
-    cap (measured 0.82 vs 0.68 / 0.66 at sf0.001). The lift comes from
-    selecting out-edges from the top-2×DEG_CAP pool (the NND round's
-    top-M=8 starves the degree budget); the α-rule itself prunes only
-    ~0.5% on this distance-concentrated fixture — both facts on record."""
+    """The round-10 navigability fix, re-pinned on the 50-QUERY
+    instrument (VERDICT r10 #5: 10 queries × top-5 = 50 hits makes 0.02
+    differences sub-noise; 50 queries rest each cell on 250 hits).
+    Measured at 50 queries (tools/graph_recall.py): α 0.828 vs base
+    0.648 vs NND 0.592 at sf0.001; 0.776 / 0.644 / 0.572 at sf0.01 —
+    the wide-pool α advantage is decisive, not noise-level, on the
+    wider set. The lift comes from selecting out-edges from the
+    top-2×DEG_CAP pool (the NND round's top-M=8 starves the degree
+    budget); the α-rule itself prunes only ~0.5% on this
+    distance-concentrated fixture — both facts on record."""
     import numpy as np
 
+    n_queries = 50
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -216,29 +220,29 @@ def test_alpha_graph_restores_search_recall(spark, sf_dir):
     ).astype(np.int64)
     na = (Q * Q).sum(axis=1)
     exact = set()
-    for qi in np.where(ids < 10)[0]:
+    for qi in np.where(ids < n_queries)[0]:
         d = na + na[qi] - 2 * (Q @ Q[qi])
         d[qi] = 2**62
         sel = np.lexsort((ids, d))[:5]
         exact.update((int(ids[qi]), int(ids[j])) for j in sel)
 
-    plans = load_all_plans()
-
-    def recall(name):
+    def recall(graph):
+        edges, qe, assign, _cb = graph
         got = {
             (r.query_id, r.neighbor_id)
-            for r in plans[name].fn(spark, sf_dir).collect()
+            for r in graph_ann._beam_search(
+                edges, qe, assign, n_queries=n_queries
+            ).collect()
         }
         return len(got & exact) / len(exact)
 
-    base, nnd, alpha = (
-        recall("embed_nsw_ann"),
-        recall("embed_nsw_nnd_ann"),
-        recall("embed_nsw_alpha_ann"),
-    )
-    assert alpha >= base, (alpha, base)
-    assert alpha >= nnd, (alpha, nnd)
-    assert alpha >= 0.75, alpha  # measured 0.82 — noise margin
+    base = recall(graph_ann.nsw_graph(spark, sf_dir))
+    nnd = recall(graph_ann.nsw_nnd_graph(spark, sf_dir))
+    alpha = recall(graph_ann.nsw_alpha_graph(spark, sf_dir))
+    # measured 0.828 vs 0.648/0.592 — the margin is real at n=250 hits
+    assert alpha >= base + 0.1, (alpha, base)
+    assert alpha >= nnd + 0.1, (alpha, nnd)
+    assert alpha >= 0.78, alpha  # measured 0.828 — noise margin
 
 
 def test_nnd_convergence_loop_and_early_exit(spark, sf_dir):

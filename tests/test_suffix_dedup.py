@@ -67,6 +67,23 @@ def test_suffix_ranks_generalize_to_L32(spark, sf_dir):
     assert got == want
 
 
+def test_suffix_spans_match_windowed_plan_L64(spark, sf_dir):
+    """The registered long-span row (round 11): 6 doubling rounds vs
+    the ground truth's materialized 64-token window text — the regime
+    the module was built for (the windowed plan shuffles ~4x the L=16
+    characters here; the doubling adds two rounds of integer ranks)."""
+    plans = load_all_plans()
+    want = {
+        (r.span, r.n_docs, r.n_occ)
+        for r in _windowed_spans(spark, sf_dir, 64).collect()
+    }
+    got = {
+        (r.span, r.n_docs, r.n_occ)
+        for r in plans["dedup_suffix_spans_64"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
 def test_dup_segments_shape(spark, sf_dir):
     """Maximal segments: each is >= L tokens, starts are 1-based and
     in-document, and segments of one doc never overlap (maximality)."""

@@ -420,18 +420,36 @@ def nsw_query(
     beam: int = 8,
     rounds: int = 3,
     include_cell: bool = False,
+    entry_cells: int = 2,
+    reliable: "bool | None" = None,
+    exclude: "DataFrame | None" = None,
 ) -> DataFrame:
     """Greedy beam-search trace against the persisted NSW graph —
     bit-identical to plans/graph_ann._beam_search over the same graph.
 
     ``queries_qe`` is the quantized query batch (id, pos, q), small by
-    contract. Entry = lowest-id member of the query's nearest coarse
-    cell under the persisted codebook (the same exact-int argmin rule
-    as the build's kassign, so corpus-member queries recover their own
-    training assignment). Per round the beam re-enters as literals →
-    pruned edges scan; the frontier is pinned, its distinct dst cells
+    contract. Entry = lowest-(cell rank, id) member over the query's
+    ``entry_cells`` nearest coarse cells under the persisted codebook
+    (the build's 2-nearest-cells rule): a corpus-member query's rank-1
+    cell contains itself, so it recovers its own training assignment
+    and the trace is unchanged — the widening only matters when the
+    rank-1 cell has NO indexed members (an out-of-corpus query or a
+    fresh insert landing in an empty cell), which previously found no
+    entry at all. Per round the beam re-enters as literals → pruned
+    edges scan; the frontier is pinned, its distinct dst cells
     collected (≤ K ints) → pruned components scan for the distance
-    join. Returns (query_id, neighbor_id, rank, dist_q)."""
+    join. ``reliable`` is forwarded to every pin (nsw_insert passes
+    False: its micro-batch is retried whole by the streaming engine,
+    so batch-scoped pins stay local). Returns (query_id, neighbor_id,
+    rank, dist_q).
+
+    ``exclude`` (optional, single ``id`` column, batch-sized) removes
+    those ids from the graph VIEW — entry candidates, frontier targets
+    and distance rows — before the trace runs. nsw_insert passes its own
+    batch ids so a replayed at-least-once batch searches exactly the
+    pre-batch graph no matter how much of the previous attempt landed
+    (without it, a crash after the components append would let the new
+    vectors become entry candidates of their own replayed search)."""
     from pyspark.sql import Window
 
     from youtube_etl_project_spark.operators.checkpointing import pin
@@ -440,31 +458,43 @@ def nsw_query(
     cb = spark.read.parquet(f"{path}/coarse")
     comp = spark.read.parquet(f"{path}/components")
     edges = spark.read.parquet(f"{path}/edges")
+    if exclude is not None:
+        ex = F.broadcast(exclude.select("id").distinct())
+        comp = comp.join(ex, "id", "left_anti")
+        edges = edges.join(
+            ex.withColumnRenamed("id", "dst"), "dst", "left_anti"
+        )
     qq = queries_qe.withColumnRenamed("id", "query_id")
     dc = F.col("q") - F.col("cq")
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
     qcell_rows = [
-        (r.query_id, r.cell)
+        (r.query_id, r.cell, r.rn)
         for r in (
             qq.join(F.broadcast(cb), "pos")
             .groupBy("query_id", "cell")
             .agg(F.sum(dc * dc).cast("long").alias("dist"))
             .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cell")
+            .filter(F.col("rn") <= entry_cells)
+            .select("query_id", "cell", "rn")
             .collect()
         )
     ]
-    qcells = sorted({c for _, c in qcell_rows})
+    qcells = sorted({c for _, c, _ in qcell_rows})
     qcell_df = F.broadcast(
-        spark.createDataFrame(qcell_rows, "query_id bigint, cell int")
+        spark.createDataFrame(
+            qcell_rows, "query_id bigint, cell int, crank int"
+        )
     )
-    # entry: lowest-id member of the query's cell — pruned components scan
+    # entry: best (cell rank, id) member over the query's nearest
+    # cells — pruned components scan; rank-1 wins whenever it has any
+    # member (the pre-widening behavior, bit-for-bit)
     entry = (
         comp.filter(F.col("cell").isin(qcells))
         .join(qcell_df, "cell")
-        .groupBy("query_id", "cell")
-        .agg(F.min("id").alias("id"))
+        .groupBy("query_id")
+        .agg(F.min(F.struct("crank", "id", "cell")).alias("s"))
+        .select("query_id", F.col("s.id").alias("id"),
+                F.col("s.cell").alias("cell"))
     )
     qa = F.broadcast(
         qq.select("query_id", "pos", F.col("q").alias("qa"))
@@ -484,7 +514,7 @@ def nsw_query(
             .agg(F.sum(dd * dd).cast("long").alias("d"))
         )
 
-    visited = pin(qdist(entry, qcells))
+    visited = pin(qdist(entry, qcells), reliable=reliable)
     wb = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("id"))
     beam_df = visited  # one row per query (the entry)
     for _t in range(rounds):
@@ -511,12 +541,15 @@ def nsw_query(
                 visited.select("query_id", "id"),
                 ["query_id", "id"],
                 "left_anti",
-            )
+            ),
+            reliable=reliable,
         )
         fcells = sorted(
             r.cell for r in frontier.select("cell").distinct().collect()
         )
-        visited = pin(visited.unionByName(qdist(frontier, fcells)))
+        visited = pin(
+            visited.unionByName(qdist(frontier, fcells)), reliable=reliable
+        )
         beam_df = (
             visited.withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") <= beam)
@@ -559,29 +592,39 @@ def nsw_insert(
     overwrite), re-applying the (d asc, dst asc) top-``deg_cap`` rule —
     online-HNSW's prune — to every node in them. The merged frame is
     localCheckpoint'ed before the overwrite (a plan may not scan the
-    path it overwrites; batch-scoped pins stay local per the
-    checkpointing module contract). Vectors inside one batch attach to
-    the pre-batch graph, not to each other (the standard batch-insert
-    semantics; intra-batch links arrive with later batches' searches).
-    Caveat, documented not hidden: a new vector whose nearest coarse
-    cell has no indexed members finds no beam entry and is inserted
-    edgeless (components only); production would widen the entry probe.
+    path it overwrites; batch-scoped pins stay local — reliable=False —
+    per the checkpointing module contract, since a failed micro-batch
+    is retried whole by the streaming engine). Vectors inside one batch
+    attach to the pre-batch graph, not to each other (the standard
+    batch-insert semantics; intra-batch links arrive with later
+    batches' searches).
+
+    IDEMPOTENT per batch (ADVICE r10): foreachBatch delivery is
+    at-least-once, so a crash between this function's writes replays
+    the whole batch. Each write therefore excludes what a previous
+    attempt already landed — components anti-join existing (id, pos)
+    rows in the batch's cells, out-edges anti-join existing (src, dst)
+    in those cells, and the reverse-edge merge drops duplicate
+    (src, dst) rows before re-capping — so a replay converges to the
+    exact state a single clean run produces (duplicated component rows
+    would otherwise silently DOUBLE nsw_query's sum-over-pos
+    distances). Entry widening (nsw_query entry_cells=2, the build's
+    2-nearest-cells rule) means a vector landing in an empty coarse
+    cell attaches via its second-nearest cell instead of being
+    inserted edgeless; only a batch arriving before ANY indexed member
+    shares its top-2 cells stays edgeless.
     """
     from pyspark.sql import Window
 
     from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
 
     spark = batch.sparkSession
     nn = batch.filter(F.col(vec).isNotNull())
-    qe_new = nn.select(
-        F.col(id_col).alias("id"), F.posexplode(vec).alias("pos", "e")
-    ).select(
-        "id",
-        "pos",
-        F.floor(F.col("e").cast("double") * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("q"),
-    )
+    # exact_kmeans.quantize_vectors — the same GRID constant the
+    # persisted index was built with (ADVICE r10: an inline formula here
+    # would silently diverge bit-wise if GRID ever changed)
+    qe_new = quantize_vectors(nn, id_col, vec)
     if qe_new.isEmpty():
         return
     cb = spark.read.parquet(f"{path}/coarse")
@@ -596,9 +639,12 @@ def nsw_insert(
         .filter(F.col("rn") == 1)
         .select(F.col("query_id").alias("id"), "cell")
     )
+    new_cells = sorted(r.cell for r in assign_new.select("cell").collect())
     # 1) neighbors of each new vector on the PRE-batch graph
     res = nsw_query(
-        qe_new, path, topk=m, beam=beam, rounds=rounds, include_cell=True
+        qe_new, path, topk=m, beam=beam, rounds=rounds,
+        include_cell=True, reliable=False,
+        exclude=qe_new.select("id"),  # pre-batch graph view on replay
     )
     new_edges = pin(  # referenced by out-append, reverse rows, cell list
         res.select(
@@ -606,18 +652,40 @@ def nsw_insert(
             F.col("neighbor_id").alias("dst"),
             F.col("dist_q").alias("d"),
             F.col("cell").alias("dst_cell"),
-        )
+        ),
+        reliable=False,
     )
     # 2) components of the new vectors -> their own cell partitions
-    qe_new.join(
-        assign_new, "id"
-    ).write.mode("append").partitionBy("cell").parquet(f"{path}/components")
+    # (minus rows a replayed attempt already landed — pruned scan of
+    # the batch's own cells only)
+    existing_comp = spark.read.parquet(f"{path}/components").filter(
+        F.col("cell").isin(new_cells)
+    )
+    comp_new = pin(  # scans the path it then appends to — pin first
+        qe_new.join(assign_new, "id").join(
+            existing_comp.select("id", "pos"), ["id", "pos"], "left_anti"
+        ),
+        reliable=False,
+    )
+    comp_new.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/components"
+    )
     # 3) out-edges of the new vectors -> their own cell partitions
-    new_edges.join(
-        assign_new.withColumnRenamed("id", "src"), "src"
-    ).select("src", "dst", "d", "dst_cell", "cell").write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/edges")
+    # (same replay exclusion on (src, dst))
+    existing_out = spark.read.parquet(f"{path}/edges").filter(
+        F.col("cell").isin(new_cells)
+    )
+    out_new = pin(
+        new_edges.join(assign_new.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "d", "dst_cell", "cell")
+        .join(
+            existing_out.select("src", "dst"), ["src", "dst"], "left_anti"
+        ),
+        reliable=False,
+    )
+    out_new.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/edges"
+    )
     # 4) reverse edges into the touched neighbor cells: read the touched
     # partitions (AFTER the out-edge append, so same-cell new edges
     # survive the overwrite), merge, re-cap, dynamic-overwrite
@@ -642,10 +710,132 @@ def nsw_insert(
     wsrc = Window.partitionBy("src").orderBy(F.asc("d"), F.asc("dst"))
     merged = pin(
         existing.unionByName(rev)
+        # a replayed attempt may re-union reverse rows the previous
+        # attempt already overwrote in; d is a function of (src, dst)
+        # so duplicates are identical rows — drop before re-capping or
+        # each one eats a degree slot
+        .dropDuplicates(["src", "dst"])
         .withColumn("rn", F.row_number().over(wsrc))
         .filter(F.col("rn") <= deg_cap)
-        .select("src", "dst", "d", "dst_cell", "cell")
+        .select("src", "dst", "d", "dst_cell", "cell"),
+        reliable=False,
     )
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("cell").parquet(f"{path}/edges")
+
+
+def nsw_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell health of the persisted NSW graph (VERDICT r10 #6 — the
+    graph twin of :func:`ivf_cell_stats`): node count, out-edge count,
+    min/max out-degree, and the EDGELESS-node count — the observable
+    form of the documented nsw_insert caveat (a vector whose top-2
+    coarse cells held no indexed member at insert time attaches to
+    nothing; entry widening makes this rare, this monitor makes it
+    visible). Edgeless nodes are unreachable as beam ENTRY-to-frontier
+    hops from other cells and never contribute out-edges, so a rising
+    count is the re-link/rebuild signal, exactly as a ballooning IVF
+    cell is the retrain signal.
+
+    Reads each dataset once, aggregates — all bigint, oracle-friendly.
+    Returns (cell, n_nodes, n_edges, n_edgeless, min_deg, max_deg)."""
+    nodes = (
+        spark.read.parquet(f"{path}/components")
+        .select("id", "cell")
+        .distinct()
+    )
+    deg = (
+        spark.read.parquet(f"{path}/edges")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("outd"))
+    )
+    return (
+        nodes.join(deg, "id", "left")
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("outd"), F.lit(0)))
+            .cast("long")
+            .alias("n_edges"),
+            F.sum(F.when(F.col("outd").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_edgeless"),
+            F.min(F.coalesce(F.col("outd"), F.lit(0)))
+            .cast("long")
+            .alias("min_deg"),
+            F.max(F.coalesce(F.col("outd"), F.lit(0)))
+            .cast("long")
+            .alias("max_deg"),
+        )
+    )
+
+
+def nsw_file_stats(path: str) -> "dict[str, dict[int, int]]":
+    """Files per cell partition for each NSW dataset — the FRAGMENTATION
+    monitor: every :func:`nsw_insert` batch appends one-or-more files to
+    its new vectors' cell partitions (and dynamic-overwrites touched
+    ones), so a hot ingest cell accumulates small files and its probe
+    pays per-file open cost. Driver-side listing is safe: the cell count
+    is K ∝ √n (model-sized) and only directory metadata is read."""
+    import os
+    import re
+
+    out: dict[str, dict[int, int]] = {}
+    for ds in ("edges", "components"):
+        cells: dict[int, int] = {}
+        base = os.path.join(path, ds)
+        if not os.path.isdir(base):
+            continue
+        for entry in os.listdir(base):
+            m = re.fullmatch(r"cell=(\d+)", entry)
+            if not m:
+                continue
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(base, entry))
+                if f.endswith(".parquet")
+            )
+            cells[int(m.group(1))] = n
+        out[ds] = cells
+    return out
+
+
+def nsw_compact(
+    spark: SparkSession, path: str, max_files_per_cell: int = 1
+) -> "dict[str, int]":
+    """Compact fragmented cell partitions of the persisted NSW graph —
+    the post-ingest maintenance pass (VERDICT r10 #6): for each dataset
+    (edges, components), cells holding more than ``max_files_per_cell``
+    parquet files are read back, eagerly pinned (round-10 rule: a plan
+    may never scan the path its dynamic overwrite is rewriting — the
+    localCheckpoint materializes the rows FIRST), coalesced to one file
+    per cell, and dynamic-partition-overwritten in place. Rewrite cost
+    is proportional to the fragmented cells' data only — untouched
+    partitions' files are never opened or rewritten. Row content is
+    unchanged (pinned by pytest: identical nsw_query traces before and
+    after), so probes pay fewer file opens for the same pruned scans.
+
+    Returns {dataset: number of cells compacted}."""
+    from youtube_etl_project_spark.operators.checkpointing import pin
+
+    stats = nsw_file_stats(path)
+    done: dict[str, int] = {}
+    for ds, cells in stats.items():
+        frag = sorted(
+            c for c, n in cells.items() if n > max_files_per_cell
+        )
+        done[ds] = len(frag)
+        if not frag:
+            continue
+        rows = pin(  # eager materialization BEFORE the overwrite
+            spark.read.parquet(f"{path}/{ds}").filter(
+                F.col("cell").isin(frag)
+            ),
+            reliable=False,
+        )
+        rows.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).option("maxRecordsPerFile", 0).partitionBy("cell").parquet(
+            f"{path}/{ds}"
+        )
+    return done

@@ -163,14 +163,14 @@ def _hash_embed_oracle() -> str:
 
 
 # Materialized hash-embedding frames, keyed by fixture dir (round 10,
-# VERDICT r9 #5 — the _IVFPQ_INDEX_CACHE pattern): seven registered
+# VERDICT r9 #5 — the _ivfpq_index_path pattern): seven registered
 # queries compose this exact frame (topic clusters, quality scorer,
 # hash-embed cosine, corpus4/embeddings2 pipelines), and each rebuilt
 # the explode→count→assemble pipeline per call. The frame is a pure
 # deterministic function of the documents table (rounded to 6dp, so the
 # parquet round-trip is bit-exact), hence safe to build once per fixture
 # and read back — across SparkSessions too, unlike a cached DataFrame.
-_HASH_EMB_CACHE: "dict[str, str]" = {}
+# Cache validity + cleanup via operators.fixture_cache (ADVICE r10).
 
 
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,16 +181,17 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The registered query of the same name wraps this with a string
     serialization: array columns must never reach the driver's comparator
     (registry.py round-8 rule)."""
-    import os
-    import tempfile
+    from youtube_etl_project_spark.operators import fixture_cache
 
-    path = _HASH_EMB_CACHE.get(sf_dir)
-    if path is not None and os.path.isfile(f"{path}/_SUCCESS"):
-        return spark.read.parquet(path)
-    path = tempfile.mkdtemp(prefix="hashemb_")
-    _hash_embedding_df(spark, sf_dir).write.mode("overwrite").parquet(path)
-    _HASH_EMB_CACHE[sf_dir] = path
-    return spark.read.parquet(path)
+    def _build(path: str) -> None:
+        _hash_embedding_df(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{path}/emb"
+        )
+
+    path = fixture_cache.cached_build(
+        "hashemb_", sf_dir, _build, marker="emb/_SUCCESS"
+    )
+    return spark.read.parquet(f"{path}/emb")
 
 
 def _hash_embedding_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -760,20 +760,17 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Persisted md5 LSH indexes, keyed by sf_dir — the indexed serving query
-# below probes the SAME materialized signature table across gate runs
-# instead of re-shingling the corpus per call (the dedup twin of the
-# persisted-IVF cache in plans/similarity_queries.py).
-_LSH_INDEX_CACHE: dict[str, str] = {}
+# Persisted md5 LSH indexes — the indexed serving query below probes
+# the SAME materialized signature table across gate runs instead of
+# re-shingling the corpus per call (the dedup twin of the persisted-IVF
+# cache in plans/similarity_queries.py). Cache validity + cleanup via
+# operators.fixture_cache (ADVICE r10).
 
 
 def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    from youtube_etl_project_spark.operators import fixture_cache
 
-    path = _LSH_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="lsh_index_") + "/sig"
+    def _build(path: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         is_batch = (
             F.substring(
@@ -783,9 +780,14 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         dedup.md5_signature_df(
             docs.filter(~is_batch), "doc_id", "text", _MD5_HASHES
-        ).write.mode("overwrite").parquet(path)
-        _LSH_INDEX_CACHE[sf_dir] = path
-    return path
+        ).write.mode("overwrite").parquet(f"{path}/sig")
+
+    return (
+        fixture_cache.cached_build(
+            "lsh_index_", sf_dir, _build, marker="sig/_SUCCESS"
+        )
+        + "/sig"
+    )
 
 
 @register(

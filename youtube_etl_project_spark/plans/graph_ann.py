@@ -409,12 +409,53 @@ def _graph_from_parts(
     return edges, qe, assign, cb
 
 
+def _memo_graph(
+    spark: SparkSession, sf_dir: str, prefix: str, build
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
+    """Fixture-memoized graph build (VERDICT r10 #4 — the hash-embedding
+    / codebook memo pattern applied to the graph family): the four
+    frames (edges, qe, assign, cb) are pure deterministic functions of
+    the fixture's embeddings table and every column is an exact int64 on
+    the grid, so the parquet round-trip is bit-exact and safe to share
+    across calls AND SparkSessions. Cache validity + cleanup follow the
+    operators.fixture_cache contract (content fingerprint, atexit
+    reclaim — ADVICE r10)."""
+    from youtube_etl_project_spark.operators import fixture_cache
+
+    def _write(path: str) -> None:
+        edges, qe, assign, cb = build()
+        edges.write.parquet(f"{path}/edges")
+        qe.write.parquet(f"{path}/qe")
+        assign.write.parquet(f"{path}/assign")
+        cb.coalesce(1).write.parquet(f"{path}/cb")
+
+    path = fixture_cache.cached_build(
+        prefix, sf_dir, _write, marker="cb/_SUCCESS"
+    )
+    return (
+        spark.read.parquet(f"{path}/edges"),
+        spark.read.parquet(f"{path}/qe"),
+        spark.read.parquet(f"{path}/assign"),
+        spark.read.parquet(f"{path}/cb"),
+    )
+
+
 def nsw_graph(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     """Build the neighbor graph: (edges(src, dst) pinned, pinned grid
     rows qe(id, pos, q), ownership assign(id, cell), coarse codebook
-    cb(cell, pos, cq) — model-sized, persisted by the serving index)."""
+    cb(cell, pos, cq) — model-sized, persisted by the serving index).
+    Memoized to parquet per fixture dir (exact-int frames; see
+    :func:`_memo_graph`)."""
+    return _memo_graph(
+        spark, sf_dir, "nswg_", lambda: _nsw_graph_build(spark, sf_dir)
+    )
+
+
+def _nsw_graph_build(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     from youtube_etl_project_spark.plans.similarity_queries import (
         _ivf_trained_parts,
     )
@@ -507,7 +548,31 @@ def nsw_nnd_graph_rounds(
     the threshold; the check costs one bounded count on the already-
     pinned round output. ``stats`` (optional list) receives each
     executed round's measured fraction, the RECALL.md accuracy-curve
-    evidence."""
+    evidence.
+
+    The plain fixed-``rounds`` form (no early-exit, no stats) is
+    memoized per fixture dir like the base graph — exact-int frames,
+    bit-exact round trip; instrumented/early-exit calls always run the
+    real loop (the counters are the point of those calls)."""
+    if min_new_frac is None and stats is None:
+        return _memo_graph(
+            spark,
+            sf_dir,
+            f"nswnnd{rounds}_",
+            lambda: _nsw_nnd_rounds_build(spark, sf_dir, rounds),
+        )
+    return _nsw_nnd_rounds_build(
+        spark, sf_dir, rounds, min_new_frac=min_new_frac, stats=stats
+    )
+
+
+def _nsw_nnd_rounds_build(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    min_new_frac: "float | None" = None,
+    stats: "list[float] | None" = None,
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     edges, qe, assign, cb = nsw_graph(spark, sf_dir)
     wsrc = Window.partitionBy("src").orderBy(F.asc("d"), F.asc("dst"))
     for _r in range(rounds):
@@ -602,7 +667,20 @@ def nsw_alpha_graph(
     edge only when a closer candidate covers it; under 64-d distance
     concentration it prunes a small fraction here (74/16k candidates at
     sf0.001 — reported honestly), and bites harder the more clustered
-    the corpus."""
+    the corpus.
+
+    Memoized per fixture dir (exact-int frames; :func:`_memo_graph`) —
+    the capstone search and the persisted-index build share one
+    materialized graph instead of each re-running pool + α-kernel
+    (VERDICT r10: the 8.7 s bench line was rebuild-per-call)."""
+    return _memo_graph(
+        spark, sf_dir, "nswalpha_", lambda: _nsw_alpha_build(spark, sf_dir)
+    )
+
+
+def _nsw_alpha_build(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
     pool, qe, assign, cb = _nnd_pool(spark, sf_dir)
     wsrc = Window.partitionBy("src").orderBy(F.asc("d"), F.asc("dst"))
     cnd = pin(
@@ -654,11 +732,15 @@ def embed_nsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _beam_search(
-    edges: DataFrame, qe: DataFrame, assign: DataFrame
+    edges: DataFrame, qe: DataFrame, assign: DataFrame,
+    n_queries: int = _N_QUERIES,
 ) -> DataFrame:
     """The greedy beam-search trace over a PINNED edge list — shared by
-    the base graph and the NN-descent-refined graph."""
-    qa = qe.filter(F.col("id") < _N_QUERIES).select(
+    the base graph and the NN-descent-refined graph. ``n_queries``
+    widens the query set beyond the registered trace (the recall
+    instrument — tools/graph_recall.py sweeps 50; registered rows keep
+    _N_QUERIES so the oracles are untouched)."""
+    qa = qe.filter(F.col("id") < n_queries).select(
         F.col("id").alias("query_id"), "pos", F.col("q").alias("qa")
     )
     qb = qe.select(F.col("id").alias("nid"), "pos", F.col("q").alias("qb"))
@@ -676,7 +758,7 @@ def _beam_search(
         )
 
     entry = (
-        assign.filter(F.col("id") < _N_QUERIES)
+        assign.filter(F.col("id") < n_queries)
         .select(F.col("id").alias("query_id"), "cell")
         .join(assign.withColumnRenamed("id", "member"), "cell")
         .groupBy("query_id")
@@ -796,44 +878,35 @@ def embed_nsw_alpha_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _beam_search(edges3, qe, assign)
 
 
-# Built persisted NSW graph indexes, keyed by sf_dir — the
-# _IVFPQ_INDEX_CACHE pattern: the registered query below is the "probe
-# many" half of build-once/probe-many, so repeated gate/bench runs probe
-# the SAME materialized graph instead of rebuilding per call.
-_NSW_INDEX_CACHE: "dict[str, str]" = {}
+# Built persisted NSW graph indexes — the _IVFPQ_INDEX_CACHE pattern:
+# the registered query below is the "probe many" half of
+# build-once/probe-many, so repeated gate/bench runs probe the SAME
+# materialized graph instead of rebuilding per call. Cache validity +
+# cleanup via operators.fixture_cache (ADVICE r10).
 
 
 def _nsw_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    from youtube_etl_project_spark.operators import ann_index, fixture_cache
 
-    from youtube_etl_project_spark.operators import ann_index
-
-    path = _NSW_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(f"{path}/edges"):
+    def _build(path: str) -> None:
         edges, qe, assign, cb = nsw_graph(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix="nsw_index_")
         ann_index.nsw_build(edges, assign, qe, cb, path)
-        _NSW_INDEX_CACHE[sf_dir] = path
-    return path
 
-
-_NSW_ALPHA_INDEX_CACHE: "dict[str, str]" = {}
+    return fixture_cache.cached_build(
+        "nsw_index_", sf_dir, _build, marker="edges"
+    )
 
 
 def _nsw_alpha_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    from youtube_etl_project_spark.operators import ann_index, fixture_cache
 
-    from youtube_etl_project_spark.operators import ann_index
-
-    path = _NSW_ALPHA_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(f"{path}/edges"):
+    def _build(path: str) -> None:
         edges3, qe, assign, cb = nsw_alpha_graph(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix="nsw_alpha_index_")
         ann_index.nsw_build(edges3, assign, qe, cb, path)
-        _NSW_ALPHA_INDEX_CACHE[sf_dir] = path
-    return path
+
+    return fixture_cache.cached_build(
+        "nsw_alpha_index_", sf_dir, _build, marker="edges"
+    )
 
 
 @register(
@@ -898,3 +971,50 @@ def embed_nsw_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.nsw_query(
         queries_qe, path, topk=_TOPK, beam=_B, rounds=_T
     )
+
+
+def _nsw_health_oracle() -> str:
+    """Per-cell health of the persisted base NSW graph — the build CTEs
+    plus a degree aggregation over kassign ∪ edges. Fully deterministic
+    (exact-grid build), so the lifecycle monitor itself sits under the
+    value hash."""
+    return (
+        _nsw_build_ctes()
+        + """, deg AS (
+            SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS outd
+            FROM edges GROUP BY 1
+        )
+        SELECT CAST(a.cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(COALESCE(d.outd, 0)) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN d.outd IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_edgeless,
+               CAST(MIN(COALESCE(d.outd, 0)) AS BIGINT) AS min_deg,
+               CAST(MAX(COALESCE(d.outd, 0)) AS BIGINT) AS max_deg
+        FROM kassign a LEFT JOIN deg d ON d.id = a.id
+        GROUP BY 1
+    """
+    )
+
+
+@register(
+    "nsw_index_health",
+    oracle=_nsw_health_oracle(),
+    doc="X3 serving-index LIFECYCLE monitor (round 11 — VERDICT r10 "
+        "#6): per-cell health of the persisted NSW graph via operators/"
+        "ann_index.nsw_cell_stats — node count, out-edge count, min/max "
+        "out-degree and the EDGELESS-node count, the observable form of "
+        "the documented nsw_insert empty-cell caveat and the graph twin "
+        "of ivf_cell_stats' retrain signal. Because the graph build is "
+        "exact-grid deterministic, the monitor itself sits under the "
+        "value hash (oracle = build CTEs + degree aggregation over "
+        "kassign LEFT JOIN edge degrees). The companion fragmentation "
+        "monitor + compaction pass (nsw_file_stats / nsw_compact — "
+        "file-level, not row-level) are pinned by pytest instead: "
+        "compaction rewrites only fragmented cells' partitions and "
+        "preserves every nsw_query trace bit-for-bit",
+)
+def nsw_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.operators import ann_index
+
+    return ann_index.nsw_cell_stats(spark, _nsw_index_path(spark, sf_dir))

@@ -424,23 +424,18 @@ def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Built persisted IVF-PQ indexes, keyed by sf_dir — like
-# similarity_queries._IVF_INDEX_CACHE, the registered query below is the
-# "probe many" half of build-once/probe-many: repeated gate/bench runs
-# probe the SAME materialized index instead of retraining per call.
-_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+# Built persisted IVF-PQ indexes — like similarity_queries'
+# _ivf_index_path, the registered query below is the "probe many" half
+# of build-once/probe-many: repeated gate/bench runs probe the SAME
+# materialized index instead of retraining per call. Cache validity +
+# cleanup via operators.fixture_cache (ADVICE r10).
 
 
 def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    from youtube_etl_project_spark.operators import ann_index, fixture_cache
 
-    from youtube_etl_project_spark.operators import ann_index
-
-    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(f"{path}/codes"):
+    def _build(path: str) -> None:
         qe, cb, assign, qer, pqcb, n_probe = _ivfpq_parts(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix="ivfpq_index_")
         # raw row count INCLUDING null-embedding rows: the rerank rule's
         # oracle twin (cnt CTE) and the in-memory capstone both count raw
         # rows (ADVICE r9 — assign.count() would diverge under nulls)
@@ -449,8 +444,10 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
             assign, qe, _encode(qer, pqcb), cb, pqcb, n_probe, path,
             n_vectors=n_raw,
         )
-        _IVFPQ_INDEX_CACHE[sf_dir] = path
-    return path
+
+    return fixture_cache.cached_build(
+        "ivfpq_index_", sf_dir, _build, marker="codes"
+    )
 
 
 @register(

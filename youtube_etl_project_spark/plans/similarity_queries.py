@@ -658,21 +658,16 @@ def embed_ivf_ann_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Built persisted indexes, keyed by sf_dir — the registered query below is
-# the "query many" half of build-once/query-many, so repeated gate runs
-# probe the SAME materialized index instead of retraining per call.
-_IVF_INDEX_CACHE: dict[str, str] = {}
+# Built persisted indexes — the registered query below is the "query
+# many" half of build-once/query-many, so repeated gate runs probe the
+# SAME materialized index instead of retraining per call. Cache
+# validity + cleanup via operators.fixture_cache (ADVICE r10).
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    from youtube_etl_project_spark.operators import ann_index, fixture_cache
 
-    from youtube_etl_project_spark.operators import ann_index
-
-    path = _IVF_INDEX_CACHE.get(sf_dir)
-    if path is None or not os.path.isdir(f"{path}/assignments"):
-        path = tempfile.mkdtemp(prefix="ivf_index_")
+    def _build(path: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         # Same AUTO geometry as embed_ivf_ann (auto_ivf_geometry, 2 Lloyd
         # rounds, seeded sample init) → identical centroids, so the
@@ -680,8 +675,10 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         # by tests/test_ann_index.py.
         k_cells, _ = similarity.auto_ivf_geometry(emb.count())
         ann_index.ivf_build(emb, path, k=k_cells, iters=2)
-        _IVF_INDEX_CACHE[sf_dir] = path
-    return path
+
+    return fixture_cache.cached_build(
+        "ivf_index_", sf_dir, _build, marker="assignments"
+    )
 
 
 @register(

@@ -281,7 +281,11 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _one_file(df: DataFrame, name: str, mtime: float) -> None:
         stage = os.path.join(tmp, name + "_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        # repartition(1), not coalesce(1): coalesce collapses the WHOLE
+        # upstream scan+filter onto one task (measured 20 s staging at
+        # sf0.1); the shuffle keeps it parallel and only the write is
+        # single-file
+        df.repartition(1).write.mode("overwrite").parquet(stage)
         part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
         dest = os.path.join(src, name + ".parquet")
         shutil.move(part, dest)
@@ -536,7 +540,7 @@ def streaming_semi_join_parity(
 
 # The three interval-join parities (left_outer / full_outer / left_semi)
 # consume IDENTICAL staged inputs — the mode lives in the join plan, not
-# the files — so staging (4 coalesce(1) writes + the flush-sentinel max
+# the files — so staging (4 single-file writes + the flush-sentinel max
 # scan, measured ~8-11 s at sf0.1 vs 3-6 s for the drain itself) runs
 # once per fixture dir and is shared across the family (VERDICT r6 #6).
 _STAGED_INTERVAL_INPUTS: dict[str, tuple[str, str]] = {}
@@ -615,7 +619,9 @@ def _stage_interval_inputs(
             (sentinel, "flush", now - 60),
         ):
             stage_dir = os.path.join(tmp, f"{name}_{fname}_stage")
-            part_df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+            part_df.repartition(1).write.mode("overwrite").parquet(
+                stage_dir
+            )
             part = globmod.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
             dest = os.path.join(src, fname + ".parquet")
             shutil.move(part, dest)
@@ -680,7 +686,7 @@ def streaming_stateful_totals_parity(
         (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
     ):
         stage_dir = os.path.join(tmp, f"stage_{i}")
-        ev.filter(half).drop("event_id").coalesce(1).write.mode(
+        ev.filter(half).drop("event_id").repartition(1).write.mode(
             "overwrite"
         ).parquet(stage_dir)
         part = globmod.glob(os.path.join(stage_dir, "part-*.parquet"))[0]

@@ -232,7 +232,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # graph family's driver row rotates to graph_kcore_docs
     "dedup_exact_keyed",
     "dedup_minhash_lsh_md5",
-    "dedup_cluster_cc", "dedup_exact_substring",
+    # (round 11: dedup_exact_substring ceded — the X2 substring family
+    # rotates to the strictly stronger suffix-rank rows below, which
+    # reproduce its exact span grouping via prefix doubling; the
+    # windowed form stays green in the committed both-scale full-gate
+    # logs)
+    "dedup_cluster_cc",
     # round-5 ANN rotation (VERDICT r4 #3): the rows-only LSH/IVF
     # flagships (embed_lsh_ann / embed_ivf_ann) ceded their slots to
     # their value-hash-checked twins — md5-derived hyperplanes and the
@@ -307,11 +312,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # queries now value-hashed end to end), plus the VERDICT-named
     # rotations: k-core peel, k-anonymity audit, the split-conformal
     # interval, and the as-of user-history join
-    "api_scan_parity", "api_stream_parity",
+    # (round 11: api_stream_parity ceded — S-family keeps
+    # api_scan_parity, the same custom DataSource in batch form, and the
+    # stream drain stays pytest-pinned + green in the local full gate;
+    # k_anonymity_report and ridge_conformal_v1 ceded — the audit/eval
+    # family keeps events_ab_ks + ann_recall_report, the ridge family
+    # keeps embed_ridge_r2 + source_quality_scorer_r2)
+    "api_scan_parity",
     "embed_pq_rerank_topk", "text_topic_clusters",
     "dedup_semantic", "dedup_simhash_pairs",
-    "graph_kcore_docs", "k_anonymity_report",
-    "ridge_conformal_v1", "user_recent_history",
+    "graph_kcore_docs",
+    "user_recent_history",
     # round 8 capstones: the four exact-grid-trained promotions — ridge
     # (global + per-source), the Newton-Schulz Mahalanobis, and the
     # all-integer subspace-iteration PCA — plus collect_sorted_list,
@@ -353,6 +364,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # search recall 0.82 vs 0.68/0.66 at equal degree cap)
     "embed_nsw_nnd_ann", "embed_nsw_nnd2_ann",
     "embed_nsw_index_ann", "embed_nsw_alpha_ann",
+    # round-11 capstones: suffix-array-grade substring dedup seated (the
+    # round-10 stretch was never in the window) in BOTH forms — the
+    # duplicated-span grouping and the Lee-et-al. maximal removal
+    # segments — plus the LONG-span (L=64) row the prefix-doubling
+    # module was built for, and the persisted-NSW lifecycle monitor
+    # (per-cell degree/edgeless health under the value hash)
+    "dedup_suffix_spans", "dedup_dup_segments",
+    "dedup_suffix_spans_64", "nsw_index_health",
 )
 
 

@@ -388,8 +388,15 @@ def streaming_nsw_ingest(
     neighbor partitions with capped reverse edges — O(|batch| × probe)
     per micro-batch, the corpus never rescanned.
 
-    Exactly-once per input file via the checkpoint, so a re-run cannot
-    double-insert vectors or double-append edges."""
+    Delivery is exactly-once per input file ACROSS successful drains
+    (source checkpoint) and at-least-once WITHIN a failed batch —
+    foreachBatch replays the whole batch after a mid-batch crash. Both
+    legs are safe because ``nsw_insert`` is idempotent (ADVICE r10):
+    every write excludes rows a previous attempt already landed
+    (components on (id, pos), out-edges on (src, dst), reverse merge
+    dedupes before re-capping), so a replay converges to the exact
+    single-run state instead of doubling component rows — which would
+    silently double nsw_query's sum-over-pos distances."""
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
