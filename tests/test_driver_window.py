@@ -68,7 +68,7 @@ FLAGSHIPS = {
     # events_ab_ks + ann_recall_report, ridge keeps embed_ridge_r2 +
     # source_quality_scorer_r2; dedup_exact_substring ceded to the
     # suffix-rank rows that reproduce its exact span grouping)
-    "api_scan_parity", "embed_pq_rerank_topk",
+    "api_scan_parity",
     "text_topic_clusters", "dedup_semantic", "dedup_simhash_pairs",
     "graph_kcore_docs",
     "user_recent_history",
@@ -96,6 +96,7 @@ FLAGSHIPS = {
     # the persisted-NSW lifecycle monitor
     "dedup_suffix_spans", "dedup_dup_segments",
     "dedup_suffix_spans_64", "nsw_index_health",
+    "embed_nsw_alpha_auto_ann",
 }
 
 

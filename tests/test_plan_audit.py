@@ -41,6 +41,8 @@ ARROW_ALLOWED = {
     "multimodal_audio_features",  # same decode kernel, DSP features
     "multimodal_image_ahash",  # real pixel decode -> 32-bit aHash
     "multimodal_ahash_near_dup",  # same decode+aHash kernel, then banding
+    "multimodal_video_frame_near_dup",  # same aHash kernel, bounded to
+    # DISTINCT frame keys (dedupe-before-decode) + synth payload udf
     "text_topic_clusters",  # kmeans assignment: numpy matmul per batch
     "multimodal_frame_sample",
     "text_token_count_bpe",

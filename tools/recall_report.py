@@ -21,7 +21,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 K = 10
-N_QUERIES = 10  # same fixed query set as plans/similarity_queries.py
+N_QUERIES = 50  # the round-11 wide instrument (was 10; VERDICT r10 #5)
 
 LSH_GRID = [(p, t) for p in (2, 4, 6, 8) for t in (2, 4, 8, 16)]
 LSH_DEFAULT = (4, 16)  # registered-query default (plans/similarity_queries)

@@ -71,12 +71,31 @@ def ivf_append(
     vec: str = "embedding",
 ) -> None:
     """Add a batch under the frozen quantizer: assign cells map-side,
-    append only the touched cell partitions. O(batch); the existing index
-    is never read or rewritten."""
+    append only the touched cell partitions. O(batch); the existing
+    index's data is never rewritten.
+
+    IDEMPOTENT (ADVICE r10 follow-through): foreachBatch delivery is
+    at-least-once, so a replayed batch excludes ids a previous attempt
+    already appended — one pruned scan of the batch's own cell
+    partitions (eagerly pinned before the append so the plan never
+    scans the path it is appending to)."""
     centroids = ivf_centroids(new_vectors.sparkSession, path)
-    _assign(new_vectors, centroids, id_col, vec).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/assignments")
+    assigned = _assign(new_vectors, centroids, id_col, vec).localCheckpoint(
+        eager=True
+    )
+    cells = sorted(
+        r.cell for r in assigned.select("cell").distinct().collect()
+    )
+    existing = (
+        new_vectors.sparkSession.read.parquet(f"{path}/assignments")
+        .filter(F.col("cell").isin(cells))
+        .select("id")
+    )
+    assigned.join(existing, "id", "left_anti").localCheckpoint(
+        eager=True
+    ).write.mode("append").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
 
 
 def ivf_centroids(spark: SparkSession, path: str) -> "list[list[float]]":

@@ -310,9 +310,94 @@ def _nsw_alpha_oracle() -> str:
                 FROM alpha
             ) WHERE rn <= {_DEG_CAP}
         )"""
-    return (
-        _nsw_build_ctes() + _nd_ctes() + alpha + _nsw_search_ctes("edges3")
+    _nsw_alpha_oracle._alpha_ctes = (  # shared by the auto-geometry twin
+        _nsw_build_ctes() + _nd_ctes() + alpha
     )
+    return _nsw_alpha_oracle._alpha_ctes + _nsw_search_ctes("edges3")
+
+
+def _nsw_search_auto_ctes(edges: str, t_max: int = 8) -> str:
+    """The beam-search trace with AUTO (T, B) from the corpus size — the
+    guarded-unroll form of ``_nsw_search_ctes``: ``geo`` mirrors
+    :func:`auto_search_geometry` as pure integer SQL (L = smallest p
+    with 2^p ≥ n via a VALUES table, the kk-CTE precedent), the unroll
+    goes to ``t_max`` rounds, and each round t guards its frontier with
+    ``t ≤ (SELECT tr FROM geo)`` — a skipped round's frontier is empty,
+    so v{t} = v{t-1} and beam{t} = beam{t-1}: rounds beyond T are exact
+    pass-throughs, which is what lets ONE static SQL string express a
+    corpus-dependent round count at every gate scale. Beam width is the
+    scalar ``(SELECT bw FROM geo)``. t_max = 8 covers n ≤ 2^16 (any
+    gate/bench scale; the Spark loop itself is unbounded)."""
+    parts = [
+        f""", geo AS MATERIALIZED (
+            SELECT GREATEST(3, (lg + 1) // 2) AS tr,
+                   GREATEST(8, 2 * lg) AS bw
+            FROM (
+                SELECT MIN(p) AS lg
+                FROM (VALUES {", ".join(f"({p}, {2**p})" for p in range(1, 17))})
+                     pows(p, v), cnt
+                WHERE CAST(v AS BIGINT) >= cnt.n
+            )
+        ), entry AS (
+            SELECT q.id AS query_id, MIN(o.id) AS id
+            FROM kassign q JOIN kassign o ON o.cell = q.cell
+            WHERE q.id < {_N_QUERIES}
+            GROUP BY 1
+        ), v0 AS MATERIALIZED (
+            SELECT f.query_id, f.id,
+                   CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+            FROM entry f
+            JOIN qe a ON a.id = f.query_id
+            JOIN qe b ON b.id = f.id AND b.pos = a.pos
+            GROUP BY 1, 2
+        ), beam0 AS MATERIALIZED (SELECT * FROM v0)""",
+    ]
+    for t in range(1, t_max + 1):
+        parts.append(
+            f""", f{t} AS (
+            SELECT DISTINCT b.query_id, e.dst AS id
+            FROM beam{t - 1} b JOIN {edges} e ON e.src = b.id
+            WHERE {t} <= (SELECT tr FROM geo)
+              AND NOT EXISTS (
+                SELECT 1 FROM v{t - 1} v
+                WHERE v.query_id = b.query_id AND v.id = e.dst
+            )
+        ), fd{t} AS (
+            SELECT f.query_id, f.id,
+                   CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+            FROM f{t} f
+            JOIN qe a ON a.id = f.query_id
+            JOIN qe b ON b.id = f.id AND b.pos = a.pos
+            GROUP BY 1, 2
+        ), v{t} AS MATERIALIZED (
+            SELECT * FROM v{t - 1} UNION ALL SELECT * FROM fd{t}
+        ), beam{t} AS MATERIALIZED (
+            SELECT query_id, id, d FROM (
+                SELECT query_id, id, d,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY d ASC, id ASC) AS rn
+                FROM v{t}
+            ) WHERE rn <= (SELECT bw FROM geo)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT query_id, id AS neighbor_id, CAST(rnk AS BIGINT) AS rank,
+               d AS dist_q
+        FROM (
+            SELECT query_id, id, d,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d ASC, id ASC) AS rnk
+            FROM v{t_max} WHERE id <> query_id
+        ) WHERE rnk <= {_TOPK}
+    """
+    )
+    return "".join(parts)
+
+
+def _nsw_alpha_auto_oracle() -> str:
+    _nsw_alpha_oracle()  # materialize the shared alpha chain attribute
+    return _nsw_alpha_oracle._alpha_ctes + _nsw_search_auto_ctes("edges3")
 
 
 def _knn_parts_blocked(m2emb: DataFrame) -> DataFrame:
@@ -731,9 +816,24 @@ def embed_nsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _beam_search(edges, qe, assign)
 
 
+def auto_search_geometry(n: int) -> "tuple[int, int]":
+    """Search effort scaled to corpus size (round 11): greedy-beam hop
+    count grows with the graph's diameter and the beam must out-pace
+    distance concentration, both ~log n — the measured 50-query sweep at
+    sf0.1 (RECALL.md): fixed (T=3, B=8) recalls 0.57 on the α graph,
+    (T=6, B=22) from this rule recalls 0.93. Integer rule, mirrored
+    verbatim in the oracle's geo CTE (the auto_ivf_geometry /
+    choose_simhash_blocks precedent): L = ceil(log2(n)),
+    T = max(3, (L+1)//2), B = max(8, 2·L)."""
+    lg = max(1, (int(n) - 1).bit_length())
+    return max(3, (lg + 1) // 2), max(8, 2 * lg)
+
+
 def _beam_search(
     edges: DataFrame, qe: DataFrame, assign: DataFrame,
     n_queries: int = _N_QUERIES,
+    rounds: int = _T,
+    beam: int = _B,
 ) -> DataFrame:
     """The greedy beam-search trace over a PINNED edge list — shared by
     the base graph and the NN-descent-refined graph. ``n_queries``
@@ -765,13 +865,13 @@ def _beam_search(
         .agg(F.min("member").alias("id"))
     )
     visited = pin(qdist(entry))
-    beam = visited  # one row per query
+    beam_df = visited  # one row per query
     wb = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("id"))
-    for _t in range(_T):
+    for _t in range(rounds):
         frontier = (
             edges.join(
                 F.broadcast(
-                    beam.select("query_id", F.col("id").alias("src"))
+                    beam_df.select("query_id", F.col("id").alias("src"))
                 ),
                 "src",
             )
@@ -784,9 +884,9 @@ def _beam_search(
             )
         )
         visited = pin(visited.unionByName(qdist(frontier)))
-        beam = (
+        beam_df = (
             visited.withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= _B)
+            .filter(F.col("rn") <= beam)
             .select("query_id", "id", "d")
         )
     return (
@@ -1018,3 +1118,32 @@ def nsw_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.operators import ann_index
 
     return ann_index.nsw_cell_stats(spark, _nsw_index_path(spark, sf_dir))
+
+
+@register(
+    "embed_nsw_alpha_auto_ann",
+    oracle=_nsw_alpha_auto_oracle(),
+    doc="X3 capstone (round 11), ORACLE-CHECKED END TO END: the α-pruned "
+        "graph searched with AUTO geometry — beam rounds and width "
+        "scaled to the corpus by the integer rule auto_search_geometry "
+        "(L=ceil(log2 n): T = max(3,(L+1)//2), B = max(8, 2L)). This "
+        "closes the measured round-11 finding that fixed (T=3, B=8) is "
+        "UNDER-SEARCHED as n grows: on the 50-query instrument the α "
+        "graph recalls 0.57 at sf0.1 under the fixed trace but 0.93 "
+        "under the auto trace (0.99/0.96 at sf0.001/sf0.01) at ~3 s — "
+        "search effort must track the graph diameter and distance "
+        "concentration, both ~log n. The oracle expresses the VARIABLE "
+        "round count in one static SQL string via a guarded unroll "
+        "(_nsw_search_auto_ctes): the geo CTE mirrors the rule exactly, "
+        "rounds beyond T are provable pass-throughs (empty guarded "
+        "frontier → v and beam carry forward), so both engines execute "
+        "the identical n-dependent trace at every scale and the whole "
+        "thing sits under the value hash. Per-round cost is unchanged "
+        "(broadcast beam probe + shortlist distance join); the rule "
+        "costs one count",
+)
+def embed_nsw_alpha_auto_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges3, qe, assign, _cb = nsw_alpha_graph(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    t_rounds, beam = auto_search_geometry(n)
+    return _beam_search(edges3, qe, assign, rounds=t_rounds, beam=beam)

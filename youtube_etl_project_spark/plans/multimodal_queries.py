@@ -418,3 +418,125 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_near_classes", F.lit(0)).cast("long").alias("n_near_classes"),
         F.coalesce("n_near_docs", F.lit(0)).cast("long").alias("n_near_docs"),
     )
+
+
+@register(
+    "multimodal_video_frame_near_dup",
+    oracle="""
+        WITH vids AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER)
+                       AS n_frames
+            FROM documents
+        ), frames AS (
+            SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx
+            FROM vids
+        ), keyed AS (
+            SELECT doc_id, frame_idx,
+                   (doc_id + frame_idx) % 50 AS fkey
+            FROM frames
+        ), fk AS (
+            SELECT DISTINCT fkey FROM keyed
+        ), dims AS (
+            SELECT fkey, 8 + fkey % 7 AS w, 4 + fkey % 5 AS h FROM fk
+        ), px AS (
+            SELECT d.fkey, d.w, d.h, t.i,
+                   (d.fkey * 31 + t.i) % 256 AS v
+            FROM dims d, LATERAL (
+                SELECT unnest(range(0, CAST(d.w * d.h * 3 AS BIGINT))) AS i
+            ) t
+        ), gray AS (
+            SELECT fkey, w, h, i // 3 AS p, CAST(SUM(v) AS BIGINT) AS g
+            FROM px GROUP BY 1, 2, 3, 4
+        ), cellpx AS (
+            SELECT fkey,
+                   ((p // w) * 4 // h) * 8 + ((p % w) * 8 // w) AS cell, g
+            FROM gray
+        ), cells AS (
+            SELECT fkey, cell, CAST(SUM(g) AS BIGINT) AS csum,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cellpx GROUP BY 1, 2
+        ), tot AS (
+            SELECT fkey, CAST(SUM(csum) AS BIGINT) AS total,
+                   CAST(SUM(cnt) AS BIGINT) AS n
+            FROM cells GROUP BY 1
+        ), bits AS (
+            SELECT c.fkey, c.cell,
+                   CASE WHEN c.csum * t.n > t.total * c.cnt
+                        THEN '1' ELSE '0' END AS b
+            FROM cells c JOIN tot t USING (fkey)
+        ), hashes AS (
+            SELECT fkey, string_agg(b, '' ORDER BY cell) AS ahash
+            FROM bits GROUP BY fkey
+        )
+        SELECT h.ahash,
+               CAST(COUNT(DISTINCT k.doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(MIN(k.doc_id * 1000 + k.frame_idx) // 1000
+                    AS BIGINT) AS rep_doc,
+               CAST(MIN(k.doc_id * 1000 + k.frame_idx) % 1000
+                    AS BIGINT) AS rep_frame
+        FROM keyed k JOIN hashes h USING (fkey)
+        GROUP BY h.ahash
+        HAVING COUNT(DISTINCT k.doc_id) > 1
+    """,
+    doc="X5 FRAME-LEVEL video dedup (round 11 stretch — VERDICT r10 #9, "
+        "the LAION-style pipeline step): sample every-5th frame per "
+        "video (the multimodal_frame_sample stub geometry), decode each "
+        "DISTINCT frame image once through the real codec path "
+        "(dedupe-before-decode: the frame key dedup bounds the Arrow "
+        "ahash kernel to the distinct-frame count, not the corpus frame "
+        "count — exactly how a production pipeline avoids re-decoding "
+        "shared intro/outro frames), perceptual-average-hash it "
+        "(operators/multimodal.image_ahash, the 32-bit exact-integer "
+        "grid), and group frames across videos by ahash — classes with "
+        "frames in >1 distinct video are the cross-video duplicates a "
+        "frame-level curation filter trims. The oracle rebuilds the "
+        "identical bitstring per distinct frame from the generating "
+        "formula (the multimodal_image_ahash posture: one misplaced "
+        "byte in any codec flips bits and fails the hash) and regroups; "
+        "rep = lowest (doc, frame) via one exact bigint key",
+)
+def multimodal_video_frame_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mm = multimodal.attach_payload(docs, "text", kind="video")
+    vids = multimodal.decode_features(mm, "doc_id")
+    frames = vids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))
+        ).alias("frame_idx"),
+    )
+    keyed = frames.withColumn(
+        "fkey", (F.col("doc_id") + F.col("frame_idx")) % 50
+    )
+    uniq = (
+        keyed.select("fkey")
+        .distinct()
+        .withColumn("payload", multimodal.synth_image_udf()(F.col("fkey")))
+    )
+    hashes = multimodal.image_ahash(uniq, "fkey").select(
+        F.col("doc_id").alias("fkey"), "ahash"
+    )
+    rep_key = F.min(
+        F.col("doc_id") * F.lit(1000) + F.col("frame_idx")
+    ).cast("long")
+    return (
+        keyed.join(F.broadcast(hashes), "fkey")
+        .groupBy("ahash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            rep_key.alias("__rk"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "ahash",
+            "n_docs",
+            "n_frames",
+            F.floor(F.col("__rk") / 1000).cast("long").alias("rep_doc"),
+            (F.col("__rk") % 1000).cast("long").alias("rep_frame"),
+        )
+    )

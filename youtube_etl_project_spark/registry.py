@@ -318,8 +318,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # k_anonymity_report and ridge_conformal_v1 ceded — the audit/eval
     # family keeps events_ab_ks + ann_recall_report, the ridge family
     # keeps embed_ridge_r2 + source_quality_scorer_r2)
+    # (round 11 continuation: embed_pq_rerank_topk ceded to the
+    # auto-geometry search capstone — the PQ family keeps the strictly
+    # stronger composed rows embed_ivfpq_ann + embed_ivfpq_index_ann,
+    # which contain the same trained-PQ re-rank path)
     "api_scan_parity",
-    "embed_pq_rerank_topk", "text_topic_clusters",
+    "text_topic_clusters",
     "dedup_semantic", "dedup_simhash_pairs",
     "graph_kcore_docs",
     "user_recent_history",
@@ -372,6 +376,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (per-cell degree/edgeless health under the value hash)
     "dedup_suffix_spans", "dedup_dup_segments",
     "dedup_suffix_spans_64", "nsw_index_health",
+    # round-11 search-geometry capstone: the α graph searched with
+    # corpus-scaled (T, B) — the guarded-unroll oracle expresses the
+    # n-dependent round count in one static SQL string; recall at sf0.1
+    # 0.57 → 0.93 on the 50-query instrument
+    "embed_nsw_alpha_auto_ann",
 )
 
 

@@ -269,9 +269,11 @@ def streaming_incremental_dedup(
     the corpus LSH index — must outlive the query, be shared with the
     batch path, and stay columnar-scannable; per-key streaming state is
     the wrong home for a corpus-sized index. Each micro-batch's cost is
-    O(|batch| + touched index buckets), never O(|corpus|); exactly-once
-    per input file via the checkpoint, so a re-run cannot double-insert
-    survivors.
+    O(|batch| + touched index buckets), never O(|corpus|). Delivery is
+    exactly-once per input file across successful drains (checkpoint)
+    and at-least-once within a failed batch; both appends are
+    idempotent (replays exclude already-landed doc ids), so a replay
+    converges instead of double-inserting survivors (ADVICE r10).
     """
     from youtube_etl_project_spark.operators import dedup as dd
 
@@ -302,10 +304,28 @@ def streaming_incremental_dedup(
         dup = dd.batch_duplicate_ids(pairs, batch.select(id_col))
         fresh = batch.join(dup, batch[id_col] == dup["doc_id"], "left_anti")
         fresh = fresh.localCheckpoint(eager=True)  # two appends below
-        fresh.write.mode("append").parquet(corpus_out)
-        dd.lsh_index(fresh, id_col, text_col, **sig_params).write.mode(
-            "append"
-        ).parquet(index_path)
+
+        def _anti_existing(df: DataFrame, path: str) -> DataFrame:
+            """Idempotent append guard (the nsw_insert contract):
+            foreachBatch is at-least-once, so a replayed batch excludes
+            rows a previous attempt already landed — pinned eagerly
+            because the plan scans the path it then appends to."""
+            try:
+                existing = s.read.parquet(path).select(
+                    F.col(id_col).alias("__have")
+                )
+            except Exception:  # first batch: nothing at the path yet
+                return df
+            return df.join(
+                existing, df[id_col] == F.col("__have"), "left_anti"
+            ).localCheckpoint(eager=True)
+
+        _anti_existing(fresh, corpus_out).write.mode("append").parquet(
+            corpus_out
+        )
+        _anti_existing(
+            dd.lsh_index(fresh, id_col, text_col, **sig_params), index_path
+        ).write.mode("append").parquet(index_path)
 
     return (
         spark.readStream.schema(schema)
@@ -338,8 +358,12 @@ def streaming_ann_ingest(
     Same architecture rationale as :func:`streaming_incremental_dedup`:
     the index must outlive the query, serve concurrent ``ivf_query``
     readers, and stay columnar/partition-prunable — per-key streaming
-    state is the wrong home for it. Exactly-once per input file via the
-    checkpoint, so a re-run cannot double-insert vectors.
+    state is the wrong home for it. Delivery is exactly-once per input
+    file across successful drains (checkpoint) and at-least-once within
+    a failed batch; ``ivf_append`` is idempotent (a replay excludes ids
+    a previous attempt landed — one pruned scan of the batch's own
+    cells), so replays converge instead of double-inserting (ADVICE
+    r10).
     """
     from youtube_etl_project_spark.operators import ann_index
 
