@@ -52,6 +52,11 @@ SHOWCASE = {
     "corpus_temperature_mix": "α=0.5 source mixing: two keyed aggregates "
     "build a model-sized rate table, broadcast back; the md5 keep-decision "
     "is map-side — zero extra shuffles at any corpus size",
+    "multimodal_video_frame_near_dup": "frame-level video dedup with "
+    "dedupe-before-decode: the Arrow decode+aHash kernel (MapInPandas) "
+    "runs on DISTINCT frame keys only, the model-sized hash table "
+    "broadcasts back onto the corpus-sized frame list, and the class "
+    "grouping is one map-side-combined aggregate",
     "bloom_semi_join": "runtime bloom-join pruning made explicit: the "
     "16 KiB bitmap rides the plan as a literal, the 5 bit-tests run in "
     "the fact scan's codegen stage BEFORE any exchange, and the closing "
@@ -150,6 +155,15 @@ PRE_PIN_SHOWCASE = [
         "reverse-union degree re-cap — bounded candidates, no "
         "all-pairs stage",
         "FlatMapGroupsInPandas",
+    ),
+    (
+        "dedup_suffix_spans_64",
+        "one prefix-doubling round inside the rank pin: the dense rank "
+        "is the two-pass range shuffle (RangePartitioning — never an "
+        "unpartitioned window), and only integer rank rows move; at "
+        "L=64 the windowed alternative would shuffle ~4 KB of span "
+        "text per position",
+        "rangepartitioning",
     ),
 ]
 
