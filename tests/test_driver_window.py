@@ -60,7 +60,7 @@ FLAGSHIPS = {
     "entity_resolution_docs", "dedup_prefix_filter_join",
     "events_ab_ks", "table_diff_versions",
     "streaming_stateful_totals_parity",
-    "mv_scoped_refresh", "fuzzy_dup_degree_sym",
+    "mv_scoped_refresh",
     "multimodal_ahash_near_dup",
     # round-7 capstones (round 11: api_stream_parity /
     # k_anonymity_report / ridge_conformal_v1 ceded to the round-11
@@ -97,6 +97,7 @@ FLAGSHIPS = {
     "dedup_suffix_spans", "dedup_dup_segments",
     "dedup_suffix_spans_64", "nsw_index_health",
     "embed_nsw_alpha_auto_ann",
+    "embed_nsw_online_ingest_ann",
 }
 
 

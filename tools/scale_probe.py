@@ -214,6 +214,17 @@ PROBE_QUERIES = (
     "embed_nsw_nnd2_ann",
     "dedup_suffix_spans",
     "dedup_dup_segments",
+    # round-11 wave: long-span suffix dedup (the L-scaling the module
+    # was built for), auto search geometry (T and B grow ~log n BY THE
+    # QUALITY RULE — expected mildly super-linear), the online-ingest
+    # lifecycle row (build on half, attach a bounded batch, serve), the
+    # graph lifecycle monitor, and frame-level video dedup
+    # (dedupe-before-decode bounds the kernel to distinct frames)
+    "dedup_suffix_spans_64",
+    "embed_nsw_alpha_auto_ann",
+    "embed_nsw_online_ingest_ann",
+    "nsw_index_health",
+    "multimodal_video_frame_near_dup",
 )
 
 # Measured-justification notes appended to the t16/t1 column — for rows
@@ -241,6 +252,24 @@ NOTES = {
         "prefix doubling is O(N·log L) rank rows with log L distinct+"
         "rank rounds (N log N sort-rank at the core — mildly "
         "super-linear by the algorithm); r10 fresh-session 2.8"
+    ),
+    "dedup_suffix_spans_64": (
+        "same N log N rank core, two more doubling rounds than L=16 — "
+        "cost grows with log L, not L (SCALE.md round-11 L-sweep "
+        "measures the suffix path flat in L while the windowed plan "
+        "grows ∝ L)"
+    ),
+    "embed_nsw_alpha_auto_ann": (
+        "auto search geometry RAISES T and B ~log n by the quality "
+        "rule (recall 0.93 vs 0.57 fixed at n=2000) — per-query search "
+        "cost is designed to grow ~log²n on top of the memoized n^1.5 "
+        "build; the fixed-trace twin embed_nsw_alpha_ann isolates the "
+        "build's scaling"
+    ),
+    "embed_nsw_online_ingest_ann": (
+        "build on n/2 (bounded n^1.5) + attach a FIXED 20-vector batch "
+        "(O(batch × probe)) + serve; the attach leg is constant in n "
+        "by design — growth comes from the memoized half-corpus build"
     ),
     "dedup_dup_segments": (
         "same prefix-doubling core as dedup_suffix_spans; r10 "

@@ -50,17 +50,22 @@ _NC = 2       # candidate-generation cells per node
 _ALPHA_P = 32  # α-prune candidate pool per node (2×DEG_CAP, Vamana-style)
 
 
-def _nsw_build_ctes() -> str:
+def _nsw_build_ctes(pred: str = "") -> str:
     """Oracle CTEs through ``edges(src, dst, d)`` — the bounded k-NN
-    build. Shared by the base NSW query and the NN-descent refinement."""
+    build. Shared by the base NSW query and the NN-descent refinement.
+    ``pred`` (a bare-column predicate like ``vec_id % 2 = 0``) restricts
+    the TRAINED/INDEXED corpus — the online-ingest oracle builds on
+    batch 1 only; empty keeps the original full-corpus text."""
     from youtube_etl_project_spark.plans.exact_kmeans import (
         kmeans_exact_ctes,
     )
 
     pows = ", ".join(f"({4 * 2**i})" for i in range(11))  # 4 .. 4096
+    cnt_where = f" WHERE {pred}" if pred else ""
+    qe_and = f" AND {pred}" if pred else ""
     return f"""
         WITH cnt AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings{cnt_where}
         ), kk AS (
             SELECT COALESCE(MIN(p), 4096) AS k
             FROM (VALUES {pows}) pows(p), cnt
@@ -73,7 +78,7 @@ def _nsw_build_ctes() -> str:
                 SELECT unnest(e.embedding) AS v,
                        generate_subscripts(e.embedding, 1) AS pos
             ) AS u
-            WHERE e.embedding IS NOT NULL
+            WHERE e.embedding IS NOT NULL{qe_and}
         ){kmeans_exact_ctes("(SELECT k FROM kk)")},
         rankedc AS (
             SELECT id, cell,
@@ -116,21 +121,30 @@ def _nsw_build_ctes() -> str:
         )"""
 
 
-def _nsw_search_ctes(edges: str = "edges") -> str:
+def _nsw_search_ctes(
+    edges: str = "edges",
+    assign: str = "kassign",
+    qe: str = "qe",
+    final: bool = True,
+    topk: int = _TOPK,
+) -> str:
     """Oracle CTEs for the beam-search trace over CTE
-    ``{edges}(src, dst, ...)`` plus the final top-k projection."""
+    ``{edges}(src, dst, ...)`` with membership ``{assign}(id, cell)``
+    and grid rows ``{qe}(id, pos, q)``; ``final=True`` appends the
+    top-``topk`` projection, ``final=False`` leaves the trace open for
+    a caller that consumes v{_T} itself (the online-ingest oracle)."""
     parts = [
         f""", entry AS (
             SELECT q.id AS query_id, MIN(o.id) AS id
-            FROM kassign q JOIN kassign o ON o.cell = q.cell
+            FROM {assign} q JOIN {assign} o ON o.cell = q.cell
             WHERE q.id < {_N_QUERIES}
             GROUP BY 1
         ), v0 AS MATERIALIZED (
             SELECT f.query_id, f.id,
                    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
             FROM entry f
-            JOIN qe a ON a.id = f.query_id
-            JOIN qe b ON b.id = f.id AND b.pos = a.pos
+            JOIN {qe} a ON a.id = f.query_id
+            JOIN {qe} b ON b.id = f.id AND b.pos = a.pos
             GROUP BY 1, 2
         ), beam0 AS MATERIALIZED (SELECT * FROM v0)""",
     ]
@@ -147,8 +161,8 @@ def _nsw_search_ctes(edges: str = "edges") -> str:
             SELECT f.query_id, f.id,
                    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
             FROM f{t} f
-            JOIN qe a ON a.id = f.query_id
-            JOIN qe b ON b.id = f.id AND b.pos = a.pos
+            JOIN {qe} a ON a.id = f.query_id
+            JOIN {qe} b ON b.id = f.id AND b.pos = a.pos
             GROUP BY 1, 2
         ), v{t} AS MATERIALIZED (
             SELECT * FROM v{t - 1} UNION ALL SELECT * FROM fd{t}
@@ -161,8 +175,9 @@ def _nsw_search_ctes(edges: str = "edges") -> str:
             ) WHERE rn <= {_B}
         )"""
         )
-    parts.append(
-        f"""
+    if final:
+        parts.append(
+            f"""
         SELECT query_id, id AS neighbor_id, CAST(rnk AS BIGINT) AS rank,
                d AS dist_q
         FROM (
@@ -170,9 +185,9 @@ def _nsw_search_ctes(edges: str = "edges") -> str:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY d ASC, id ASC) AS rnk
             FROM v{_T} WHERE id <> query_id
-        ) WHERE rnk <= {_TOPK}
+        ) WHERE rnk <= {topk}
     """
-    )
+        )
     return "".join(parts)
 
 
@@ -1147,3 +1162,177 @@ def embed_nsw_alpha_auto_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "embeddings").count()
     t_rounds, beam = auto_search_geometry(n)
     return _beam_search(edges3, qe, assign, rounds=t_rounds, beam=beam)
+
+
+def _nsw_ingest_oracle() -> str:
+    """The ONLINE-INGEST trace end to end: bootstrap-train + bounded
+    k-NN build on batch 1 (even vec_ids — the _nsw_build_ctes chain
+    under a batch predicate, auto K from the batch-1 count), then the
+    nsw_insert attach for batch 2 (odd vec_ids < 40): per new vector a
+    T=3/B=8 beam search of the BATCH-1 graph (entry = best (cell rank,
+    member id) over its 2 nearest trained cells), top-M out-edges,
+    reverse edges merged into the touched neighbors under the (d asc,
+    dst asc) top-DEG_CAP re-cap, untouched nodes' recap a provable
+    no-op — then the standard T=3/B=8 query trace over the EVOLVED
+    graph with membership = batch-1 kassign ∪ batch-2 codebook argmin.
+    Every quantity is exact int64 on the grid, so the whole
+    build→attach→serve lifecycle sits under one value hash."""
+    parts = [_nsw_build_ctes(pred="vec_id % 2 = 0")]
+    parts.append(
+        """, qeall AS MATERIALIZED (
+            SELECT vec_id AS id, u.pos - 1 AS pos,
+                   CAST(FLOOR(CAST(u.v AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings e CROSS JOIN LATERAL (
+                SELECT unnest(e.embedding) AS v,
+                       generate_subscripts(e.embedding, 1) AS pos
+            ) AS u
+            WHERE e.embedding IS NOT NULL
+        ), q2 AS (
+            SELECT DISTINCT id FROM qeall WHERE id % 2 = 1 AND id < 40
+        ), q2d AS MATERIALIZED (
+            SELECT a.id, c.cell,
+                   CAST(SUM((a.q - c.cq) * (a.q - c.cq)) AS BIGINT)
+                       AS dist
+            FROM qeall a JOIN q2 USING (id) JOIN c2 c ON c.pos = a.pos
+            GROUP BY 1, 2
+        ), q2rank AS (
+            SELECT id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY dist ASC, cell ASC)
+                       AS crank
+            FROM q2d
+        ), ientry AS (
+            SELECT query_id, id FROM (
+                SELECT r.id AS query_id, m.id AS id,
+                       ROW_NUMBER() OVER (PARTITION BY r.id
+                                          ORDER BY r.crank ASC, m.id ASC)
+                           AS rn
+                FROM q2rank r JOIN kassign m ON m.cell = r.cell
+                WHERE r.crank <= 2
+            ) WHERE rn = 1
+        ), iv0 AS MATERIALIZED (
+            SELECT f.query_id, f.id,
+                   CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+            FROM ientry f
+            JOIN qeall a ON a.id = f.query_id
+            JOIN qeall b ON b.id = f.id AND b.pos = a.pos
+            GROUP BY 1, 2
+        ), ibeam0 AS MATERIALIZED (SELECT * FROM iv0)"""
+    )
+    for t in range(1, _T + 1):
+        parts.append(
+            f""", if{t} AS (
+            SELECT DISTINCT b.query_id, e.dst AS id
+            FROM ibeam{t - 1} b JOIN edges e ON e.src = b.id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM iv{t - 1} v
+                WHERE v.query_id = b.query_id AND v.id = e.dst
+            )
+        ), ifd{t} AS (
+            SELECT f.query_id, f.id,
+                   CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d
+            FROM if{t} f
+            JOIN qeall a ON a.id = f.query_id
+            JOIN qeall b ON b.id = f.id AND b.pos = a.pos
+            GROUP BY 1, 2
+        ), iv{t} AS MATERIALIZED (
+            SELECT * FROM iv{t - 1} UNION ALL SELECT * FROM ifd{t}
+        ), ibeam{t} AS MATERIALIZED (
+            SELECT query_id, id, d FROM (
+                SELECT query_id, id, d,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY d ASC, id ASC) AS rn
+                FROM iv{t}
+            ) WHERE rn <= {_B}
+        )"""
+        )
+    parts.append(
+        f""", outedges AS MATERIALIZED (
+            SELECT query_id AS src, id AS dst, d FROM (
+                SELECT query_id, id, d,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY d ASC, id ASC) AS rnk
+                FROM iv{_T} WHERE id <> query_id
+            ) WHERE rnk <= {_M}
+        ), finaledges AS MATERIALIZED (
+            SELECT src, dst, d FROM (
+                SELECT src, dst, d,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY d ASC, dst ASC) AS rn
+                FROM (SELECT src, dst, d FROM edges
+                      UNION ALL
+                      SELECT dst AS src, src AS dst, d FROM outedges
+                      UNION ALL
+                      SELECT src, dst, d FROM outedges)
+            ) WHERE rn <= {_DEG_CAP}
+        ), assignall AS MATERIALIZED (
+            SELECT id, cell FROM kassign
+            UNION ALL
+            SELECT id, cell FROM q2rank WHERE crank = 1
+        )"""
+    )
+    parts.append(
+        _nsw_search_ctes(
+            edges="finaledges", assign="assignall", qe="qeall"
+        )
+    )
+    return "".join(parts)
+
+
+def _online_ingest_index_path(spark: SparkSession, sf_dir: str) -> str:
+    from youtube_etl_project_spark.operators import ann_index, fixture_cache
+
+    def _build(path: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        b1 = emb.filter(F.col("vec_id") % 2 == 0)
+        b2 = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40)
+        )
+        edges, qe, assign, cb = nsw_graph_from_vectors(b1)
+        ann_index.nsw_build(edges, assign, qe, cb, path)
+        ann_index.nsw_insert(b2, path)
+
+    return fixture_cache.cached_build(
+        "nsw_ingest_", sf_dir, _build, marker="edges"
+    )
+
+
+@register(
+    "embed_nsw_online_ingest_ann",
+    oracle=_nsw_ingest_oracle(),
+    doc="X3 ONLINE-INGEST capstone (round 11), ORACLE-CHECKED END TO "
+        "END: the full serving-index LIFECYCLE under one value hash — "
+        "bootstrap (train the exact-grid coarse quantizer on batch 1 "
+        "with auto K from the batch count, bounded k-NN build, "
+        "nsw_build persist), online attach (nsw_insert of batch 2: "
+        "each new vector beam-searches the PRE-batch graph via pruned "
+        "probes, gains top-M out-edges, touched neighbors re-capped "
+        "with reverse edges — online-HNSW's prune, idempotent under "
+        "at-least-once replay), then the standard beam trace served "
+        "from the EVOLVED persisted graph. The oracle unrolls all "
+        "three phases (build CTEs under a batch predicate, the "
+        "per-new-vector attach trace with 2-nearest-cell entry, the "
+        "merged-degree re-cap where untouched nodes are provable "
+        "no-ops, the final search over batch-1 kassign ∪ batch-2 "
+        "argmin membership) — cross-engine equality proves the "
+        "streamed index equals the hand-computed evolution, the exact "
+        "claim tests/test_ann_index.py pins for the foreachBatch "
+        "streaming twin (streaming_nsw_ingest runs this identical "
+        "bootstrap+insert code path per micro-batch). Index memoized "
+        "per fixture (build-once/probe-many)",
+)
+def embed_nsw_online_ingest_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from youtube_etl_project_spark.operators import ann_index
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+
+    path = _online_ingest_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_qe = quantize_vectors(
+        emb.filter(F.col("vec_id") < _N_QUERIES), "vec_id", "embedding"
+    )
+    return ann_index.nsw_query(
+        queries_qe, path, topk=_TOPK, beam=_B, rounds=_T
+    )

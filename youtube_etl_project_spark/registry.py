@@ -302,7 +302,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # complete SymSpell edit-distance matcher, and perceptual near-dup
     # (real-codec aHash classes + Hamming banding) — seated in place of
     # join_semi / fn_text_blob / dedup_jaccard_dfcut
-    "mv_scoped_refresh", "fuzzy_dup_degree_sym",
+    # (round 11: fuzzy_dup_degree_sym ceded to the online-ingest
+    # capstone — the dedup family keeps eight window rows incl. both
+    # ER/linkage forms; the SymSpell matcher stays green locally)
+    "mv_scoped_refresh",
     "multimodal_ahash_near_dup",
     # round 7 capstones: the custom Python DataSource under the gate in
     # BOTH forms (batch scan + SimpleDataSourceStreamReader drain,
@@ -381,6 +384,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # n-dependent round count in one static SQL string; recall at sf0.1
     # 0.57 → 0.93 on the 50-query instrument
     "embed_nsw_alpha_auto_ann",
+    # round-11 lifecycle capstone: bootstrap-train + online nsw_insert
+    # attach + serve from the evolved persisted graph, ALL under one
+    # value hash (the streaming ingest's exact per-batch code path)
+    "embed_nsw_online_ingest_ann",
 )
 
 
