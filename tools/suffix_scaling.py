@@ -54,6 +54,24 @@ def windowed_spans(spark, sf_dir: str, L: int):
     )
 
 
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle WRITE bytes across all completed stages so far —
+    read from the live UI REST API. Wall time on local[32] has zero
+    network cost, so byte volume is the honest 100 TB proxy: a cluster
+    pays for every shuffled byte cross-rack."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+           f"/stages?status=complete")
+    with urllib.request.urlopen(url) as r:
+        stages = _json.load(r)
+    return sum(st.get("shuffleWriteBytes", 0) for st in stages)
+
+
 def main() -> None:
     from youtube_etl_project_spark.plans import suffix_dedup
     from youtube_etl_project_spark.session import get_spark
@@ -82,5 +100,76 @@ def main() -> None:
         )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("SUFFIX_LONGDOCS"):
     main()
+
+
+def longdoc_fixture(spark, sf_dir: str, repeat: int, out: str) -> None:
+    """Long-boilerplate corpus: each document's text repeated
+    ``repeat``× (space-joined) — token counts grow ``repeat``×, so the
+    windowed plan's O(N·L) span-text shuffle grows with BOTH knobs
+    while the suffix path still moves O(N·log L) integer rows. This is
+    the regime the module exists for (Lee et al. long-boilerplate
+    corpora); the stock fixtures' ~100-token docs never leave the
+    constant-dominated regime."""
+    from youtube_etl_project_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    long_docs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_repeat(F.col("text"), repeat), " "
+        ).alias("text"),
+    )
+    long_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def main_longdocs() -> None:
+    from youtube_etl_project_spark.plans import suffix_dedup
+    from youtube_etl_project_spark.session import get_spark
+
+    import tempfile
+
+    repeat = int(os.environ.get("SUFFIX_REPEAT", "16"))
+    # the repo session disables the UI; this tool needs the status REST
+    # API for shuffle-byte readings — pre-set the conf so get_spark's
+    # getOrCreate binds a UI-enabled context
+    from pyspark.sql import SparkSession
+
+    SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    ).config("spark.ui.enabled", "true").appName(
+        "suffix-scaling-long"
+    ).getOrCreate()
+    spark = get_spark("suffix-scaling-long")
+    assert spark.sparkContext.uiWebUrl, "UI must be up for byte readings"
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix="longdocs_")
+    longdoc_fixture(spark, SF, repeat, out)
+
+    def timed(mk) -> tuple[float, int, float]:
+        best, n = float("inf"), -1
+        b0 = _shuffle_write_bytes(spark)
+        for _ in range(2):
+            t0 = time.time()
+            n = mk().count()
+            best = min(best, time.time() - t0)
+        mb = (_shuffle_write_bytes(spark) - b0) / 2 / 1e6  # per run
+        return best, n, mb
+
+    print(f"| L | suffix s | suffix shuffle MB | windowed s "
+          f"| windowed shuffle MB | dup groups | ({SF} ×{repeat}) |")
+    print("|---|---|---|---|---|---|---|")
+    for L in LS:
+        s_sec, s_n, s_mb = timed(
+            lambda: suffix_dedup._spans_df(spark, out, L)
+        )
+        w_sec, w_n, w_mb = timed(lambda: windowed_spans(spark, out, L))
+        assert s_n == w_n, (L, s_n, w_n)
+        print(f"| {L} | {s_sec:.1f} | {s_mb:.0f} | {w_sec:.1f} "
+              f"| {w_mb:.0f} | {s_n} |  |", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("SUFFIX_LONGDOCS"):
+    main_longdocs()
+    sys.exit(0)
