@@ -279,6 +279,9 @@ NOTES = {
         "r10 fresh-session re-probe: 2.5 (in-run 3.4 was late-session "
         "GC; r9 record 2.2)"
     ),
+    "user_recent_history": (
+        "r11 fresh-session re-probe (best-of-2): t16/t1 = 1.2 (0.62 → 0.73 s) — sub-second as-of join, fixed-overhead dominated; the in-run 3.2 was late-session noise on a ~1 s baseline (r10 record 2.0)"
+    ),
     "mv_scoped_refresh": (
         "sub-second delta-scoped job, constant-dominated; r10 "
         "fresh-session 2.1 (r9 record 0.5)"
