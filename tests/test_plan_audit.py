@@ -306,6 +306,14 @@ PRE_PIN_ARROW_ALLOWED = {
     "embed_nsw_nnd2_ann",
     # first call builds the persisted α-graph via the same kernels
     "embed_nsw_alpha_index_ann",
+    # round 11: auto-geometry search over the α graph — on a cold
+    # fixture cache the first call runs the same bounded build kernels
+    # (memoized thereafter; whitelisting keeps the audit independent of
+    # cache warmth / test order)
+    "embed_nsw_alpha_auto_ann",
+    # round 11: the online-ingest row's bootstrap runs the bounded k-NN
+    # build kernel on batch 1 (nsw_graph_from_vectors) before nsw_insert
+    "embed_nsw_online_ingest_ann",
 }
 
 
