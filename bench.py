@@ -274,11 +274,22 @@ def main() -> None:
         _ = _blas_a @ _blas_a
         return time.time() - t0
 
-    calib_py()
-    calib_py()  # two warmups: thread-pool spin-up + cache residency
+    # Settle the BLAS probe like the JVM calib: on a fast host the
+    # matmul runs in single-digit milliseconds, where thread wake-up and
+    # leftover JVM GC/JIT activity from the calib loop above systematically
+    # inflate the first few samples — measured r11: min-of-5 start probe
+    # 0.0112 vs end 0.0080 on an IDLE host, tripping the contended flag
+    # with no contention. Iterate until two consecutive samples agree
+    # within 10% (cap 10), then take min-of-9 for the measured value.
+    prev_py = calib_py()
+    for _ in range(9):
+        cur_py = calib_py()
+        if max(prev_py, cur_py) / min(prev_py, cur_py) < 1.10:
+            break
+        prev_py = cur_py
 
     load_start = os.getloadavg()
-    calib_py_start = round(min(calib_py() for _ in range(5)), 4)
+    calib_py_start = round(min(calib_py() for _ in range(9)), 4)
     calib_start = round(min(calib() for _ in range(3)), 3)
 
     # Round-11 measurement fix: earlier rounds called
@@ -296,7 +307,7 @@ def main() -> None:
         timings[name] = round(best_of(name), 3)
 
     calib_end = round(min(calib() for _ in range(3)), 3)
-    calib_py_end = round(min(calib_py() for _ in range(5)), 4)
+    calib_py_end = round(min(calib_py() for _ in range(9)), 4)
     load_end = os.getloadavg()
     calib_sec = min(calib_start, calib_end)
     drift = (

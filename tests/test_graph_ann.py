@@ -158,15 +158,28 @@ def test_persisted_nsw_index_bit_identical_and_pruned(spark, sf_dir):
 
     with audit_pins() as pinned:
         plans["embed_nsw_index_ann"].fn(spark, sf_dir)
-    pruned = [
+    # round 11: each search round is ONE fused pinned action whose plan
+    # carries BOTH pruned scans — the edges scan (beam cells) and the
+    # components scan (adjacency superset). Count pruned scans ACROSS
+    # the pinned plans: entry (components) + per round (edges +
+    # components) ⇒ at least 2·T + 1 pruned scans, and every round's
+    # plan must contain two.
+    n_pruned = sum(
+        len(re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*IN[^\]]*\]", p))
+        for p in pinned
+    )
+    assert n_pruned >= 2 * ga._T + 1, (
+        f"{n_pruned} pruned scans across {len(pinned)} pinned plans"
+    )
+    round_plans = [
         p
         for p in pinned
-        if re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN[^\]]*\]", p)
+        if len(
+            re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*IN[^\]]*\]", p)
+        ) >= 2
     ]
-    # every search round pins a pruned frontier (edges scan) and a
-    # pruned visited union (components scan)
-    assert len(pruned) >= 2 * ga._T, (
-        f"{len(pruned)} pruned pinned scans of {len(pinned)}"
+    assert len(round_plans) >= ga._T, (
+        f"only {len(round_plans)} pinned plans carry both pruned scans"
     )
 
 

@@ -400,6 +400,37 @@ def ivf_query(
 # lookup).
 
 
+# (application id, index path) -> {cell -> set(dst_cell)}: which cells a
+# beam step out of `cell` can reach. Lets nsw_query prune the components
+# scan of its fused per-round action BEFORE the action runs (the exact
+# frontier cells are only known after the edges scan). K²-bounded model
+# state. MUTATION CONTRACT: nsw_build and nsw_insert invalidate the
+# entry for their path — a stale adjacency could under-prune is fine,
+# but an insert adding a previously-unreachable dst cell would make the
+# superset WRONG and silently drop frontier distances.
+_NSW_ADJ_CACHE: "dict[tuple, dict]" = {}
+
+
+def _nsw_cell_adjacency(spark: SparkSession, path: str) -> "dict[int, set]":
+    key = (spark.sparkContext.applicationId, path)
+    adj = _NSW_ADJ_CACHE.get(key)
+    if adj is None:
+        adj = {}
+        for r in (
+            spark.read.parquet(f"{path}/edges")
+            .select("cell", "dst_cell")
+            .distinct()
+            .collect()
+        ):
+            adj.setdefault(r.cell, set()).add(r.dst_cell)
+        _NSW_ADJ_CACHE[key] = adj
+    return adj
+
+
+def _invalidate_nsw_adjacency(spark: SparkSession, path: str) -> None:
+    _NSW_ADJ_CACHE.pop((spark.sparkContext.applicationId, path), None)
+
+
 def nsw_build(
     edges: DataFrame,
     assign: DataFrame,
@@ -430,6 +461,7 @@ def nsw_build(
     qe.join(assign, "id").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/components")
+    _invalidate_nsw_adjacency(cb.sparkSession, path)
 
 
 def nsw_query(
@@ -454,13 +486,24 @@ def nsw_query(
     and the trace is unchanged — the widening only matters when the
     rank-1 cell has NO indexed members (an out-of-corpus query or a
     fresh insert landing in an empty cell), which previously found no
-    entry at all. Per round the beam re-enters as literals → pruned
-    edges scan; the frontier is pinned, its distinct dst cells
-    collected (≤ K ints) → pruned components scan for the distance
-    join. ``reliable`` is forwarded to every pin (nsw_insert passes
-    False: its micro-batch is retried whole by the streaming engine,
-    so batch-scoped pins stay local). Returns (query_id, neighbor_id,
-    rank, dist_q).
+    entry at all. Per round the beam re-enters as literals → ONE fused
+    pinned action whose plan carries BOTH pruned scans: the edges scan
+    filtered to the beam's cells, and the components scan filtered to
+    the cell-adjacency superset of those cells (adj[c] = distinct
+    dst_cell of c's edges — memoized per index path, so the superset
+    is known BEFORE the action runs; superset cells only widen the
+    pruning filter, the (id, pos) join drops their rows). Visited/beam
+    state merges on the DRIVER between rounds — bounded by
+    q·(1 + rounds·beam·deg_cap) rows independent of corpus size, the
+    same beam-sized driver-state budget the collected frontiers
+    already used. Round 11: this replaced the 4-actions-per-round form
+    (frontier pin, dst-cells collect, growing visited union re-pin,
+    beam window) — the per-action planning/stage constant, not scan
+    bytes, dominated the probe (measured: bare pruned scans 0.05-0.15 s
+    vs 0.8 s per frontier action at sf0.1). ``reliable`` is forwarded
+    to every pin (nsw_insert passes False: its micro-batch is retried
+    whole by the streaming engine, so batch-scoped pins stay local).
+    Returns (query_id, neighbor_id, rank, dist_q).
 
     ``exclude`` (optional, single ``id`` column, batch-sized) removes
     those ids from the graph VIEW — entry candidates, frontier targets
@@ -533,21 +576,45 @@ def nsw_query(
             .agg(F.sum(dd * dd).cast("long").alias("d"))
         )
 
-    visited = pin(qdist(entry, qcells), reliable=reliable)
-    wb = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("id"))
-    beam_df = visited  # one row per query (the entry)
+    adj = _nsw_cell_adjacency(spark, path)
+    ent = pin(qdist(entry, qcells), reliable=reliable)
+    # driver-side search state: (query_id, id) -> (d, cell). Bounded by
+    # q·(1 + rounds·beam·deg_cap) independent of corpus size — the same
+    # beam-sized budget the old form already collected per round.
+    visited: "dict[tuple, tuple]" = {
+        (r.query_id, r.id): (r.d, r.cell) for r in ent.collect()
+    }
+
+    def beam_rows() -> "list[tuple]":
+        per: dict = {}
+        for (qid, nid), (d, cell) in visited.items():
+            per.setdefault(qid, []).append((d, nid, cell))
+        rows = []
+        for qid in per:
+            per[qid].sort()
+            rows += [
+                (qid, nid, cell) for d, nid, cell in per[qid][:beam]
+            ]
+        return rows
+
     for _t in range(rounds):
-        beam_rows = [
-            (r.query_id, r.id, r.cell)
-            for r in beam_df.select("query_id", "id", "cell").collect()
-        ]
-        bcells = sorted({c for _, _, c in beam_rows})
+        brows = beam_rows()
+        bcells = sorted({c for _, _, c in brows})
+        fcells = sorted(
+            set(bcells).union(*(adj.get(c, set()) for c in bcells))
+        )
         bdf = F.broadcast(
             spark.createDataFrame(
-                beam_rows, "query_id bigint, src bigint, cell int"
-            ).drop("cell")
+                [(q, s) for q, s, _ in brows],
+                "query_id bigint, src bigint",
+            )
         )
-        frontier = pin(
+        vdf = F.broadcast(
+            spark.createDataFrame(
+                list(visited), "query_id bigint, id bigint"
+            )
+        )
+        frontier = (
             edges.filter(F.col("cell").isin(bcells))
             .join(bdf, "src")
             .select(
@@ -556,37 +623,27 @@ def nsw_query(
                 F.col("dst_cell").alias("cell"),
             )
             .distinct()
-            .join(
-                visited.select("query_id", "id"),
-                ["query_id", "id"],
-                "left_anti",
-            ),
-            reliable=reliable,
+            .join(vdf, ["query_id", "id"], "left_anti")
         )
-        fcells = sorted(
-            r.cell for r in frontier.select("cell").distinct().collect()
-        )
-        visited = pin(
-            visited.unionByName(qdist(frontier, fcells)), reliable=reliable
-        )
-        beam_df = (
-            visited.withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= beam)
-            .select("query_id", "id", "cell", "d")
-        )
-    extra = [F.col("cell")] if include_cell else []
-    return (
-        visited.filter(F.col("id") != F.col("query_id"))
-        .withColumn("rnk", F.row_number().over(wb))
-        .filter(F.col("rnk") <= topk)
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.col("rnk").cast("long").alias("rank"),
-            F.col("d").alias("dist_q"),
-            *extra,
-        )
+        nd = pin(qdist(frontier, fcells), reliable=reliable)
+        for r in nd.collect():
+            visited[(r.query_id, r.id)] = (r.d, r.cell)
+    out: list = []
+    per: dict = {}
+    for (qid, nid), (d, cell) in visited.items():
+        if nid == qid:
+            continue
+        per.setdefault(qid, []).append((d, nid, cell))
+    for qid in sorted(per):
+        per[qid].sort()
+        for rnk, (d, nid, cell) in enumerate(per[qid][:topk], 1):
+            row = (qid, nid, rnk, d) + ((cell,) if include_cell else ())
+            out.append(row)
+    schema = (
+        "query_id bigint, neighbor_id bigint, rank bigint, dist_q bigint"
+        + (", cell int" if include_cell else "")
     )
+    return spark.createDataFrame(out, schema)
 
 
 def nsw_insert(
@@ -705,6 +762,7 @@ def nsw_insert(
     out_new.write.mode("append").partitionBy("cell").parquet(
         f"{path}/edges"
     )
+    _invalidate_nsw_adjacency(spark, path)
     # 4) reverse edges into the touched neighbor cells: read the touched
     # partitions (AFTER the out-edge append, so same-cell new edges
     # survive the overwrite), merge, re-cap, dynamic-overwrite
@@ -742,6 +800,7 @@ def nsw_insert(
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("cell").parquet(f"{path}/edges")
+    _invalidate_nsw_adjacency(spark, path)
 
 
 def nsw_cell_stats(spark: SparkSession, path: str) -> DataFrame:
