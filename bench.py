@@ -200,6 +200,20 @@ CALIB_PY_REF_SEC = 0.0261
 # not comparable even after normalization, and the run is flagged.
 CALIB_DRIFT_FLAG = 1.20
 
+# Round-12 (VERDICT r11 #1): the r11 driver record carried a CONTIGUOUS
+# stretch of 7 rows at 3-10x their reproducible cost (events_ab_cuped
+# 7.5 s vs 0.65 s quiet/8-core) and still printed contended:false,
+# because the contention sentinel only probed at the start and end of the
+# run. Fix: probe the single-threaded BLAS calibration BETWEEN headline
+# rows; a probe slower than STALL_FACTOR x the settled start reference
+# means the host stalled during that row, so the row is re-sampled (up to
+# MAX_ROW_RETRIES extra passes, short escalating backoff) and the min
+# over every sample is kept. A row whose probe never settles is recorded
+# in row_stalls and flips contended_run. The probe is ~10 ms, so the
+# whole-run overhead is under 2 s across 66 rows.
+STALL_FACTOR = 3.0
+MAX_ROW_RETRIES = 2
+
 
 def main() -> None:
     from youtube_etl_project_spark.session import get_spark
@@ -215,7 +229,7 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    def best_of(name: str, n: int = 2) -> float:
+    def samples_of(name: str, n: int = 2) -> list[float]:
         # this host shows transient multi-second GC/noisy-neighbor stalls
         # (see SCALE.md note); the min of n runs is the reproducible cost.
         # Sub-second queries are fixed-overhead dominated and the noisiest
@@ -228,7 +242,7 @@ def main() -> None:
         times = [run(name) for _ in range(n)]
         if min(times) < 1.0 or name.startswith("streaming_"):
             times.append(run(name))
-        return min(times)
+        return times
 
     # Host-speed calibration: a fixed JVM workload (codegen sum over a
     # range — no IO, no shuffle) timed best-of-3. Run at BOTH ends of the
@@ -302,9 +316,17 @@ def main() -> None:
     # BENCH_QUIET_r11A.json / BENCH_r10.json for comparison; the per-row
     # delta for untouched queries is the (now honestly charged) scan
     # constant. See OPTIMIZATION_r11.md "Bench methodology".
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(best_of(name), 3)
+    #
+    # Round-12 (VERDICT r11 #1): between-rows stall sentinel. The timed
+    # action per sample is unchanged (noop sink, min over samples); a
+    # probe-detected mid-run stall re-samples the affected row instead of
+    # letting a transient 10-25 s outlier become the round's record.
+    timings, row_stalls = timed_rows(
+        HEADLINE,
+        samples_of,
+        lambda: min(calib_py() for _ in range(3)),
+        calib_py_start,  # settled min-of-9 from the quiet start
+    )
 
     calib_end = round(min(calib() for _ in range(3)), 3)
     calib_py_end = round(min(calib_py() for _ in range(9)), 4)
@@ -339,7 +361,12 @@ def main() -> None:
         "calib_py_sec_start": calib_py_start,
         "calib_py_sec_end": calib_py_end,
         "calib_py_drift": round(drift_py, 3),
-        "contended_run": drift_py > CALIB_DRIFT_FLAG,
+        # contended when the start/end probes disagree OR any row's
+        # between-rows probe never settled after its retries (r12: the
+        # r11 mid-run stall was invisible to the start/end pair)
+        "contended_run": drift_py > CALIB_DRIFT_FLAG
+        or any(not s["cleared"] for s in row_stalls.values()),
+        "row_stalls": row_stalls,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "calib_ref_sec": CALIB_REF_SEC,
@@ -386,6 +413,50 @@ def main() -> None:
         json.dump(full, fh, indent=2)
     print(f"full telemetry record: {full_path}", flush=True)
     print(compact_line(full), flush=True)
+
+
+def timed_rows(
+    names: list[str],
+    samples_of,
+    probe,
+    py_ref: float,
+    sleep=time.sleep,
+) -> tuple[dict[str, float], dict[str, dict]]:
+    """Time every row with the between-rows stall sentinel (VERDICT r11
+    #1). After each row's samples, ``probe()`` (the ~10 ms single-thread
+    BLAS calibration) is compared against the settled start-of-run
+    reference ``py_ref``: a probe above ``STALL_FACTOR`` x the reference
+    means the host was contended while the row ran, so the row is
+    re-sampled after a short escalating backoff (up to ``MAX_ROW_RETRIES``
+    extra passes) and the min over ALL samples is kept — a transient
+    stall can only ever ADD samples, never change what a sample times.
+    Returns (timings, row_stalls); a row whose probe never settles is
+    recorded with ``cleared: False`` and flips the run's contended flag."""
+    timings: dict[str, float] = {}
+    row_stalls: dict[str, dict] = {}
+    for name in names:
+        samples: list[float] = []
+        for attempt in range(1 + MAX_ROW_RETRIES):
+            samples.extend(samples_of(name))
+            if probe() <= STALL_FACTOR * py_ref:
+                if attempt:
+                    row_stalls[name] = {
+                        "retries": attempt,
+                        "cleared": True,
+                        "samples": [round(s, 3) for s in samples],
+                    }
+                break
+            # host stalled during this row: give the transient a moment
+            # to clear, then re-sample the whole row
+            sleep(2.0 * (attempt + 1))
+        else:
+            row_stalls[name] = {
+                "retries": MAX_ROW_RETRIES,
+                "cleared": False,
+                "samples": [round(s, 3) for s in samples],
+            }
+        timings[name] = round(min(samples), 3)
+    return timings, row_stalls
 
 
 # The driver tail-captures ~2000 chars of combined output and parses the

@@ -1,15 +1,15 @@
-"""Round-11 optimization measurement harness.
+"""Optimization measurement harness (rounds 11/12).
 
 Times individual declared queries end-to-end with the noop sink (guide
 §1.4 — full materialization, no driver collect, no output cost) and
 captures ``explain("formatted")`` for the plan-diff deliverables under
-``plans/r11/``. Usage:
+``plans/<round>/``. Usage:
 
     python tools/opt_measure.py [--sf DIR] [--tag before|after] [--reps N]
-        [--no-plans] query [query ...]
+        [--round r12] [--no-plans] query [query ...]
 
 Prints one line per query: ``<name> best=<s> runs=[...]`` and writes
-``plans/r11/<name>_<tag>.txt`` unless --no-plans. The session is the
+``plans/<round>/<name>_<tag>.txt`` unless --no-plans. The session is the
 tuned ``session.get_spark()`` (same as bench.py); jobs are labelled so
 the UI/event log is readable (guide §1.5).
 """
@@ -30,7 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--tag", default=None, help="plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r12", dest="round_dir")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-plans", action="store_true")
     args = ap.parse_args()
@@ -44,7 +45,7 @@ def main() -> None:
     qs = entrymod.queries()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r11")
+    plan_dir = os.path.join(here, "plans", args.round_dir)
     os.makedirs(plan_dir, exist_ok=True)
 
     # session/JIT warmup on a cheap query so the first measured rep is not
