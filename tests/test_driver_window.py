@@ -124,3 +124,54 @@ def test_window_rows_only_is_bounded():
 def test_no_window_name_lost_from_registry():
     reg = load_all_plans()
     assert all(n in reg for n in DRIVER_WINDOW)
+
+
+# VERDICT r11 #3: the round-11 rotation's six ceded queries. A name
+# leaving the 50-slot window is cession, not breakage — these stay
+# registered with oracles and are replayed against DuckDB below, so the
+# next PERF "dropped" list can be adjudicated as rotation in one look.
+# The full by-round ledger lives in PARITY.md ("Driver-window rotation
+# ledger").
+ROTATED_OUT_R11 = (
+    "api_stream_parity",
+    "dedup_exact_substring",
+    "embed_pq_rerank_topk",
+    "fuzzy_dup_degree_sym",
+    "k_anonymity_report",
+    "ridge_conformal_v1",
+)
+
+
+def test_rotated_out_queries_stay_registered_with_oracles():
+    reg = load_all_plans()
+    for name in ROTATED_OUT_R11:
+        assert name in reg, f"{name} disappeared from the registry"
+        assert reg[name].oracle is not None, f"{name} lost its oracle"
+
+
+def test_rotated_out_queries_still_match_their_oracles(spark, sf_dir):
+    """Replay each ceded query against its DuckDB oracle at sf0.001 —
+    the same rows/cols/canonicalized-multiset comparison as the local
+    full gate (tools/check_correctness.py), inside the suite."""
+    import duckdb
+
+    from tools.check_correctness import TABLES, rows_to_multiset
+
+    reg = load_all_plans()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in ROTATED_OUT_R11:
+        sdf = reg[name].fn(spark, sf_dir)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(reg[name].oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        assert len(spark_rows) == len(duck_rows), name
+        assert sorted(sdf.columns) == sorted(duck_cols), name
+        assert rows_to_multiset(sdf.columns, spark_rows) == rows_to_multiset(
+            duck_cols, duck_rows
+        ), name
