@@ -400,35 +400,86 @@ def ivf_query(
 # lookup).
 
 
-# (application id, index path) -> {cell -> set(dst_cell)}: which cells a
-# beam step out of `cell` can reach. Lets nsw_query prune the components
-# scan of its fused per-round action BEFORE the action runs (the exact
-# frontier cells are only known after the edges scan). K²-bounded model
-# state. MUTATION CONTRACT: nsw_build and nsw_insert invalidate the
-# entry for their path — a stale adjacency could under-prune is fine,
-# but an insert adding a previously-unreachable dst cell would make the
-# superset WRONG and silently drop frontier distances.
-_NSW_ADJ_CACHE: "dict[tuple, dict]" = {}
+# (application id, index path) -> (edges-dir stamp, {cell ->
+# set(dst_cell)}): which cells a beam step out of `cell` can reach. Lets
+# nsw_query prune the components scan of its fused per-round action
+# BEFORE the action runs (the exact frontier cells are only known after
+# the edges scan). K²-bounded model state.
+#
+# VALIDITY CONTRACT (round 12, ADVICE r11): every lookup revalidates
+# against a cheap metadata stamp of {path}/edges (sorted relpath + size
+# + mtime_ns — no data read), so ANY writer to the edge list — known or
+# not — invalidates the cache loudly instead of silently under-pruning
+# a frontier (a missing cell->dst_cell pair would DROP that frontier's
+# distance rows with no error; extra pairs merely widen a pruning
+# filter and are always safe). nsw_insert, which knows exactly which
+# adjacencies its writes can add, WIDENS the cached entry with those
+# pairs and re-stamps instead of dropping it — the previous
+# drop-on-insert contract forced a full edges scan + distinct + collect
+# into every micro-batch's embedded search (ADVICE r11 #3).
+_NSW_ADJ_CACHE: "dict[tuple, tuple[str, dict]]" = {}
+
+
+def _edges_stamp(path: str) -> str:
+    """Metadata fingerprint of the persisted edge list (dir walk only)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    root_dir = f"{path}/edges"
+    for root, dirs, files in os.walk(root_dir):
+        dirs.sort()
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                h.update(f"{p}:gone;".encode())
+                continue
+            rel = os.path.relpath(p, root_dir)
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
 
 
 def _nsw_cell_adjacency(spark: SparkSession, path: str) -> "dict[int, set]":
     key = (spark.sparkContext.applicationId, path)
-    adj = _NSW_ADJ_CACHE.get(key)
-    if adj is None:
-        adj = {}
-        for r in (
-            spark.read.parquet(f"{path}/edges")
-            .select("cell", "dst_cell")
-            .distinct()
-            .collect()
-        ):
-            adj.setdefault(r.cell, set()).add(r.dst_cell)
-        _NSW_ADJ_CACHE[key] = adj
+    stamp = _edges_stamp(path)
+    hit = _NSW_ADJ_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    adj: "dict[int, set]" = {}
+    for r in (
+        spark.read.parquet(f"{path}/edges")
+        .select("cell", "dst_cell")
+        .distinct()
+        .collect()
+    ):
+        adj.setdefault(r.cell, set()).add(r.dst_cell)
+    _NSW_ADJ_CACHE[key] = (stamp, adj)
     return adj
 
 
 def _invalidate_nsw_adjacency(spark: SparkSession, path: str) -> None:
     _NSW_ADJ_CACHE.pop((spark.sparkContext.applicationId, path), None)
+
+
+def _widen_nsw_adjacency(
+    spark: SparkSession, path: str, pairs: "list[tuple[int, int]]"
+) -> None:
+    """Fold an insert's known (cell, dst_cell) additions into the cached
+    adjacency and re-stamp it — widening is always safe (see the cache
+    contract above; the re-cap in nsw_insert can only REMOVE edges,
+    which leaves the cache a superset — correct, merely under-pruned).
+    A miss (no cached entry, or a stamp from a writer we did not see)
+    stays a miss: the next lookup rebuilds from the edge list."""
+    key = (spark.sparkContext.applicationId, path)
+    hit = _NSW_ADJ_CACHE.get(key)
+    if hit is None:
+        return
+    adj = hit[1]
+    for cell, dst_cell in pairs:
+        adj.setdefault(cell, set()).add(dst_cell)
+    _NSW_ADJ_CACHE[key] = (_edges_stamp(path), adj)
 
 
 def nsw_build(
@@ -762,7 +813,15 @@ def nsw_insert(
     out_new.write.mode("append").partitionBy("cell").parquet(
         f"{path}/edges"
     )
-    _invalidate_nsw_adjacency(spark, path)
+    # ADVICE r11 #3: inserts know exactly which (cell, dst_cell)
+    # adjacencies their writes can add — widen the cached adjacency with
+    # them instead of invalidating, so the next search's pruning set is
+    # known without a full edges scan + distinct + collect per batch.
+    out_pairs = [
+        (r.cell, r.dst_cell)
+        for r in out_new.select("cell", "dst_cell").distinct().collect()
+    ]
+    _widen_nsw_adjacency(spark, path, out_pairs)
     # 4) reverse edges into the touched neighbor cells: read the touched
     # partitions (AFTER the out-edge append, so same-cell new edges
     # survive the overwrite), merge, re-cap, dynamic-overwrite
@@ -800,7 +859,14 @@ def nsw_insert(
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("cell").parquet(f"{path}/edges")
-    _invalidate_nsw_adjacency(spark, path)
+    # reverse edges add (neighbor cell -> new vector's cell) pairs; the
+    # re-cap can only REMOVE edges, which leaves the widened cache a
+    # safe superset (see _widen_nsw_adjacency)
+    rev_pairs = [
+        (r.cell, r.dst_cell)
+        for r in rev.select("cell", "dst_cell").distinct().collect()
+    ]
+    _widen_nsw_adjacency(spark, path, rev_pairs)
 
 
 def nsw_cell_stats(spark: SparkSession, path: str) -> DataFrame:

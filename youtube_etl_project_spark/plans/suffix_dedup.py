@@ -66,9 +66,10 @@ _L = 16  # registered span length (= dedup_exact_substring's _K)
 # radix 8 that is 1 → 8 → 64 — ONE intermediate ranking round for
 # L=64 (plus the vocab rank), and the final round needs no dense rank
 # at all because the grouping keys on the chunk-rank tuple directly.
-# Measured at sf0.1: dedup_suffix_spans_64 10.4 s → ~2 s with
-# identical groups (oracle hash unchanged; parity pytest at L=16/32/64
-# unchanged). Chunk ranks per position stay bounded (≤ radix longs per
+# Measured at sf0.1: dedup_suffix_spans_64 10.44 s → 4.54 s on the
+# committed quiet records (scan-charged methodology; the driver's r11
+# 32-core run read 4.19 s) with identical groups (oracle hash
+# unchanged; parity pytest at L=16/32/64 unchanged). Chunk ranks per position stay bounded (≤ radix longs per
 # round, ceil(log_radix L) rounds), so the 100 TB story is still
 # O(N·log L) integer cells — never O(N·L) window text.
 _RADIX = 8
