@@ -30,6 +30,16 @@ ARROW_ALLOWED = {
     "embed_ivf_ann",
     "embed_ivf_index_ann",  # persisted-index probe: same numpy cell-assign
     "dedup_embed_cosine_lsh",  # hyperplane-LSH bucket keys: numpy matmul
+    # round 12: the md5-plane family's bucket keys moved to the SAME
+    # Arrow int64-matmul kernel shape as the sha256 twin above — the
+    # old explode + sign-join + two-aggregate-exchange chain computed
+    # twice per self-join (exchange reuse defeated by the aggregates)
+    # and measured 2x the whole row's floor; exact integers, oracle
+    # hashes unchanged (see _md5_bucket_keys_folded)
+    "dedup_embed_cosine_lsh_md5",
+    "embed_lsh_ann_md5",
+    "embed_lsh_multiprobe_md5",
+    "ann_recall_report",  # embeds embed_lsh_ann_md5's plan verbatim
     "dedup_embed_cosine",  # blocked matmul prefilter + exact-fold verify
     "dedup_hash_embed_cosine",  # same (cosine_pairs_blocked)
     "dedup_ensemble_matrix",  # composes the blocked-matmul cosine pairs

@@ -683,27 +683,84 @@ def _quantized_flat(
     )
 
 
-def _md5_bucket_keys(
-    qdf: DataFrame, id_out: str, signs: DataFrame
+def _md5_bucket_keys_folded(
+    vectors: DataFrame,
+    id_col: str,
+    vec: str,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    scale: int,
 ) -> DataFrame:
-    """(id, t, key) bucket keys from md5-domain plane signs over
-    quantized components: per-plane exact bigint dot → sign bit → key =
-    Σ bit<<p. All codegen (broadcast sign join + two aggregations)."""
-    bits = (
-        qdf.join(F.broadcast(signs), "j")
-        .groupBy(id_out, "t", "p")
-        .agg(F.sum(F.col("s") * F.col("q")).alias("pdot"))
-        .select(
-            id_out,
-            "t",
-            "p",
-            (F.col("pdot") >= 0).cast("long").alias("bit"),
+    """(id, t, key) bucket keys — same exact integers as the old
+    flat-join form, computed MAP-SIDE with zero exchanges (round 12,
+    guide §2.4 "remove shuffles outright"): the old form exploded every
+    vector to (id, j, q) rows, fanned each out 16x through a broadcast
+    sign join, and paid two hash-aggregate EXCHANGES to fold the dots
+    back per (id, t) — and the aggregate subtree defeated exchange
+    reuse, so the LSH self-join computed it twice. The planner's size
+    estimate of the keys frame now stays at scan size (no aggregates
+    inflating it), which lets the bucket self-join auto-broadcast at
+    bench scale and stay a shuffle join at real scale — the
+    scale-adaptive choice, not a forced hint.
+
+    The kernel is the Arrow int64-matmul shape the sha256 twin
+    (:func:`_table_keys_exact_vectorized`, `dedup_embed_cosine_lsh`)
+    has always used — one ``xq @ signs`` per table per batch (guide
+    §4.2: hand whole batches to vectorized native code; a first cut as
+    SQL ``aggregate(zip_with(...))`` folds measured 1.16 s for 2000x16
+    folds because higher-order functions evaluate interpreted,
+    per-element). int64 matmul is exact, and integer addition is
+    associative, so reordering cannot change a bit.
+
+    Precondition (same as the callers always guaranteed via ``dim``):
+    vectors have exactly ``dim`` non-null components — the old flat
+    form dropped j ≥ dim rows and F.sum skipped null components, while
+    the matrix form requires rectangular input; the fixtures'
+    embeddings are fixed 64-wide, and the shared oracles hash-check
+    the keys end-to-end."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sign_of = {
+        (t, p, j): s
+        for t, p, j, s in md5_plane_signs(n_tables, n_planes, dim)
+    }
+    mats = [
+        np.array(
+            [
+                [sign_of[(t, p, j)] for p in range(n_planes)]
+                for j in range(dim)
+            ],
+            dtype=np.int64,
+        )  # dim × n_planes
+        for t in range(n_tables)
+    ]
+
+    @pandas_udf("array<long>")
+    def keys(v: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — runs on the worker
+
+        x = np.stack(v.to_numpy()).astype(np.float64)[:, :dim]
+        xq = np.floor(x * float(scale) + 0.5).astype(np.int64)
+        per_table = []
+        for mat in mats:
+            bits = (xq @ mat) >= 0  # batch × n_planes, exact int64 dots
+            k = np.zeros(len(xq), dtype=np.int64)
+            for p in range(bits.shape[1]):
+                k |= bits[:, p].astype(np.int64) << p
+            per_table.append(k)
+        stacked = np.stack(per_table, axis=1)
+        return pd.Series(list(stacked))
+
+    return (
+        vectors.filter(
+            F.col(vec).isNotNull() & (F.size(F.col(vec)) > 0)
         )
-    )
-    return bits.groupBy(id_out, "t").agg(
-        F.sum(
-            F.call_function("shiftleft", F.col("bit"), F.col("p"))
-        ).alias("key")
+        .select(F.col(id_col), keys(F.col(vec)).alias("__ks"))
+        .select(
+            id_col, F.posexplode("__ks").alias("t", "key")
+        )
     )
 
 
@@ -725,13 +782,19 @@ def cosine_pairs_lsh_md5(
     matches DuckDB's sequential ``list_inner_product`` bit-for-bit (the
     ``dedup_embed_cosine`` precedent). Returns (id_a, id_b, cosine ≥
     threshold) with id_a < id_b."""
-    spark = vectors.sparkSession
-    signs = spark.createDataFrame(
-        md5_plane_signs(n_tables, n_planes, dim),
-        "t int, p int, j int, s long",
+    # Round-12 shape (guide §2.4/§1.2; measured at sf0.1): bucket keys
+    # fold map-side with ZERO exchanges (was: explode + 16x sign join +
+    # two aggregate exchanges, ~2 s — and computed TWICE, once per
+    # self-join side, because the aggregate subtree defeated exchange
+    # reuse), the self-join auto-broadcasts at bench scale (scan-sized
+    # estimates) and stays a shuffle join at real scale, and the verify
+    # attaches PRE-COMPUTED per-vector norms so each candidate pays one
+    # dot fold instead of three (dot/(sqrt(na)·sqrt(nb)) — the same
+    # float ops in the same order, bit-identical; measured 3.3 s →
+    # 1.4 s over 462 k candidates).
+    keys = _md5_bucket_keys_folded(
+        vectors, id_col, vec, dim, n_tables, n_planes, scale
     )
-    q = _quantized_flat(vectors, id_col, vec, scale)
-    keys = _md5_bucket_keys(q, id_col, signs)
     l, r = keys.alias("l"), keys.alias("r")
     pairs = (
         l.join(
@@ -747,15 +810,23 @@ def cosine_pairs_lsh_md5(
         .dropDuplicates(["id_a", "id_b"])
     )
     a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec).alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("__va"),
+        norm(F.col(vec)).alias("__na"),
     )
     b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec).alias("__vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("__vb"),
+        norm(F.col(vec)).alias("__nb"),
     )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -806,20 +877,21 @@ def lsh_ann_md5(
     not change with the probe count.
     """
     spark = queries.sparkSession
-    signs = spark.createDataFrame(
-        md5_plane_signs(n_tables, n_planes, dim),
-        "t int, p int, j int, s long",
-    )
 
     def quantized(df: DataFrame, id_out: str) -> DataFrame:
         return _quantized_flat(df, id_out, vec, scale)
 
-    def bucket_keys(qdf: DataFrame, id_out: str) -> DataFrame:
-        return _md5_bucket_keys(qdf, id_out, signs)
+    def bucket_keys(df: DataFrame, id_out: str) -> DataFrame:
+        # round 12: map-side fold keys (zero exchanges) — same exact
+        # integers as the old explode + sign-join + two-aggregate chain;
+        # see _md5_bucket_keys_folded
+        return _md5_bucket_keys_folded(
+            df, id_out, vec, dim, n_tables, n_planes, scale
+        )
 
     qq = quantized(queries, query_id)
     qc = quantized(candidates, cand_id)
-    probe_keys = bucket_keys(qq, query_id)
+    probe_keys = bucket_keys(queries, query_id)
     if multiprobe > 0:
         flips = spark.range(multiprobe).select(
             F.col("id").cast("int").alias("__mp_p")
@@ -838,7 +910,7 @@ def lsh_ann_md5(
         ).dropDuplicates([query_id, "t", "key"])
     pairs = (
         F.broadcast(probe_keys)
-        .join(bucket_keys(qc, cand_id), ["t", "key"])
+        .join(bucket_keys(candidates, cand_id), ["t", "key"])
         .filter(F.col(query_id) != F.col(cand_id))
         .select(query_id, cand_id)
         .dropDuplicates([query_id, cand_id])
