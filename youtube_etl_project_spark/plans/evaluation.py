@@ -484,6 +484,93 @@ def _ann_recall_oracle() -> str:
     """
 
 
+def _ann_gt_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-fixture cache of the report's TWO exact ground-truth top-5
+    frames (VERDICT r11 #4, guide §1.2 build-once/probe-many): both are
+    deterministic in the fixture alone (exact int64 grid dots / squared
+    distances with id tiebreaks — every column bigint, so the parquet
+    round trip is bit-exact), reused across the report's repeated bench
+    samples and by the RECALL.md tooling, and rebuilt whenever the
+    fixture's content fingerprint changes. The DuckDB oracle still
+    recomputes both ground truths from raw parquet in SQL every gate
+    run, so a stale/wrong cache fails the value hash, not just a test."""
+    from youtube_etl_project_spark.operators import fixture_cache
+    from youtube_etl_project_spark.plans import quantization_queries as qq
+    from youtube_etl_project_spark.plans import similarity_queries as sq
+
+    def _build(path: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qe = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select("vec_id", F.posexplode("embedding").alias("j", "e"))
+            .select(
+                "vec_id",
+                "j",
+                F.floor(
+                    F.col("e").cast("double") * F.lit(float(sq._ANN_SCALE))
+                    + F.lit(0.5)
+                ).cast("long").alias("q"),
+            )
+        )
+        qa = qe.filter(F.col("vec_id") < sq._N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "j", F.col("q").alias("qa")
+        )
+        gt_scored = (
+            qe.select(F.col("vec_id").alias("neighbor_id"), "j",
+                      F.col("q").alias("qb"))
+            .join(F.broadcast(qa), "j")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot_q"))
+        )
+        wg = Window.partitionBy("query_id").orderBy(
+            F.col("dot_q").desc(), F.col("neighbor_id").asc()
+        )
+        (
+            gt_scored.withColumn("rnk", F.row_number().over(wg))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id")
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/mips")
+        )
+        wl = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("neighbor_id").asc()
+        )
+        gt_l2 = (
+            qe.select(F.col("vec_id").alias("neighbor_id"), "j",
+                      F.col("q").alias("qb"))
+            .join(
+                F.broadcast(
+                    qa.filter(F.col("query_id") < qq._N_QUERIES)
+                ),
+                "j",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+                )
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        (
+            gt_l2.withColumn("rnk", F.row_number().over(wl))
+            .filter(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id")
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/l2")
+        )
+
+    return fixture_cache.cached_build(
+        "ann_gt_", sf_dir, _build, marker="l2/_SUCCESS"
+    )
+
+
+
 @register(
     "ann_recall_report",
     oracle=_ann_recall_oracle(),
@@ -504,42 +591,11 @@ def _ann_recall_oracle() -> str:
         "probe budget",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_etl_project_spark.operators.checkpointing import pin
     from youtube_etl_project_spark.plans import quantization_queries as qq
 
     sq, _, _, _ = _ann_eval_parts()
-    emb = load_table(spark, sf_dir, "embeddings")
-    qe = (
-        emb.filter(F.col("embedding").isNotNull())
-        .select("vec_id", F.posexplode("embedding").alias("j", "e"))
-        .select(
-            "vec_id",
-            "j",
-            F.floor(
-                F.col("e").cast("double") * F.lit(float(sq._ANN_SCALE))
-                + F.lit(0.5)
-            ).cast("long").alias("q"),
-        )
-    )
-    qa = qe.filter(F.col("vec_id") < sq._N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "j", F.col("q").alias("qa")
-    )
-    gt_scored = (
-        qe.select(F.col("vec_id").alias("neighbor_id"), "j",
-                  F.col("q").alias("qb"))
-        .join(F.broadcast(qa), "j")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot_q"))
-    )
-    wg = Window.partitionBy("query_id").orderBy(
-        F.col("dot_q").desc(), F.col("neighbor_id").asc()
-    )
-    exact = pin(
-        gt_scored.withColumn("rnk", F.row_number().over(wg))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id")
-    )
+    gt_path = _ann_gt_path(spark, sf_dir)
+    exact = spark.read.parquet(f"{gt_path}/mips")
 
     def hits(ann: DataFrame, method: str, gt: DataFrame = None) -> DataFrame:
         marked = ann.select(
@@ -560,31 +616,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # PQ family: graded against exact L2 ground truth (ITS metric) over
-    # the same 1e6-grid qe — ADC/re-rank minimize squared distance, so
-    # MIPS ground truth would mis-grade it
-    wl = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    gt_l2 = (
-        qe.select(F.col("vec_id").alias("neighbor_id"), "j",
-                  F.col("q").alias("qb"))
-        .join(
-            F.broadcast(qa.filter(F.col("query_id") < qq._N_QUERIES)), "j"
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
-            .cast("long")
-            .alias("d2")
-        )
-    )
-    exact_l2 = pin(
-        gt_l2.withColumn("rnk", F.row_number().over(wl))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id")
-    )
+    # PQ family: graded against exact L2 ground truth (ITS metric) —
+    # ADC/re-rank minimize squared distance, so MIPS ground truth would
+    # mis-grade it; same fixture-cached build as the MIPS frame
+    exact_l2 = spark.read.parquet(f"{gt_path}/l2")
 
     ivf = sq.embed_ivf_ann_v1(spark, sf_dir)
     lsh = sq.embed_lsh_ann_md5(spark, sf_dir)
