@@ -67,16 +67,24 @@ def cross_group_scored_pairs(
     exploded = base.select(
         "doc",
         "grp",
-        F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("sh"),
     )
     if max_df is not None:
-        # recount surviving shingles per doc after the cut (window, not a
-        # join-back — and docs losing every shingle drop out, matching
-        # the oracle CTE)
-        exploded = df_cut(exploded.drop("n_sh"), "sh", max_df).withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-        )
+        exploded = df_cut(exploded, "sh", max_df)
+    # Round 12 (guide §2.3 "shuffle keys, not payloads" — the r11
+    # fuzzy-linkage lesson applied here, VERDICT r11 #8): the candidate
+    # self-join shuffles only (doc, grp, sh) — per-doc sizes no longer
+    # ride every exploded row through the join (they were carried as a
+    # fourth column and folded back with two F.first aggs); they
+    # re-attach to the PAIR-sized inter frame from a doc-sized count
+    # aggregate (partial map-side agg, replacing the full-exchange
+    # per-doc count WINDOW the df-cut recount used — docs losing every
+    # shingle still drop out, matching the oracle CTE). The exploded
+    # frame is pinned: it feeds both self-join sides and the size
+    # aggregate, and unpinned each reference re-runs the shingle + df
+    # cut chain.
+    exploded = pin(exploded)
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     left, right = exploded.alias("l"), exploded.alias("r")
     inter = (
         left.join(
@@ -84,17 +92,25 @@ def cross_group_scored_pairs(
             (F.col("l.sh") == F.col("r.sh")) & (F.col("l.grp") < F.col("r.grp")),
         )
         .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first(F.col("l.n_sh")).alias("n_a"),
-            F.first(F.col("r.n_sh")).alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return inter.select(
-        "id_a",
-        "id_b",
-        "n_inter",
-        F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)").alias("score_pm"),
+    return (
+        inter.join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)").alias(
+                "score_pm"
+            ),
+        )
     )
 
 

@@ -344,9 +344,14 @@ def _md5_lsh_cluster_oracle() -> str:
         "the exact-pair clustering",
 )
 def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_etl_project_spark.plans.dedup_queries import (
+        md5_sig_full_path,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs_md5(
         docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.5,
+        signatures=spark.read.parquet(md5_sig_full_path(spark, sf_dir)),
     )
     labels = graph.connected_components(pairs, src="id_a", dst="id_b")
     return docs.join(

@@ -191,6 +191,36 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xx_sig_full_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-fixture xxhash64 signature index for the production flagship —
+    the same round-12 build-once/probe-many contract as
+    :func:`md5_sig_full_path` (hashed shingle ids and signature slots are
+    all bigint, so the parquet round trip is bit-exact); rows-only gate +
+    tests/test_dedup.py recall floors keep checking the pair output."""
+    from youtube_etl_project_spark.operators import fixture_cache
+
+    def _build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+        )
+        base = dedup.spread(docs).select(
+            F.col("doc_id").alias("doc"),
+            dedup.word_shingle_ids(toks, 3).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        dedup.minhash_signature_df(
+            base, "doc", "shingles", 32, 42
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/sig")
+
+    return (
+        fixture_cache.cached_build(
+            "lsh_sig_xx_full_", sf_dir, _build, marker="sig/_SUCCESS"
+        )
+        + "/sig"
+    )
+
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-seeded signatures have no DuckDB twin
@@ -203,6 +233,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_k=3, n_hashes=32, n_bands=8,
         threshold=0.5,
+        signatures=spark.read.parquet(xx_sig_full_path(spark, sf_dir)),
     )
 
 
@@ -342,6 +373,7 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_md5(
         docs, "doc_id", "text", n_hashes=_MD5_HASHES, n_bands=_MD5_BANDS,
         threshold=0.5,
+        signatures=spark.read.parquet(md5_sig_full_path(spark, sf_dir)),
     )
 
 
@@ -765,6 +797,39 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-shingling the corpus per call (the dedup twin of the persisted-IVF
 # cache in plans/similarity_queries.py). Cache validity + cleanup via
 # operators.fixture_cache (ADVICE r10).
+
+
+def md5_sig_full_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-fixture FULL-corpus md5 signature index (round 12, VERDICT
+    r11 #6 — the option it names: "a per-fixture signature cache (same
+    contract as the md5 LSH index)"): one persisted
+    :func:`dedup.md5_signature_df` frame (doc, sh_set, h0..h15) for the
+    whole documents table at the default (16-hash, uncut) geometry,
+    shared by every md5-LSH consumer of that space —
+    `dedup_minhash_lsh_md5`, `dedup_cluster_lsh`,
+    `dedup_lsh_recall_report`, `dedup_ensemble_matrix`. Measured: the
+    signature pass is ~2.1 s of each row's ~2.3 s at sf0.1 and in-plan
+    exchange reuse already de-duplicates it WITHIN a row, so the
+    per-fixture index is the remaining lever (the same
+    build-once/probe-many contract as `_lsh_index_path` below, which
+    stays the corpus-subset index for the incremental row). Strings and
+    string-arrays round-trip parquet exactly; the DuckDB oracles keep
+    recomputing signatures in SQL, so a stale or wrong index fails the
+    value hash."""
+    from youtube_etl_project_spark.operators import fixture_cache
+
+    def _build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        dedup.md5_signature_df(
+            docs, "doc_id", "text", _MD5_HASHES
+        ).repartition(1).write.mode("overwrite").parquet(f"{path}/sig")
+
+    return (
+        fixture_cache.cached_build(
+            "lsh_sig_full_", sf_dir, _build, marker="sig/_SUCCESS"
+        )
+        + "/sig"
+    )
 
 
 def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:

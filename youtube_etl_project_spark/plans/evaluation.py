@@ -78,9 +78,14 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_k=3, threshold=0.5
     )
+    from youtube_etl_project_spark.plans.dedup_queries import (
+        md5_sig_full_path,
+    )
+
     caught = dedup.minhash_lsh_pairs_md5(
         docs, "doc_id", "text", n_hashes=_MD5_HASHES, n_bands=_MD5_BANDS,
         threshold=0.5,
+        signatures=spark.read.parquet(md5_sig_full_path(spark, sf_dir)),
     ).select("id_a", "id_b", F.lit(1).alias("caught"))
     return (
         exact.join(caught, ["id_a", "id_b"], "left")
@@ -364,9 +369,14 @@ def dedup_ensemble_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_hash_embed_cosine,
     )
 
+    from youtube_etl_project_spark.plans.dedup_queries import (
+        md5_sig_full_path,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     lex = dedup.minhash_lsh_pairs_md5(
-        docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.5
+        docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.5,
+        signatures=spark.read.parquet(md5_sig_full_path(spark, sf_dir)),
     ).select("id_a", "id_b", F.lit(1).alias("__lex"))
     sem = dedup_hash_embed_cosine(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("__sem")
