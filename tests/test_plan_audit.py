@@ -70,6 +70,19 @@ ARROW_ALLOWED = {
     # (round 7: embed_pq_rmse / adc_topk / rerank_topk left this list —
     # the exact-grid trainer's assignment is a broadcast codebook join in
     # whole-stage codegen, no Python in the plan at all)
+    # round 12: the SemDeDup within-cell τ test runs as the per-cell
+    # Arrow int64 matmul kernel (_semantic_pairs_blocked — the
+    # _knn_parts_blocked precedent) instead of a Σ|cell|²·dim-row flat
+    # (cell, pos) self-join; exact integers, oracle hashes unchanged
+    "dedup_semantic",
+    "dedup_semantic_v1",
+    # round 12: the greedy MMR trace over the pinned shortlist runs as
+    # ONE per-query Arrow int64 kernel (sims matmul + 5 greedy rounds,
+    # all exact grid ints with id tiebreaks) instead of a pinned sims
+    # frame + 4 pinned per-round jobs — ~6 job barriers over 10x20
+    # rows; unrolled-CTE oracles unchanged (_mmr_greedy_spark)
+    "embed_mmr_diversify",
+    "embed_ann_mmr_diversify",
 }
 
 _ARROW_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
@@ -324,6 +337,10 @@ PRE_PIN_ARROW_ALLOWED = {
     # round 11: the online-ingest row's bootstrap runs the bounded k-NN
     # build kernel on batch 1 (nsw_graph_from_vectors) before nsw_insert
     "embed_nsw_online_ingest_ann",
+    # round 12: dedup_semantic's pair frame (the per-cell Arrow τ-test
+    # kernel, _semantic_pairs_blocked) feeds connected_components, whose
+    # iteration pins it — the kernel therefore surfaces pre-pin here
+    "dedup_semantic",
 }
 
 

@@ -23,6 +23,57 @@ _K = 16  # span width in tokens
 _SEM_BOOK_CACHE: "dict[str, dict]" = {}
 
 
+def _semantic_pairs_blocked(
+    members: DataFrame, grid: float, id_a: str, id_b: str
+) -> DataFrame:
+    """Within-cell SemDeDup pair pass as a per-cell Arrow int64 kernel
+    (round 12 — the `_knn_parts_blocked` precedent from plans/graph_ann:
+    dense per-row linear algebra runs as Arrow-batched numpy, the repo's
+    measured rule). ``members`` is (cell, id, embedding); output is
+    every within-cell pair (id_a < id_b) passing the exact integer
+    τ=0.4 test ``dot > 0 AND 25·dot² ≥ 4·|a|²·|b|²`` on the ``grid``
+    snap, with the dot. The flat (cell, pos) self-join this replaces
+    shuffled Σ|cell|²·dim rows (~32 M at sf0.1, measured ~3.7 s of the
+    row); the kernel computes the same int64s per cell group — numpy
+    int64 matmul is exact (dot ≤ 64·(1e3·1)² margins; 25·dot² ≤ ~1e17 ≪
+    2^63) — so this is a plan change, not a semantics change, and the
+    value-hash oracles (which recompute the flat form in SQL) prove it
+    per run."""
+    import pandas as pd
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        cell = pdf["cell"].iloc[0]
+        Q = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            * float(grid)
+            + 0.5
+        ).astype(np.int64)
+        ids = pdf["id"].to_numpy()
+        G = Q @ Q.T
+        na = np.einsum("ij,ij->i", Q, Q)
+        keep = (
+            (ids[:, None] < ids[None, :])
+            & (G > 0)
+            & (25 * G * G >= 4 * na[:, None] * na[None, :])
+        )
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "cell": np.full(ii.size, cell, dtype=np.int64),
+                id_a: ids[ii],
+                id_b: ids[jj],
+                "dot_q": G[ii, jj],
+            }
+        )
+
+    return members.groupBy("cell").applyInPandas(
+        per_cell, f"cell long, {id_a} long, {id_b} long, dot_q long"
+    )
+
+
 @register(
     "dedup_exact_substring",
     oracle=f"""
@@ -259,38 +310,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SEM_BOOK_CACHE[sf_dir] = books
     assign = pin(
         kmeans_assign_exact(qe, centroid_df(emb.sparkSession, books))
-    )  # referenced by feats + the output join
+    )  # referenced by members + the output join
 
-    q3 = pin(quantize_vectors(nn_emb, "vec_id", "embedding", grid=1000))
-    feats = assign.join(q3, "id").select("cell", "id", "pos", "q")
-    fa = feats.select(
-        "cell", "pos", F.col("id").alias("id_a"), F.col("q").alias("qa")
-    )
-    fb = feats.select(
-        "cell", "pos", F.col("id").alias("id_b"), F.col("q").alias("qb")
-    )
-    dots = (
-        fa.join(fb, ["cell", "pos"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
-    )
-    n2 = q3.groupBy("id").agg(
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("nn")
-    ).transform(pin)  # joined twice (both pair sides)
-    pairs = (
-        dots.join(n2.withColumnRenamed("id", "id_a"), "id_a")
-        .withColumnRenamed("nn", "na")
-        .join(n2.withColumnRenamed("id", "id_b"), "id_b")
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(25) * F.col("dot") * F.col("dot")
-                >= F.lit(4) * F.col("na") * F.col("nn")
-            )
-        )
-        .select("id_a", "id_b")
-    )
+    # round 12: the within-cell τ test runs as the per-cell Arrow int64
+    # kernel (see _semantic_pairs_blocked) instead of a Σ|cell|²·dim-row
+    # flat (cell, pos) self-join + two norm join-backs
+    members = assign.join(
+        nn_emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).select("cell", "id", "embedding")
+    pairs = _semantic_pairs_blocked(
+        members, grid=1000.0, id_a="id_a", id_b="id_b"
+    ).select("id_a", "id_b")
     labels = graph.connected_components(pairs, src="id_a", dst="id_b")
     return (
         emb.select(F.col("vec_id").alias("id"))
@@ -419,35 +449,17 @@ def dedup_semantic_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
-    feats = qe.join(assign, "vec_id").select("cell", "vec_id", "j", "q3")
-    fa = feats.select(
-        "cell", "j",
-        F.col("vec_id").alias("vec_a"), F.col("q3").alias("qa"),
-    )
-    fb = feats.select(
-        "cell", "j",
-        F.col("vec_id").alias("vec_b"), F.col("q3").alias("qb"),
-    )
-    pairs = (
-        fa.join(fb, ["cell", "j"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("cell", "vec_a", "vec_b")
-        .agg(
-            F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot_q"),
-            F.sum(F.col("qa") * F.col("qa")).cast("long").alias("na"),
-            F.sum(F.col("qb") * F.col("qb")).cast("long").alias("nb"),
-        )
-    )
-    return (
-        pairs.filter(
-            (F.col("dot_q") > 0)
-            & (
-                F.lit(25) * F.col("dot_q") * F.col("dot_q")
-                >= F.lit(4) * F.col("na") * F.col("nb")
-            )
-        )
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            "vec_a", "vec_b", "dot_q",
-        )
+    # round 12: within-cell τ test as the per-cell Arrow int64 kernel
+    # (see _semantic_pairs_blocked) — replaces the (cell, j) flat
+    # self-join + group-by that shuffled Σ|cell|²·dim rows
+    members = assign.join(
+        emb.filter(F.col("embedding").isNotNull()).select(
+            F.col("vec_id").alias("id"), "embedding"
+        ),
+        F.col("vec_id") == F.col("id"),
+    ).select("cell", "id", "embedding")
+    return _semantic_pairs_blocked(
+        members, grid=1000.0, id_a="vec_a", id_b="vec_b"
+    ).select(
+        F.col("cell").cast("long").alias("cell"), "vec_a", "vec_b", "dot_q"
     )

@@ -204,75 +204,74 @@ def _mmr_greedy_spark(cand: DataFrame, qe: DataFrame) -> DataFrame:
     """The greedy MMR trace over a PINNED shortlist ``cand(query_id,
     neighbor_id, rel_q)`` with grid rows ``qe(id, pos, q)`` — shared by
     the exact-shortlist flagship and the ANN-composed serving query.
-    Everything here is shortlist-sized."""
-    # shortlist pair matrix: every ordered (a, b) pair within a query's
-    # shortlist with its exact grid inner product
-    pa = cand.select("query_id", F.col("neighbor_id").alias("a"))
-    pb = cand.select("query_id", F.col("neighbor_id").alias("b"))
-    qea = qe.select(F.col("id").alias("a"), "pos", F.col("q").alias("qa"))
-    qeb = qe.select(F.col("id").alias("b"), "pos", F.col("q").alias("qb"))
-    sims = pin(
-        pa.join(pb, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .join(qea, "a")
-        .join(qeb, ["b", "pos"])
-        .groupBy("query_id", "a", "b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("s"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("rel_q"), F.asc("neighbor_id")
-    )
-    selected = pin(
-        cand.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.lit(1).alias("rnk"),
-            (F.lit(2) * F.col("rel_q")).alias("score_q"),
+    Everything here is shortlist-sized.
+
+    Round 12: the trace runs as ONE per-query Arrow int64 kernel
+    (guide §2.4 / §4.2 — the _knn_parts_blocked precedent) instead of
+    a pinned sims frame plus ``_TOPK - 1`` pinned greedy rounds: each
+    round was a full Spark job (anti-join + join + window + pin) over
+    10 x 20 shortlist rows, ~6 job barriers of pure scheduling
+    overhead. The kernel computes the SAME exact int64s — sims =
+    grid-dot matmul (|q| ≤ 64·1e6² ≪ 2^63), score = 2·rel − max-sim,
+    lowest-id tiebreaks — so the unrolled-CTE oracle twin proves
+    bit-equality every gate run."""
+    import pandas as pd
+
+    ids = cand.select(F.col("neighbor_id").alias("id")).distinct()
+    vec = (
+        qe.join(ids, "id")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "q"))),
+                lambda x: x["q"],
+            ).alias("vq")
         )
     )
-    for r in range(2, _TOPK + 1):
-        remaining = cand.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
+    members = cand.join(
+        vec, cand["neighbor_id"] == vec["id"]
+    ).select("query_id", "neighbor_id", "rel_q", "vq")
+
+    topk = _TOPK
+
+    def per_query(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        nids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["rel_q"].to_numpy().astype(np.int64)
+        Q = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+        S = Q @ Q.T
+        # round 1: max rel_q, lowest id on ties
+        first = np.lexsort((nids, -rel))[0]
+        sel = [first]
+        ranks = [1]
+        scores = [2 * rel[first]]
+        remaining = np.ones(len(nids), dtype=bool)
+        remaining[first] = False
+        for r in range(2, topk + 1):
+            if not remaining.any():
+                break
+            msim = S[:, sel].max(axis=1)
+            score = 2 * rel - msim
+            order = np.lexsort((nids, -score))
+            nxt = order[remaining[order]][0]
+            sel.append(nxt)
+            ranks.append(r)
+            scores.append(score[nxt])
+            remaining[nxt] = False
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(sel), qid, dtype=np.int64),
+                "neighbor_id": nids[sel],
+                "rank": np.asarray(ranks, dtype=np.int64),
+                "score_q": np.asarray(scores, dtype=np.int64),
+            }
         )
-        scores = (
-            remaining.withColumnRenamed("neighbor_id", "a")
-            .join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("b")
-                ),
-                "query_id",
-            )
-            .join(sims, ["query_id", "a", "b"])
-            .groupBy("query_id", "a", "rel_q")
-            .agg(F.max("s").alias("msim"))
-            .select(
-                "query_id",
-                F.col("a").alias("neighbor_id"),
-                (F.lit(2) * F.col("rel_q") - F.col("msim")).alias(
-                    "score_q"
-                ),
-            )
-        )
-        ws = Window.partitionBy("query_id").orderBy(
-            F.desc("score_q"), F.asc("neighbor_id")
-        )
-        picked = (
-            scores.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id", "neighbor_id", F.lit(r).alias("rnk"), "score_q"
-            )
-        )
-        selected = pin(selected.unionByName(picked))
-    return selected.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rnk").cast("long").alias("rank"),
-        F.col("score_q").cast("long").alias("score_q"),
+
+    return members.groupBy("query_id").applyInPandas(
+        per_query, "query_id long, neighbor_id long, rank long, score_q long"
     )
 
 

@@ -73,7 +73,7 @@ def _refine_r(n: int) -> int:
 _IVFPQ_BOOK_CACHE: dict[str, dict[tuple[int, int, int], int]] = {}
 
 
-def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+def _ivfpq_parts_uncached(spark: SparkSession, sf_dir: str):
     """Shared trained inputs: pinned grid rows qe(id, pos, q), the coarse
     codebook / assignment, the pinned residual rows qer(id, sub, pos, q)
     and the trained residual PQ codebook (sub, cell, pos, cq)."""
@@ -108,6 +108,63 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
         "sub long, cell int, pos int, cq long",
     )
     return qe, cb, assign, qer, pqcb, n_probe
+
+
+def _ivfpq_frames_path(spark: SparkSession, sf_dir: str) -> str:
+    """Round 12 (VERDICT r11 #7): per-fixture derived-FRAME cache for the
+    capstone's trained intermediates — qe(id,pos,q), assign(id,cell),
+    qer(id,sub,pos,q) and enc(id,sub,code), all exact int64 so the
+    parquet round trip is bit-exact. The MODEL dicts were already
+    memoized (`_IVF_BOOK_CACHE`/`_IVFPQ_BOOK_CACHE`); what re-ran per
+    call were these frames' pins (quantize + assign + residual joins +
+    the encode window). The oracle still trains AND encodes in SQL every
+    gate run. Building also fills the model-dict memos (same process),
+    so readers can take pqcb/cb from them afterwards."""
+    from youtube_etl_project_spark.operators import fixture_cache
+
+    def _build(path: str) -> None:
+        qe, _cb, assign, qer, pqcb, _n_probe = _ivfpq_parts_uncached(
+            spark, sf_dir
+        )
+        qe.repartition(1).write.mode("overwrite").parquet(f"{path}/qe")
+        assign.repartition(1).write.mode("overwrite").parquet(
+            f"{path}/assign"
+        )
+        qer.repartition(1).write.mode("overwrite").parquet(f"{path}/qer")
+        _encode(qer, pqcb).repartition(1).write.mode("overwrite").parquet(
+            f"{path}/enc"
+        )
+
+    return fixture_cache.cached_build(
+        "ivfpq_frames_", sf_dir, _build, marker="enc/_SUCCESS"
+    )
+
+
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    """Frame-cached variant of :func:`_ivfpq_parts_uncached` plus the
+    pre-built enc frame: returns (qe, cb, assign, qer, pqcb, n_probe,
+    enc) with the four frames read from the per-fixture parquet cache."""
+    from youtube_etl_project_spark.plans.exact_kmeans import centroid_df
+    from youtube_etl_project_spark.plans.similarity_queries import (
+        _IVF_BOOK_CACHE,
+    )
+
+    path = _ivfpq_frames_path(spark, sf_dir)
+    # model dicts are warm after the frames build (same process) — read
+    # them directly rather than via _ivf_trained_parts, whose per-call
+    # qe pin is exactly what the frame cache removes
+    _k_cells, n_probe, books = _IVF_BOOK_CACHE[sf_dir]
+    cb = centroid_df(spark, books)
+    pq_books = _IVFPQ_BOOK_CACHE[sf_dir]
+    pqcb = spark.createDataFrame(
+        [(s, c, p, q) for (s, c, p), q in pq_books.items()],
+        "sub long, cell int, pos int, cq long",
+    )
+    qe = spark.read.parquet(f"{path}/qe")
+    assign = spark.read.parquet(f"{path}/assign")
+    qer = spark.read.parquet(f"{path}/qer")
+    enc = spark.read.parquet(f"{path}/enc")
+    return qe, cb, assign, qer, pqcb, n_probe, enc
 
 
 def _encode(qer: DataFrame, pqcb: DataFrame) -> DataFrame:
@@ -334,11 +391,10 @@ def ivfpq_refined(
         kmeans_dists_exact,
     )
 
-    qe, cb, assign, qer, pqcb, n_probe = _ivfpq_parts(spark, sf_dir)
+    qe, cb, assign, qer, pqcb, n_probe, enc = _ivfpq_parts(spark, sf_dir)
     # parquet-metadata count (same driver-side action dedup_semantic
     # uses to size k — fine at any scale); feeds the integer R rule
     rerank = _refine_r(load_table(spark, sf_dir, "embeddings").count())
-    enc = _encode(qer, pqcb)
     wq = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
     probes = (
         kmeans_dists_exact(qe.filter(F.col("id") < _N_QUERIES), cb)
@@ -435,7 +491,9 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
     from youtube_etl_project_spark.operators import ann_index, fixture_cache
 
     def _build(path: str) -> None:
-        qe, cb, assign, qer, pqcb, n_probe = _ivfpq_parts(spark, sf_dir)
+        qe, cb, assign, qer, pqcb, n_probe, enc = _ivfpq_parts(
+            spark, sf_dir
+        )
         # raw row count INCLUDING null-embedding rows: the rerank rule's
         # oracle twin (cnt CTE) and the in-memory capstone both count raw
         # rows (ADVICE r9 — assign.count() would diverge under nulls)
