@@ -441,6 +441,55 @@ def _edges_stamp(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+# (application id, index path) -> (coarse-dir stamp, (pos tuple, cell
+# tuple, {(cell, pos) -> cq})): the persisted coarse codebook as a
+# driver-side model dict. K·dim-bounded model state; nsw_build writes
+# coarse exactly once per index path and nsw_insert never touches it,
+# but every lookup revalidates against the same cheap metadata stamp
+# the adjacency cache uses, so any unexpected writer invalidates loudly.
+_NSW_COARSE_CACHE: "dict[tuple, tuple[str, tuple]]" = {}
+
+
+def _dir_stamp(root_dir: str) -> str:
+    """Metadata fingerprint of a persisted parquet dir (walk only)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for root, dirs, files in os.walk(root_dir):
+        dirs.sort()
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                h.update(f"{p}:gone;".encode())
+                continue
+            rel = os.path.relpath(p, root_dir)
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def _nsw_coarse_model(spark: SparkSession, path: str):
+    """The persisted coarse codebook collected once per (app, path):
+    (sorted pos tuple, sorted cell tuple, {(cell, pos) -> cq})."""
+    key = (spark.sparkContext.applicationId, path)
+    stamp = _dir_stamp(f"{path}/coarse")
+    hit = _NSW_COARSE_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    books: "dict[tuple, int]" = {}
+    for r in spark.read.parquet(f"{path}/coarse").collect():
+        books[(r.cell, r.pos)] = r.cq
+    model = (
+        tuple(sorted({p for _, p in books})),
+        tuple(sorted({c for c, _ in books})),
+        books,
+    )
+    _NSW_COARSE_CACHE[key] = (stamp, model)
+    return model
+
+
 def _nsw_cell_adjacency(spark: SparkSession, path: str) -> "dict[int, set]":
     key = (spark.sparkContext.applicationId, path)
     stamp = _edges_stamp(path)
@@ -551,9 +600,12 @@ def nsw_query(
     (frontier pin, dst-cells collect, growing visited union re-pin,
     beam window) — the per-action planning/stage constant, not scan
     bytes, dominated the probe (measured: bare pruned scans 0.05-0.15 s
-    vs 0.8 s per frontier action at sf0.1). ``reliable`` is forwarded
-    to every pin (nsw_insert passes False: its micro-batch is retried
-    whole by the streaming engine, so batch-scoped pins stay local).
+    vs 0.8 s per frontier action at sf0.1). Round 12: the per-action
+    pin()s are gone too — each fused action is collected exactly once
+    (loop state is driver-side), so checkpointing bought no reuse and
+    cost one extra eager job per round; plans stay audit-visible via
+    audit_plan. ``reliable`` is accepted for caller compatibility
+    (nsw_insert passes False) but no longer used: no pins remain here.
     Returns (query_id, neighbor_id, rank, dist_q).
 
     ``exclude`` (optional, single ``id`` column, batch-sized) removes
@@ -563,12 +615,9 @@ def nsw_query(
     pre-batch graph no matter how much of the previous attempt landed
     (without it, a crash after the components append would let the new
     vectors become entry candidates of their own replayed search)."""
-    from pyspark.sql import Window
-
-    from youtube_etl_project_spark.operators.checkpointing import pin
+    from youtube_etl_project_spark.operators.checkpointing import audit_plan
 
     spark = queries_qe.sparkSession
-    cb = spark.read.parquet(f"{path}/coarse")
     comp = spark.read.parquet(f"{path}/components")
     edges = spark.read.parquet(f"{path}/edges")
     if exclude is not None:
@@ -577,21 +626,36 @@ def nsw_query(
         edges = edges.join(
             ex.withColumnRenamed("id", "dst"), "dst", "left_anti"
         )
-    qq = queries_qe.withColumnRenamed("id", "query_id")
-    dc = F.col("q") - F.col("cq")
-    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
-    qcell_rows = [
-        (r.query_id, r.cell, r.rn)
-        for r in (
-            qq.join(F.broadcast(cb), "pos")
-            .groupBy("query_id", "cell")
-            .agg(F.sum(dc * dc).cast("long").alias("dist"))
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= entry_cells)
-            .select("query_id", "cell", "rn")
-            .collect()
+    # Round 12: the query batch is collected ONCE (batch-sized by
+    # contract) and the entry-cell ranking runs driver-side against the
+    # memoized coarse codebook (model-sized — the books-as-dicts tier).
+    # The old form spent a Spark job ranking cells through a broadcast
+    # codebook join AND re-derived the quantized query frame from
+    # parquet inside every round's fused action (scan + quantize +
+    # broadcast exchange per action); qa is now a 640-row literal. The
+    # arithmetic is the same exact integers — Python ints, Σ(q-cq)² with
+    # the (dist, cell) sort — so the trace is bit-identical.
+    qrows = queries_qe.collect()
+    by_q: "dict[int, dict[int, int]]" = {}
+    for r in qrows:
+        by_q.setdefault(r.id, {})[r.pos] = r.q
+    pos_order, cell_order, books = _nsw_coarse_model(spark, path)
+    qcell_rows = []
+    for qid in sorted(by_q):
+        qv = by_q[qid]
+        if sorted(qv) != list(pos_order):  # partial vector: fail loudly
+            raise ValueError(
+                f"query {qid} has {len(qv)} dims, codebook has "
+                f"{len(pos_order)} — inner-join dist would be partial"
+            )
+        ranked = sorted(
+            (sum((qv[p] - books[(c, p)]) ** 2 for p in pos_order), c)
+            for c in cell_order
         )
-    ]
+        qcell_rows += [
+            (qid, c, rn)
+            for rn, (_d, c) in enumerate(ranked[:entry_cells], 1)
+        ]
     qcells = sorted({c for _, c, _ in qcell_rows})
     qcell_df = F.broadcast(
         spark.createDataFrame(
@@ -610,7 +674,10 @@ def nsw_query(
                 F.col("s.cell").alias("cell"))
     )
     qa = F.broadcast(
-        qq.select("query_id", "pos", F.col("q").alias("qa"))
+        spark.createDataFrame(
+            [(r.id, r.pos, r.q) for r in qrows],
+            "query_id bigint, pos int, qa bigint",
+        )
     )
     dd = F.col("qa") - F.col("qb")
 
@@ -628,7 +695,11 @@ def nsw_query(
         )
 
     adj = _nsw_cell_adjacency(spark, path)
-    ent = pin(qdist(entry, qcells), reliable=reliable)
+    # Round 12: ent/nd are collected exactly once each — the loop state
+    # lives on the driver, so the old per-action pin() bought no lineage
+    # reuse and cost one extra eager job per round (~4 jobs per probe).
+    # audit_plan keeps the plans visible to the plan-audit gates.
+    ent = audit_plan(qdist(entry, qcells))
     # driver-side search state: (query_id, id) -> (d, cell). Bounded by
     # q·(1 + rounds·beam·deg_cap) independent of corpus size — the same
     # beam-sized budget the old form already collected per round.
@@ -676,7 +747,7 @@ def nsw_query(
             .distinct()
             .join(vdf, ["query_id", "id"], "left_anti")
         )
-        nd = pin(qdist(frontier, fcells), reliable=reliable)
+        nd = audit_plan(qdist(frontier, fcells))
         for r in nd.collect():
             visited[(r.query_id, r.id)] = (r.d, r.cell)
     out: list = []

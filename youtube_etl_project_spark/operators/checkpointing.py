@@ -81,6 +81,25 @@ def _formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def audit_plan(df: DataFrame) -> DataFrame:
+    """Record ``df``'s formatted plan with the :func:`audit_pins`
+    collector (when active) WITHOUT checkpointing, and return ``df``
+    unchanged.
+
+    For frames a terminal ``collect()`` materializes exactly once —
+    e.g. the per-round distance actions of the persisted-index beam
+    search, whose loop state lives on the driver: a :func:`pin` there
+    buys no lineage reuse (nothing references the frame twice) but
+    costs one extra eager job per call. The plan must still be visible
+    to the plan-audit gates (the round-9 lesson: stages hidden from the
+    audit are stages that can rot), so this keeps the recording half of
+    :func:`pin` and drops the checkpoint half."""
+    collector = _AUDIT.get()
+    if collector is not None:
+        collector.append(_formatted_plan(df))
+    return df
+
+
 def pin(
     df: DataFrame, eager: bool = True, reliable: bool | None = None
 ) -> DataFrame:
