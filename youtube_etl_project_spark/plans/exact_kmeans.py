@@ -130,6 +130,61 @@ def kmeans_assign_exact(qe: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_assign_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    books: dict[tuple[int, int], int],
+    grid: int = GRID,
+) -> DataFrame:
+    """(id, cell) as ONE Arrow int64 pass over the raw vectors — the
+    corpus-wide twin of :func:`kmeans_assign_exact` for a trained books
+    DICT (round 12, guide §3.4/§4.2): the exploded form fans every
+    (id, pos) row out k× through the broadcast centroid join (k≈√n ⇒
+    ~180 M join rows at sf0.1) before aggregating; here the same exact
+    integers come from a numpy matmul via the binomial identity.
+    Bit-identical by construction: np.floor on float64 is the double op
+    F.floor compiles to (the _semantic_pairs_blocked precedent), all
+    distances are int64 (≤ 64·(2·grid)² ≪ 2⁶³), and np.argmin returns
+    the FIRST minimum — cell-ascending columns ⇒ the lowest-cell
+    tiebreak. The books stay model-sized in the task closure."""
+    import pandas as pd
+
+    cells = sorted({c for c, _ in books})
+    poss = sorted({p for _, p in books})
+    cmat = [[books[(c, p)] for p in poss] for c in cells]
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        Cm = np.asarray(cmat, dtype=np.int64)
+        c2 = np.einsum("ij,ij->i", Cm, Cm)
+        cells_arr = np.asarray(cells, dtype=np.int32)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.floor(
+                np.stack(pdf[vec].to_numpy()).astype(np.float64)
+                * float(grid)
+                + 0.5
+            ).astype(np.int64)
+            q2 = np.einsum("ij,ij->i", Q, Q)
+            d = q2[:, None] - 2 * (Q @ Cm.T) + c2[None, :]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": cells_arr[d.argmin(axis=1)],
+                }
+            )
+
+    return (
+        df.filter(F.col(vec).isNotNull())
+        .select(id_col, vec)
+        .mapInPandas(batches, "id long, cell int")
+    )
+
+
 def kmeans_exact_ctes(k_sql: str | int, iters: int = 2) -> str:
     """DuckDB twin of train+assign. The caller's WITH list must already
     define ``qe(id, pos, q)``; this appends seed/c0, the unrolled rounds

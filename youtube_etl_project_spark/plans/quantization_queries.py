@@ -378,6 +378,76 @@ _PQ_V1_VALUES = ", ".join(
 )
 _PQ_DSUB = 8
 
+def _pq_v1_dists(spark: SparkSession, qe: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, dist) of every subvector against the frozen
+    v1 codebooks via the binomial identity Σ_p (q_p − c_p)² = Σ q² −
+    2·Σ q·c_p + Σ c_p² (round 12, same rewrite as
+    similarity_queries._ivf_v1_dists): a pivoted 64-row broadcast join
+    plus one per-(vec, sub) aggregate replaces the |codes|× fan-out of
+    every (vec, j) row through the codebook join. The per-(sub, code)
+    Σ c² term re-attaches by a 128-row broadcast AFTER the aggregate
+    (1:1, no fan-out). Exact int64 — every consumer's value hash is
+    unchanged (oracles keep the Σ(q−c)² form)."""
+    rows = _pq_v1_codebook_q()
+    subs = sorted({s for s, _, _, _ in rows})
+    codes = sorted({k for _, k, _, _ in rows})
+    poss = sorted({p for _, _, p, _ in rows})
+    cb = {(s, k, p): q for s, k, p, q in rows}
+    piv = spark.createDataFrame(
+        [
+            (s, p, *[cb[(s, k, p)] for k in codes])
+            for s in subs
+            for p in poss
+        ],
+        "sub long, pos int, "
+        + ", ".join(f"k{i} long" for i in range(len(codes))),
+    )
+    normdf = spark.createDataFrame(
+        [
+            (s, k, sum(cb[(s, k, p)] ** 2 for p in poss))
+            for s in subs
+            for k in codes
+        ],
+        "sub long, code int, nrm long",
+    )
+    dots = qe.join(F.broadcast(piv), ["sub", "pos"]).groupBy(
+        "vec_id", "sub"
+    ).agg(
+        F.sum(F.col("q") * F.col("q")).alias("q2"),
+        *[
+            F.sum(F.col("q") * F.col(f"k{i}")).alias(f"d{i}")
+            for i in range(len(codes))
+        ],
+    )
+    exploded = dots.select(
+        "vec_id",
+        "sub",
+        "q2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("code"),
+                        F.col(f"d{i}").alias("dot"),
+                    )
+                    for i, k in enumerate(codes)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", "sub", "q2",
+        F.col("s.code").alias("code"), F.col("s.dot").alias("dot"),
+    )
+    return exploded.join(F.broadcast(normdf), ["sub", "code"]).select(
+        "vec_id",
+        "sub",
+        "code",
+        (F.col("q2") - 2 * F.col("dot") + F.col("nrm"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
 
 @register(
     "embed_pq_encode_v1",
@@ -416,10 +486,8 @@ _PQ_DSUB = 8
         "trained flagships (embed_pq_rmse/adc/rerank) are ALSO oracle-"
         "checked since round 7 via exact-grid training",
 )
+
 def embed_pq_encode_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cbdf = spark.createDataFrame(
-        _pq_v1_codebook_q(), "sub long, code int, pos int, cbq long"
-    )
     emb = load_table(spark, sf_dir, "embeddings")
     qe = (
         emb.filter(F.col("embedding").isNotNull())
@@ -433,12 +501,7 @@ def embed_pq_encode_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("q"),
         )
     )
-    diff = F.col("q") - F.col("cbq")
-    dists = (
-        qe.join(F.broadcast(cbdf), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
+    dists = _pq_v1_dists(spark, qe)
     w = Window.partitionBy("vec_id", "sub").orderBy(
         F.asc("dist"), F.asc("code")
     )
@@ -496,9 +559,6 @@ def _pq_v1_spark_parts(spark: SparkSession, sf_dir: str):
     """Spark mirror of ``_PQ_V1_BASE_CTES``: returns (qe, codes, lut, adc)
     DataFrames, all exact-bigint.  ``dists`` feeds both codes and lut, so
     it is pinned once (CLAUDE.md: multi-referenced derived frames)."""
-    cbdf = spark.createDataFrame(
-        _pq_v1_codebook_q(), "sub long, code int, pos int, cbq long"
-    )
     emb = load_table(spark, sf_dir, "embeddings")
     qe = (
         emb.filter(F.col("embedding").isNotNull())
@@ -512,12 +572,7 @@ def _pq_v1_spark_parts(spark: SparkSession, sf_dir: str):
             ).cast("long").alias("q"),
         )
     )
-    diff = F.col("q") - F.col("cbq")
-    dists = pin(
-        qe.join(F.broadcast(cbdf), ["sub", "pos"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum(diff * diff).cast("long").alias("dist"))
-    )
+    dists = pin(_pq_v1_dists(spark, qe))
     w = Window.partitionBy("vec_id", "sub").orderBy(
         F.asc("dist"), F.asc("code")
     )

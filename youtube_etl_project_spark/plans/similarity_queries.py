@@ -514,6 +514,60 @@ _IVF_V1_VALUES = ", ".join(
 )
 
 
+def _ivf_v1_dists(spark: SparkSession, qe: DataFrame) -> DataFrame:
+    """(vec_id, cell, dist) of every vector against the frozen v1
+    centroids via the binomial identity Σ_j (q_j − c_j)² = Σ q² −
+    2·Σ q·c_j + Σ c_j² (round 12, guide §3.4 exploding joins / §2.3
+    shuffle fewer bytes): one pivoted 64-row broadcast join and a
+    single per-vector aggregate instead of fanning every (vec, j) row
+    out |cells|× through the codebook join before aggregating. All
+    int64, exact and associative, so every consumer's value hash is
+    unchanged (the oracles keep the Σ(q−c)² form). ``qe`` must carry
+    (vec_id, j, q) with complete vectors — the inner join the identity
+    replaces skipped absent j rows, the Σ c² term does not."""
+    rows = _ivf_v1_centroids_q()
+    cells = sorted({c for c, _, _ in rows})
+    js = sorted({j for _, j, _ in rows})
+    cq = {(c, j): q for c, j, q in rows}
+    norm = {c: sum(cq[(c, j)] ** 2 for j in js) for c in cells}
+    piv = spark.createDataFrame(
+        [(j, *[cq[(c, j)] for c in cells]) for j in js],
+        "j int, " + ", ".join(f"c{i} long" for i in range(len(cells))),
+    )
+    dots = qe.join(F.broadcast(piv), "j").groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("q2"),
+        *[
+            F.sum(F.col("q") * F.col(f"c{i}")).alias(f"d{i}")
+            for i in range(len(cells))
+        ],
+    )
+    return (
+        dots.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).cast("int").alias("cell"),
+                            (
+                                F.col("q2")
+                                - 2 * F.col(f"d{i}")
+                                + F.lit(norm[c])
+                            ).cast("long").alias("dist"),
+                        )
+                        for i, c in enumerate(cells)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(
+            "vec_id",
+            F.col("s.cell").alias("cell"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+
+
 @register(
     "embed_ivf_ann_v1",
     oracle=f"""
@@ -580,9 +634,6 @@ _IVF_V1_VALUES = ", ".join(
         "with recall floors pinned",
 )
 def embed_ivf_ann_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cqdf = spark.createDataFrame(
-        _ivf_v1_centroids_q(), "cell int, j int, cq long"
-    )
     emb = load_table(spark, sf_dir, "embeddings")
     qe = (
         emb.filter(F.col("embedding").isNotNull())
@@ -596,12 +647,7 @@ def embed_ivf_ann_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("q"),
         )
     )
-    diff = F.col("q") - F.col("cq")
-    dists = (
-        qe.join(F.broadcast(cqdf), "j")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(diff * diff).alias("dist"))
-    )
+    dists = _ivf_v1_dists(spark, qe)
     wc = Window.partitionBy("vec_id").orderBy(
         F.asc("dist"), F.asc("cell")
     )
