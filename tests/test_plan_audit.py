@@ -339,8 +339,11 @@ PRE_PIN_ARROW_ALLOWED = {
     "embed_nsw_online_ingest_ann",
     # round 12: dedup_semantic's pair frame (the per-cell Arrow τ-test
     # kernel, _semantic_pairs_blocked) feeds connected_components, whose
-    # iteration pins it — the kernel therefore surfaces pre-pin here
+    # iteration pins it — the kernel therefore surfaces pre-pin here;
+    # dedup_semantic's pinned assignment and text_topic_clusters' pinned
+    # cluster frame run the kmeans_assign_arrow matmul kernel
     "dedup_semantic",
+    "text_topic_clusters",
 }
 
 

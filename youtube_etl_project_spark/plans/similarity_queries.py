@@ -366,13 +366,20 @@ def _ivf_trained_parts(spark: SparkSession, sf_dir: str):
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_project_spark.plans.exact_kmeans import (
         centroid_df,
-        kmeans_assign_exact,
+        kmeans_assign_arrow,
         kmeans_dists_exact,
     )
 
     qe, books, _, n_probe = _ivf_trained_parts(spark, sf_dir)
     cb = centroid_df(spark, books)
-    assign = kmeans_assign_exact(qe, cb)
+    # round 12: corpus-wide assignment as one Arrow int64 matmul pass
+    # (kmeans_assign_arrow) instead of fanning qe out K× through the
+    # centroid join; the query-side probe ranking (10 rows) stays the
+    # exploded codegen form
+    assign = kmeans_assign_arrow(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        books,
+    )
     wq = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("cell"))
     probes = (
         kmeans_dists_exact(qe.filter(F.col("id") < _N_QUERIES), cb)
