@@ -220,33 +220,46 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias(f"s_{a}_{b}")
             )
-    m = li.agg(*aggs)
-    parts = []
-    for i, a in enumerate(_MEASURES):
-        for b in _MEASURES[i + 1:]:
-            n = F.col("n")
-            num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-            va = F.greatest(
-                n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"),
-                F.lit(0.0),
-            )
-            vb = F.greatest(
-                n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"),
-                F.lit(0.0),
-            )
-            parts.append(
-                m.select(
-                    F.lit(a).alias("m_a"),
-                    F.lit(b).alias("m_b"),
-                    F.round(
-                        num / F.nullif(F.sqrt(va) * F.sqrt(vb), F.lit(0.0)), 6
-                    ).alias("pearson_r"),
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # Round 12 (guide §2.4 + §2.2): the 6 correlations come off the
+    # ONE-row moment frame as a literal-struct explode instead of a
+    # 6-branch union — each union branch re-planned the whole moment
+    # aggregate, so the plan carried SIX identical lineitem scans
+    # (measured: 6 Scan parquet nodes, no exchange reuse at planning
+    # time). The decimal cross-moments are the CPU cost and lineitem is
+    # ONE small parquet file (~2 effective scan tasks), so the measures
+    # are spread across the cores first — the dedup.spread rule; the
+    # decimal sums are associative, so partition order cannot diverge.
+    from youtube_etl_project_spark.operators.dedup import spread
+
+    m = spread(li.select(*_MEASURES)).agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = F.greatest(
+            n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"),
+            F.lit(0.0),
+        )
+        vb = F.greatest(
+            n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"),
+            F.lit(0.0),
+        )
+        return F.struct(
+            F.lit(a).alias("m_a"),
+            F.lit(b).alias("m_b"),
+            F.round(
+                num / F.nullif(F.sqrt(va) * F.sqrt(vb), F.lit(0.0)), 6
+            ).alias("pearson_r"),
+        )
+
+    pairs = [
+        corr(a, b)
+        for i, a in enumerate(_MEASURES)
+        for b in _MEASURES[i + 1:]
+    ]
+    return m.select(F.explode(F.array(*pairs)).alias("s")).select(
+        "s.m_a", "s.m_b", "s.pearson_r"
+    )
 
 
 _KCORE_K = 2
