@@ -298,8 +298,18 @@ def deletion_neighborhood_pairs(
 
     Returns one row per unordered pair: (ka, kb, na, nb) with ka < kb.
     """
-    base = df.select(F.col(key).alias("k"), F.col(text).alias("nm")).filter(
-        F.length("nm") >= 1
+    # Round 12 (ADVICE r11 #2): keys must be unique for the keys-only
+    # candidate distinct + broadcast name re-attach to be equivalent to
+    # the old names-carried distinct — a duplicate k (same key, two
+    # names) would cross-product on re-attach. Enforce it with a
+    # DETERMINISTIC dimension-sized dedupe (min name per key; a plain
+    # dropDuplicates picks an arbitrary survivor) instead of relying on
+    # the docstring precondition.
+    base = (
+        df.select(F.col(key).alias("k"), F.col(text).alias("nm"))
+        .filter(F.length("nm") >= 1)
+        .groupBy("k")
+        .agg(F.min("nm").alias("nm"))
     )
     variants = F.expr(
         "array_append(transform(sequence(1, length(nm)), i -> "
